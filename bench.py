@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark entry point: prints ONE JSON line with the headline metric.
+
+Headline: 1080p key-frame encode fps on one chip, vs the locally measured
+rav1e 0.5.1 speed-6 baseline (0.38 fps, see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_1080P_S6_FPS = 0.38
+
+
+def main() -> None:
+    from rav1e_tpu.api.config import Config, EncoderConfig
+    from rav1e_tpu.utils.frame import Frame
+
+    w, h = 1920, 1080
+    rng = np.random.default_rng(0)
+    # synthetic moving-gradient + noise content (same recipe as BASELINE.md)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    nframes = 4
+    for t in range(nframes):
+        y = ((xx + yy + 4 * t) % 256).astype(np.uint8)
+        y = np.clip(y.astype(np.int16) + rng.integers(-8, 8, y.shape), 0, 255).astype(np.uint8)
+        u = ((xx[::2, ::2] // 2 + t) % 256).astype(np.uint8)
+        v = ((yy[::2, ::2] // 2 + 2 * t) % 256).astype(np.uint8)
+        frames.append(Frame.from_planes(y, u, v))
+
+    try:
+        cfg = Config(enc=EncoderConfig(width=w, height=h, quantizer=100))
+        ctx = cfg.new_context()
+        # warmup (jit compile)
+        ctx.send_frame(frames[0])
+        ctx.receive_packet()
+        t0 = time.perf_counter()
+        nbytes = 0
+        for f in frames:
+            ctx.send_frame(f)
+            pkt = ctx.receive_packet()
+            nbytes += len(pkt.data)
+        dt = time.perf_counter() - t0
+        fps = nframes / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_keyframe_fps",
+                    "value": round(fps, 3),
+                    "unit": "frames/s",
+                    "vs_baseline": round(fps / BASELINE_1080P_S6_FPS, 2),
+                }
+            )
+        )
+    except Exception as e:  # encoder not far enough along yet
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_keyframe_fps",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Public encode context: the send_frame / receive_packet state machine.
+
+Reference analog: src/api/context.rs + src/api/internal.rs (ContextInner).
+The semantics replicated here (EncoderStatus protocol, flush via
+send_frame(None), packet reordering) are the ones the reference's API tests
+assert.  Internals are TPU-first: per-frame device passes batched over
+superblocks, host entropy tail.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections import deque
+from dataclasses import dataclass
+
+from rav1e_tpu.api.config import EncoderConfig
+
+
+class EncoderStatus(enum.Enum):
+    NEED_MORE_DATA = "need_more_data"
+    ENOUGH_DATA = "enough_data"
+    ENCODED = "encoded"
+    LIMIT_REACHED = "limit_reached"
+    NOT_READY = "not_ready"
+    FAILURE = "failure"
+
+
+class EncoderError(Exception):
+    def __init__(self, status: EncoderStatus):
+        self.status = status
+        super().__init__(status.value)
+
+
+@dataclass
+class Packet:
+    data: bytes
+    input_frameno: int
+    frame_type: str  # "key" | "inter"
+    opaque: object = None
+
+    def __repr__(self) -> str:
+        return (
+            f"Packet(frame {self.input_frameno}, {self.frame_type}, {len(self.data)} bytes)"
+        )
+
+
+class Context:
+    """Frame in -> packet out.  Single-pass CQ for now; the orchestration
+    ring (lookahead, scenechange, rate control, GOP pyramid) attaches here
+    as it lands (see SURVEY.md section 2.2)."""
+
+    def __init__(self, enc: EncoderConfig):
+        self.enc = enc
+        self.frame_q: deque = deque()
+        self.input_frameno = 0
+        self.frames_processed = 0
+        self.flushing = False
+        self.limit: int | None = None
+        self._encoder = None  # lazy: models.pipeline.FrameEncoder
+
+    # -- API ---------------------------------------------------------------
+
+    def send_frame(self, frame) -> None:
+        """frame: utils.Frame, or None to begin flushing."""
+        if frame is None:
+            self.flushing = True
+            return
+        if self.flushing:
+            raise EncoderError(EncoderStatus.ENOUGH_DATA)
+        self.frame_q.append((self.input_frameno, frame))
+        self.input_frameno += 1
+
+    def receive_packet(self) -> Packet:
+        if not self.frame_q:
+            if self.flushing:
+                raise EncoderError(EncoderStatus.LIMIT_REACHED)
+            raise EncoderError(EncoderStatus.NEED_MORE_DATA)
+        frameno, frame = self.frame_q.popleft()
+        packet = self._encode_frame(frameno, frame)
+        self.frames_processed += 1
+        return packet
+
+    def flush(self) -> None:
+        self.send_frame(None)
+
+    def container_sequence_header(self) -> bytes:
+        from rav1e_tpu.obu.headers import write_sequence_header_obu
+
+        return write_sequence_header_obu(self._sequence())
+
+    # -- internal ----------------------------------------------------------
+
+    def _sequence(self):
+        from rav1e_tpu.obu.headers import Sequence
+
+        return Sequence(
+            width=self.enc.width,
+            height=self.enc.height,
+            bit_depth=self.enc.bit_depth,
+            subsampling_x=self.enc.chroma_sampling[0],
+            subsampling_y=self.enc.chroma_sampling[1],
+            still_picture=self.enc.still_picture,
+        )
+
+    def _encode_frame(self, frameno: int, frame) -> Packet:
+        if self._encoder is None:
+            from rav1e_tpu.models.pipeline import FrameEncoder
+
+            self._encoder = FrameEncoder(self.enc)
+        data = self._encoder.encode_key_frame(frame)
+        return Packet(data=data, input_frameno=frameno, frame_type="key")
