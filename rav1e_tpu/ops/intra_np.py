@@ -1,0 +1,235 @@
+"""Intra prediction - numpy reference (NORMATIVE, spec 7.11.2).
+
+Reconstruction depends on these predictors bit-exactly matching the
+decoder.  This build signals enable_intra_edge_filter=0 and
+enable_filter_intra=0 in the sequence header, so edge filtering /
+upsampling / filter-intra never apply (they land with the full toolset).
+
+Reference encoder analog: src/predict.rs + src/recon_intra.rs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+_TABLES = np.load(Path(__file__).parent / "av1_tables.npz")
+_SM_W = _TABLES["sm_weights"]  # concatenated for sizes 4,8,16,32,64
+_DR = _TABLES["dr_intra_derivative"]
+
+# PredictionMode enum (spec order)
+DC_PRED = 0
+V_PRED = 1
+H_PRED = 2
+D45_PRED = 3
+D135_PRED = 4
+D113_PRED = 5
+D157_PRED = 6
+D203_PRED = 7
+D67_PRED = 8
+SMOOTH_PRED = 9
+SMOOTH_V_PRED = 10
+SMOOTH_H_PRED = 11
+PAETH_PRED = 12
+UV_CFL_PRED = 13
+
+MODE_ANGLE = {
+    V_PRED: 90,
+    H_PRED: 180,
+    D45_PRED: 45,
+    D135_PRED: 135,
+    D113_PRED: 113,
+    D157_PRED: 157,
+    D203_PRED: 203,
+    D67_PRED: 67,
+}
+
+DIRECTIONAL_MODES = tuple(MODE_ANGLE)
+
+
+def sm_weights(n: int) -> np.ndarray:
+    off = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}[n]
+    return _SM_W[off : off + n]
+
+
+def build_edges(
+    recon: np.ndarray,
+    x: int,
+    y: int,
+    w: int,
+    h: int,
+    have_above: bool,
+    have_left: bool,
+    bit_depth: int = 8,
+    n_top_right: int = 0,
+    n_bottom_left: int = 0,
+):
+    """Build AboveRow[-1..w+h-1] and LeftCol[-1..w+h-1] per spec 7.11.2
+    (without edge filter/upsampling).  recon is the reconstruction plane;
+    (x, y) the block origin.  n_top_right / n_bottom_left: number of valid
+    pixels beyond the block edge (0 if unavailable)."""
+    base = 1 << (bit_depth - 1)
+    above = np.empty(w + h + 1, dtype=np.int32)  # above[0] = top-left
+    left = np.empty(w + h + 1, dtype=np.int32)  # left[0] = top-left
+
+    if have_above:
+        row = recon[y - 1]
+        n_tr = min(n_top_right, h)
+        avail = w + n_tr
+        above[1 : 1 + avail] = row[x : x + avail]
+        above[1 + avail :] = above[avail]  # replicate last
+    else:
+        # spec: missing above row takes LeftCol[0], or base-1 if no left
+        above[1:] = recon[y][x - 1] if have_left else base - 1
+
+    if have_left:
+        col = recon[:, x - 1]
+        n_bl = min(n_bottom_left, w)
+        avail = h + n_bl
+        left[1 : 1 + avail] = col[y : y + avail]
+        left[1 + avail :] = left[avail]
+    else:
+        # spec: missing left column takes AboveRow[0], or base+1 if no above
+        left[1:] = recon[y - 1][x] if have_above else base + 1
+
+    # top-left corner
+    if have_above and have_left:
+        tl = recon[y - 1][x - 1]
+    elif have_above:
+        tl = recon[y - 1][x]
+    elif have_left:
+        tl = recon[y][x - 1]
+    else:
+        tl = base
+    above[0] = left[0] = tl
+    return above, left
+
+
+def predict(
+    mode: int,
+    above: np.ndarray,
+    left: np.ndarray,
+    w: int,
+    h: int,
+    have_above: bool,
+    have_left: bool,
+    angle_delta: int = 0,
+    bit_depth: int = 8,
+) -> np.ndarray:
+    """Returns (h, w) int32 prediction.  above/left from build_edges
+    (index 0 = top-left corner, 1.. = edge pixels)."""
+    base = 1 << (bit_depth - 1)
+    A = above[1:].astype(np.int64)
+    L = left[1:].astype(np.int64)
+    tl = int(above[0])
+
+    if mode == DC_PRED:
+        if have_above and have_left:
+            s = A[:w].sum() + L[:h].sum()
+            avg = (s + ((w + h) >> 1)) // (w + h)
+        elif have_above:
+            avg = (A[:w].sum() + (w >> 1)) >> int(np.log2(w))
+        elif have_left:
+            avg = (L[:h].sum() + (h >> 1)) >> int(np.log2(h))
+        else:
+            avg = base
+        return np.full((h, w), avg, dtype=np.int32)
+
+    if mode == V_PRED and angle_delta == 0:
+        return np.tile(A[:w], (h, 1)).astype(np.int32)
+    if mode == H_PRED and angle_delta == 0:
+        return np.tile(L[:h, None], (1, w)).astype(np.int32)
+
+    if mode == PAETH_PRED:
+        b = A[None, :w] + L[:h, None] - tl
+        pa = np.abs(b - A[None, :w])
+        pl = np.abs(b - L[:h, None])
+        ptl = np.abs(b - tl)
+        out = np.where((pl <= pa) & (pl <= ptl), L[:h, None],
+                       np.where(pa <= ptl, A[None, :w], tl))
+        return out.astype(np.int32)
+
+    if mode in (SMOOTH_PRED, SMOOTH_V_PRED, SMOOTH_H_PRED):
+        wx = sm_weights(w).astype(np.int64)
+        wy = sm_weights(h).astype(np.int64)
+        below = L[h - 1]
+        right = A[w - 1]
+        if mode == SMOOTH_PRED:
+            v = (
+                wy[:, None] * A[None, :w]
+                + (256 - wy)[:, None] * below
+                + wx[None, :] * L[:h, None]
+                + (256 - wx)[None, :] * right
+            )
+            return ((v + 256) >> 9).astype(np.int32)
+        if mode == SMOOTH_V_PRED:
+            v = wy[:, None] * A[None, :w] + (256 - wy)[:, None] * below
+            return ((v + 128) >> 8).astype(np.int32)
+        v = wx[None, :] * L[:h, None] + (256 - wx)[None, :] * right
+        return ((v + 128) >> 8).astype(np.int32)
+
+    # directional
+    p_angle = MODE_ANGLE[mode] + angle_delta * 3
+    return _dr_predict(A, L, tl, w, h, p_angle, bit_depth)
+
+
+def _dr_predict(A, L, tl, w, h, p_angle, bit_depth):
+    """Directional prediction, no upsampling / edge filter (spec 7.11.2.4)."""
+    out = np.zeros((h, w), dtype=np.int64)
+    # edge arrays indexed -1..: build with top-left at index 0
+    az = np.concatenate(([tl], A))  # az[1+i] = above[i]
+    lz = np.concatenate(([tl], L))
+    if p_angle < 90:
+        dx = int(_DR[p_angle])
+        max_base_x = w + h - 1
+        for r in range(h):
+            xpos = (r + 1) * dx
+            base_x = xpos >> 6
+            shift = (xpos >> 1) & 0x1F
+            for ci in range(w):
+                b = base_x + ci
+                if b >= max_base_x:
+                    out[r, ci] = A[max_base_x]
+                else:
+                    out[r, ci] = (A[b] * (32 - shift) + A[b + 1] * shift + 16) >> 5
+    elif p_angle == 90:
+        out[:] = A[None, :w]
+    elif p_angle < 180:
+        dx = int(_DR[180 - p_angle])
+        dy = int(_DR[p_angle - 90])
+        for r in range(h):
+            for ci in range(w):
+                xpos = (ci << 6) - (r + 1) * dx
+                base_x = xpos >> 6
+                if base_x >= -1:
+                    shift = (xpos >> 1) & 0x1F
+                    out[r, ci] = (az[1 + base_x] * (32 - shift) + az[2 + base_x] * shift + 16) >> 5
+                else:
+                    ypos = (r << 6) - (ci + 1) * dy
+                    base_y = ypos >> 6
+                    shift = (ypos >> 1) & 0x1F
+                    out[r, ci] = (lz[1 + base_y] * (32 - shift) + lz[2 + base_y] * shift + 16) >> 5
+    elif p_angle == 180:
+        out[:] = L[:h, None]
+    else:
+        dy = int(_DR[270 - p_angle])
+        max_base_y = w + h - 1
+        for ci in range(w):
+            ypos = (ci + 1) * dy
+            base_y = ypos >> 6
+            shift = (ypos >> 1) & 0x1F
+            for r in range(h):
+                b = base_y + r
+                if b >= max_base_y:
+                    out[r, ci] = L[max_base_y]
+                else:
+                    out[r, ci] = (L[b] * (32 - shift) + L[b + 1] * shift + 16) >> 5
+    return out.astype(np.int32)
+
+
+def cfl_predict(dc_pred: np.ndarray, luma_ac: np.ndarray, alpha: int, bit_depth: int = 8) -> np.ndarray:
+    """CFL: chroma = dc + alpha * luma_ac (spec 7.11.5)."""
+    scaled = np.sign(alpha) * ((np.abs(alpha * luma_ac.astype(np.int64)) + 32) >> 6)
+    v = dc_pred.astype(np.int64) + scaled
+    return np.clip(v, 0, (1 << bit_depth) - 1).astype(np.int32)

@@ -1,0 +1,85 @@
+"""Encode -> libdav1d decode conformance tests: decoded output must equal
+the encoder's own reconstruction plane-by-plane (the gate from SURVEY.md
+section 4.3; reference analog: src/test_encode_decode/).
+"""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+from rav1e_tpu.obu.headers import (
+    FrameParams,
+    Sequence,
+    temporal_delimiter,
+    write_frame_obu,
+    write_sequence_header_obu,
+)
+
+dav1d = pytest.importorskip("rav1e_tpu.utils.dav1d_oracle")
+
+
+def encode_decode(y, u, v, q):
+    h, w = y.shape
+    fe = IntraFrameEncoder(w, h, q_idx=q)
+    tile, recon = fe.encode([y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)])
+    seq = Sequence(width=w, height=h)
+    fp = FrameParams(base_q_idx=q, disable_cdf_update=True)
+    data = temporal_delimiter() + write_sequence_header_obu(seq) + write_frame_obu(seq, fp, tile)
+    dec, meta = dav1d.Dav1dDecoder().decode_packet(data)
+    return dec, recon, data
+
+
+def content(w, h, kind, seed=0):
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        return (
+            rng.integers(0, 256, (h, w)).astype(np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+        )
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip((xx + yy) % 256 + rng.integers(-12, 12, (h, w)), 0, 255).astype(np.uint8)
+    u = ((xx[::2, ::2]) % 200 + 20).astype(np.uint8)
+    v = ((yy[::2, ::2]) % 180 + 30).astype(np.uint8)
+    return y, u, v
+
+
+@pytest.mark.parametrize("q", [50, 100, 200, 250])
+def test_gradient_64x64(q):
+    y, u, v = content(64, 64, "grad", q)
+    dec, recon, _ = encode_decode(y, u, v, q)
+    for i in range(3):
+        assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
+
+
+@pytest.mark.parametrize("kind", ["grad", "noise"])
+def test_multi_sb_128x128(kind):
+    y, u, v = content(128, 128, kind, 3)
+    dec, recon, _ = encode_decode(y, u, v, 100)
+    for i in range(3):
+        assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
+
+
+def test_rect_frame():
+    y, u, v = content(192, 64, "grad", 5)
+    dec, recon, _ = encode_decode(y, u, v, 120)
+    for i in range(3):
+        assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
+
+
+def test_flat_all_skip():
+    y = np.full((64, 64), 128, np.uint8)
+    u = np.full((32, 32), 128, np.uint8)
+    v = u.copy()
+    dec, recon, data = encode_decode(y, u, v, 250)
+    assert len(data) < 40  # all-skip frame is tiny
+    for i in range(3):
+        assert np.array_equal(dec[i], recon[i].astype(np.uint8))
+
+
+def test_recon_quality_sane():
+    y, u, v = content(128, 128, "grad", 9)
+    dec, recon, data = encode_decode(y, u, v, 80)
+    mse = np.mean((recon[0].astype(float) - y.astype(float)) ** 2)
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 33, psnr
