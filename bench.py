@@ -17,10 +17,7 @@ def main() -> None:
     from rav1e_tpu.api.config import Config, EncoderConfig
     from rav1e_tpu.utils.frame import Frame
 
-    # 1088 = next multiple of 64; partial-superblock support lands next,
-    # then this returns to exactly 1080 (0.7% more pixels than the baseline
-    # measurement -- noted, conservative against us)
-    w, h = 1920, 1088
+    w, h = 1920, 1080
     rng = np.random.default_rng(0)
     # synthetic moving-gradient + noise content (same recipe as BASELINE.md)
     yy, xx = np.mgrid[0:h, 0:w]

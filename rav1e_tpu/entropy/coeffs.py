@@ -122,6 +122,7 @@ def encode_txb(
     txb_skip_ctx: int,
     dc_sign_ctx: int,
     adapt: bool = True,
+    tx_type_fn=None,
 ) -> tuple:
     """Code one transform block.
 
@@ -141,7 +142,9 @@ def encode_txb(
     if eob == 0:
         return 0, 0
 
-    # (transform type signaling handled by caller before eob per spec order)
+    # transform type signaling (spec: inside coeffs(), right after all_zero)
+    if tx_type_fn is not None:
+        tx_type_fn()
 
     # eob position
     area = w * h

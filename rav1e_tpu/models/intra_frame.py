@@ -29,6 +29,12 @@ _TBL = np.load(__file__.rsplit("/", 2)[0] + "/ops/av1_tables.npz")
 # partition context bytes (above, left) per block size, from the AV1 spec
 # (verified against the libaom binary's partition_context_lookup)
 _PART_CTX = {4: (31, 31), 8: (30, 30), 16: (28, 28), 32: (24, 24), 64: (16, 16)}
+_PART_CTX_RECT = {
+    (4, 4): (31, 31), (4, 8): (31, 30), (8, 4): (30, 31), (8, 8): (30, 30),
+    (8, 16): (30, 28), (16, 8): (28, 30), (16, 16): (28, 28),
+    (16, 32): (28, 24), (32, 16): (24, 28), (32, 32): (24, 24),
+    (32, 64): (24, 16), (64, 32): (16, 24), (64, 64): (16, 16),
+}
 
 PARTITION_NONE = 0
 PARTITION_SPLIT = 3
@@ -66,47 +72,73 @@ class IntraFrameEncoder:
     """Encodes one key frame; exposes recon planes for conformance checks."""
 
     def __init__(self, width: int, height: int, q_idx: int, bit_depth: int = 8,
-                 adapt_cdf: bool = False, speed: int = 6):
-        assert width % 8 == 0 and height % 8 == 0, "partial blocks: next slice"
-        self.w = width
-        self.h = height
+                 adapt_cdf: bool = True, speed: int = 6):
+        self.out_w = width
+        self.out_h = height
+        # the mi grid is 8-px aligned (spec MiCols = 2*((w+7)>>3)); pixels
+        # beyond the real frame are coded but cropped at output.  Work
+        # buffers are superblock-aligned because edge blocks may legally
+        # overhang the mi grid (their transforms are coded in full).
+        self.mi_cols = 2 * ((width + 7) >> 3)
+        self.mi_rows = 2 * ((height + 7) >> 3)
+        self.coded_w = self.mi_cols * 4
+        self.coded_h = self.mi_rows * 4
+        self.w = (self.coded_w + 63) & ~63
+        self.h = (self.coded_h + 63) & ~63
         self.q = q_idx
         self.bd = bit_depth
         self.adapt = adapt_cdf
         self.speed = speed
-        self.mi_cols = width // 4
-        self.mi_rows = height // 4
         self.dc_q = qz.dc_q(q_idx, 0, bit_depth)
         self.ac_q = qz.ac_q(q_idx, 0, bit_depth)
 
     def encode(self, planes: list) -> tuple:
-        """planes: [Y, U, V] uint8/16 arrays.  Returns (tile_bytes, recon)."""
+        """planes: [Y, U, V] uint8/16 arrays at the REAL frame size.
+        Returns (tile_bytes, recon) with recon cropped to the real size."""
         w, h, bd = self.w, self.h, self.bd
-        self.src = [p.astype(np.int32) for p in planes]
-        # recon with 1-px border used by edge building (left/top only)
+        # pad source planes to coded (mi-aligned) dims by edge replication
+        self.src = []
+        for i, p in enumerate(planes):
+            cw = w if i == 0 else w >> 1
+            ch = h if i == 0 else h >> 1
+            a = np.zeros((ch, cw), np.int32)
+            ph, pw = p.shape
+            a[:ph, :pw] = p
+            a[:ph, pw:] = p[:, -1:]
+            a[ph:, :] = a[ph - 1 : ph, :]
+            self.src.append(a)
         self.rec = [np.zeros_like(s) for s in self.src]
         self.cdf = CdfContext(self.q)
         self.enc = MsacEncoder()
 
-        # neighbor context state
-        self.above_part = np.zeros(self.mi_cols, np.int32)
-        self.left_part = np.zeros(self.mi_rows, np.int32)
-        self.above_mode = np.zeros(self.mi_cols, np.int32)  # DC default
-        self.left_mode = np.zeros(self.mi_rows, np.int32)
-        self.above_skip = np.zeros(self.mi_cols, np.int32)
-        self.left_skip = np.zeros(self.mi_rows, np.int32)
+        # neighbor context state.  Arrays are SB-padded (like the decoder's)
+        # because edge blocks legally overhang the mi grid and their context
+        # writes/reads extend past it.
+        pc = self.w // 4
+        pr = self.h // 4
+        self.above_part = np.zeros(pc, np.int32)
+        self.left_part = np.zeros(pr, np.int32)
+        self.above_mode = np.zeros(pc, np.int32)  # DC default
+        self.left_mode = np.zeros(pr, np.int32)
+        self.above_skip = np.zeros(pc, np.int32)
+        self.left_skip = np.zeros(pr, np.int32)
         self.pctx = [
-            PlaneCtx.new(self.mi_cols, self.mi_rows),
-            PlaneCtx.new((self.mi_cols + 1) >> 1, (self.mi_rows + 1) >> 1),
-            PlaneCtx.new((self.mi_cols + 1) >> 1, (self.mi_rows + 1) >> 1),
+            PlaneCtx.new(pc, pr),
+            PlaneCtx.new(pc >> 1, pr >> 1),
+            PlaneCtx.new(pc >> 1, pr >> 1),
         ]
 
         sb = 64
-        for sy in range(0, h, sb):
-            for sx in range(0, w, sb):
+        for sy in range(0, self.coded_h, sb):
+            for sx in range(0, self.coded_w, sb):
                 self._partition(sx, sy, 64)
         data = self.enc.done()
-        return data, self.rec
+        recon = [
+            self.rec[0][: self.out_h, : self.out_w],
+            self.rec[1][: (self.out_h + 1) >> 1, : (self.out_w + 1) >> 1],
+            self.rec[2][: (self.out_h + 1) >> 1, : (self.out_w + 1) >> 1],
+        ]
+        return data, recon
 
     # -- partition tree ------------------------------------------------------
 
@@ -118,65 +150,109 @@ class IntraFrameEncoder:
         left = (int(self.left_part[mr]) >> (bsl - 1)) & 1
         return left * 2 + above
 
+    # partition type values (spec enum)
+    P_NONE, P_HORZ, P_VERT, P_SPLIT = 0, 1, 2, 3
+    P_HORZ_A, P_HORZ_B, P_VERT_A, P_VERT_B, P_HORZ_4, P_VERT_4 = 4, 5, 6, 7, 8, 9
+    # partitions whose top edge is split at the midpoint (split_or_horz=1)
+    _TOP_SPLIT_SET = (2, 3, 4, 6, 7, 9)
+    # partitions whose left edge is split at the midpoint (split_or_vert=1)
+    _LEFT_SPLIT_SET = (1, 3, 4, 5, 6, 8)
+
+    @staticmethod
+    def _gather_prob(cdf_row, pset, nsyms) -> int:
+        """icdf[0] of the derived 2-symbol cdf: sum of set probabilities."""
+        total = 0
+        for p in pset:
+            if p >= nsyms:
+                continue
+            hi = 32768 if p == 0 else int(cdf_row[p - 1])
+            total += hi - int(cdf_row[p])
+        return max(1, min(total, 32767))
+
     def _partition(self, x: int, y: int, size: int) -> None:
-        if x >= self.w or y >= self.h:
+        mc, mr = x // 4, y // 4
+        if mc >= self.mi_cols or mr >= self.mi_rows:
             return
         bsl = {8: 1, 16: 2, 32: 3, 64: 4}[size]
+        half_mi = size // 8
+        has_rows = (mr + half_mi) < self.mi_rows
+        has_cols = (mc + half_mi) < self.mi_cols
         ctx = self._part_ctx(x, y, bsl)
         cdf_row = self.cdf.partition[(bsl - 1) * 4 + ctx]
-        split = size > 32  # fixed: split 64 -> 32x32 leaves
         nsyms = 4 if size == 8 else 10
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
-        # partition cdf rows are stride-11; use the active prefix
-        active = cdf_row[: nsyms + 1]
-        sym(PARTITION_SPLIT if split else PARTITION_NONE, active)
-        if split:
-            half = size // 2
+        want_split = size > 32  # fixed tree: split 64 -> 32x32 leaves
+        if has_rows and has_cols:
+            part = self.P_SPLIT if want_split else self.P_NONE
+            sym(part, cdf_row[: nsyms + 1])
+        elif has_cols:
+            # bottom edge: HORZ (top half) or SPLIT; bool with gathered cdf
+            part = self.P_SPLIT if want_split else self.P_HORZ
+            f = self._gather_prob(cdf_row, self._TOP_SPLIT_SET, nsyms)
+            self.enc.bool_(1 if part == self.P_SPLIT else 0, f)
+        elif has_rows:
+            part = self.P_SPLIT if want_split else self.P_VERT
+            f = self._gather_prob(cdf_row, self._LEFT_SPLIT_SET, nsyms)
+            self.enc.bool_(1 if part == self.P_SPLIT else 0, f)
+        else:
+            part = self.P_SPLIT  # implied, nothing coded
+
+        half = size // 2
+        if part == self.P_SPLIT:
             self._partition(x, y, half)
             self._partition(x + half, y, half)
             self._partition(x, y + half, half)
             self._partition(x + half, y + half, half)
-        else:
-            self._block(x, y, size)
-            # partition context update for NONE at this size
-            ab, lf = _PART_CTX[size]
-            n4 = size // 4
-            self.above_part[x // 4 : x // 4 + n4] = ab
-            self.left_part[y // 4 : y // 4 + n4] = lf
+            return
+        if part == self.P_NONE:
+            bw = bh = size
+        elif part == self.P_HORZ:
+            bw, bh = size, half
+        else:  # P_VERT
+            bw, bh = half, size
+        self._block(x, y, bw, bh)
+        if part == self.P_HORZ and (mr + half_mi) < self.mi_rows:
+            self._block(x, y + half, bw, bh)
+        if part == self.P_VERT and (mc + half_mi) < self.mi_cols:
+            self._block(x + half, y, bw, bh)
+        # partition context update over the full nominal region (clamped at
+        # the mi grid, mirroring the decoder)
+        ab, lf = _PART_CTX_RECT[(bw, bh)]
+        n4 = size // 4
+        self.above_part[x // 4 : min(x // 4 + n4, self.mi_cols)] = ab
+        self.left_part[y // 4 : min(y // 4 + n4, self.mi_rows)] = lf
 
     # -- leaf block ----------------------------------------------------------
 
-    def _choose_mode(self, x: int, y: int, size: int):
+    def _choose_mode(self, x: int, y: int, bw: int, bh: int):
         """SAD-based intra mode choice over cheap candidates."""
         rec = self.rec[0]
         have_above = y > 0
         have_left = x > 0
-        above, left = ip.build_edges(rec, x, y, size, size, have_above, have_left, self.bd)
-        src = self.src[0][y : y + size, x : x + size]
+        above, left = ip.build_edges(rec, x, y, bw, bh, have_above, have_left, self.bd,
+                                     max_x=self.mi_cols * 4 - 1, max_y=self.mi_rows * 4 - 1)
+        src = self.src[0][y : y + bh, x : x + bw]
         best, best_cost = ip.DC_PRED, None
         for mode in (ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.SMOOTH_PRED, ip.PAETH_PRED):
-            pred = ip.predict(mode, above, left, size, size, have_above, have_left, 0, self.bd)
+            pred = ip.predict(mode, above, left, bw, bh, have_above, have_left, 0, self.bd)
             cost = int(np.abs(src - pred).sum())
             if best_cost is None or cost < best_cost:
                 best, best_cost = mode, cost
         return best
 
-    def _block(self, x: int, y: int, size: int) -> None:
+    def _block(self, x: int, y: int, bw: int, bh: int) -> None:
         mc, mr = x // 4, y // 4
-        n4 = size // 4
+        n4w, n4h = bw // 4, bh // 4
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
 
-        y_mode = self._choose_mode(x, y, size)
+        y_mode = self._choose_mode(x, y, bw, bh)
         uv_mode = ip.DC_PRED
 
         # --- transform + quantize first (skip flag needs the answer) ---
-        txs = []  # (plane, px, py, tw, th, levels2d, dq)
-        # luma
-        pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, size, size, y_mode)
-        # chroma 4:2:0
-        cx, cy, cs = x >> 1, y >> 1, size >> 1
-        pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cs, cs, uv_mode)
-        pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cs, cs, uv_mode)
+        pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
+        pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, uv_mode)
+        pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, uv_mode)
         skip = not (lv_y.any() or lv_u.any() or lv_v.any())
 
         # --- mode info ---
@@ -188,26 +264,29 @@ class IntraFrameEncoder:
         sym(y_mode, self.cdf.kf_y_mode[above_ctx][left_ctx])
         # angle delta for directional modes at bsize >= 8x8 (delta always 0
         # until fine directional search lands)
-        if size >= 8 and y_mode in ip.DIRECTIONAL_MODES:
+        if min(bw, bh) >= 8 and y_mode in ip.DIRECTIONAL_MODES:
             sym(0 + 3, self.cdf.angle_delta[y_mode - ip.V_PRED])
 
         # uv mode: cfl allowed for blocks <= 32x32
-        cfl_allowed = 1 if size <= 32 else 0
+        cfl_allowed = 1 if max(bw, bh) <= 32 else 0
         uv_cdf = self.cdf.uv_mode[cfl_allowed][y_mode]
         nsyms = 14 if cfl_allowed else 13
         sym(uv_mode, uv_cdf[: nsyms + 1])
-        if size >= 8 and uv_mode in ip.DIRECTIONAL_MODES:
+        if min(bw, bh) >= 8 and uv_mode in ip.DIRECTIONAL_MODES:
             sym(0 + 3, self.cdf.angle_delta[uv_mode - ip.V_PRED])
 
         # --- residual ---
         if not skip:
-            self._residual(0, x, y, size, size, lv_y)
-            self._residual(1, cx, cy, cs, cs, lv_u)
-            self._residual(2, cx, cy, cs, cs, lv_v)
+            self._residual(0, x, y, bw, bh, lv_y, y_mode)
+            self._residual(1, cx, cy, cw, ch, lv_u)
+            self._residual(2, cx, cy, cw, ch, lv_v)
         else:
-            # zero contexts over the block extent
-            for p, (px, py, ts) in ((0, (x, y, size)), (1, (cx, cy, cs)), (2, (cx, cy, cs))):
-                self._update_coef_ctx(p, px, py, ts, ts, 0, 0)
+            for p, (px, py, tw, th) in (
+                (0, (x, y, bw, bh)),
+                (1, (cx, cy, cw, ch)),
+                (2, (cx, cy, cw, ch)),
+            ):
+                self._update_coef_ctx(p, px, py, tw, th, 0, 0)
             dq_y = np.zeros_like(dq_y)
             dq_u = np.zeros_like(dq_u)
             dq_v = np.zeros_like(dq_v)
@@ -217,11 +296,13 @@ class IntraFrameEncoder:
         self._reconstruct(1, cx, cy, pred_u, dq_u)
         self._reconstruct(2, cx, cy, pred_v, dq_v)
 
-        # --- neighbor state ---
-        self.above_mode[mc : mc + n4] = y_mode
-        self.left_mode[mr : mr + n4] = y_mode
-        self.above_skip[mc : mc + n4] = 1 if skip else 0
-        self.left_skip[mr : mr + n4] = 1 if skip else 0
+        # --- neighbor state (writes clamp at the mi grid) ---
+        c1 = min(mc + n4w, self.mi_cols)
+        r1 = min(mr + n4h, self.mi_rows)
+        self.above_mode[mc:c1] = y_mode
+        self.left_mode[mr:r1] = y_mode
+        self.above_skip[mc:c1] = 1 if skip else 0
+        self.left_skip[mr:r1] = 1 if skip else 0
 
     def _code_plane_tx(self, plane: int, px: int, py: int, tw: int, th: int, mode: int):
         """Predict + forward transform + quantize one tx block.
@@ -229,7 +310,10 @@ class IntraFrameEncoder:
         rec = self.rec[plane]
         have_above = py > 0
         have_left = px > 0
-        above, left = ip.build_edges(rec, px, py, tw, th, have_above, have_left, self.bd)
+        sub = 0 if plane == 0 else 1
+        above, left = ip.build_edges(rec, px, py, tw, th, have_above, have_left, self.bd,
+                                     max_x=(self.mi_cols * 4 >> sub) - 1,
+                                     max_y=(self.mi_rows * 4 >> sub) - 1)
         pred = ip.predict(mode, above, left, tw, th, have_above, have_left, 0, self.bd)
         src = self.src[plane][py : py + th, px : px + tw]
         resid = (src - pred).astype(np.int32)
@@ -241,16 +325,28 @@ class IntraFrameEncoder:
         dq = qz.dequantize(levels, self.dc_q, self.ac_q, tw, th, self.bd)
         return pred, levels[:he, :we], dq
 
-    def _residual(self, plane: int, px: int, py: int, tw: int, th: int, levels) -> None:
+    def _residual(self, plane: int, px: int, py: int, tw: int, th: int, levels,
+                  y_mode: int = 0) -> None:
         we, he = min(tw, 32), min(th, 32)
         ptype = 1 if plane else 0
         txs_ctx = cf.tx_size_ctx(tw, th)
         scan = scan_for(we, he)
         tctx = self._txb_skip_ctx(plane, px, py, tw, th)
         dctx = self._dc_sign_ctx(plane, px, py, tw, th)
+        tx_type_fn = None
+        if plane == 0 and max(tw, th) <= 16 and self.q > 0:
+            # tx sqr-up <= 16x16: intra tx set DTT4_IDTX (reduced_tx_set=1);
+            # we always choose DCT_DCT = symbol 1 in that set
+            txsqr = int(np.log2(min(tw, th))) - 2
+            row = self.cdf.intra_tx_type_set2[txsqr][y_mode]
+            sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
+
+            def tx_type_fn():
+                sym(1, row)
+
         cul, dc_cat = cf.encode_txb(
             self.enc, self.cdf, levels, scan, ptype, txs_ctx,
-            cf.TX_CLASS_2D, tctx, dctx, adapt=self.adapt,
+            cf.TX_CLASS_2D, tctx, dctx, adapt=self.adapt, tx_type_fn=tx_type_fn,
         )
         self._update_coef_ctx(plane, px, py, tw, th, cul, dc_cat)
 
@@ -273,12 +369,19 @@ class IntraFrameEncoder:
         return 0 if s == 0 else (2 if s > 0 else 1)
 
     def _update_coef_ctx(self, plane, px, py, tw, th, cul, dc_cat) -> None:
+        # writes clamp at the mi grid (decoder keeps the beyond-frame region
+        # at its neutral init value); reads beyond the grid see neutral 0
         ctx = self.pctx[plane]
+        sub = 0 if plane == 0 else 1
+        max_c = (self.mi_cols * 4 >> sub) // 4
+        max_r = (self.mi_rows * 4 >> sub) // 4
         u = 4
-        ctx.above_cul[px // u : (px + tw) // u] = cul
-        ctx.left_cul[py // u : (py + th) // u] = cul
-        ctx.above_dc[px // u : (px + tw) // u] = dc_cat
-        ctx.left_dc[py // u : (py + th) // u] = dc_cat
+        c1 = min((px + tw) // u, max_c)
+        r1 = min((py + th) // u, max_r)
+        ctx.above_cul[px // u : c1] = cul
+        ctx.left_cul[py // u : r1] = cul
+        ctx.above_dc[px // u : c1] = dc_cat
+        ctx.left_dc[py // u : r1] = dc_cat
 
     def _reconstruct(self, plane, px, py, pred, dq) -> None:
         resid = tf.inverse_transform(dq, tf.DCT_DCT, self.bd)

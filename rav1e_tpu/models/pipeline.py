@@ -38,7 +38,7 @@ class FrameEncoder:
             self.cfg.height,
             q_idx=q,
             bit_depth=self.cfg.bit_depth,
-            adapt_cdf=False,
+            adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
         )
         planes = [p.window() for p in frame.planes]
@@ -47,7 +47,7 @@ class FrameEncoder:
 
         fp = FrameParams(
             base_q_idx=q,
-            disable_cdf_update=True,
+            disable_cdf_update=False,
             order_hint=self.frame_count & 0x7F,
         )
         out = temporal_delimiter()

@@ -64,12 +64,20 @@ def build_edges(
     bit_depth: int = 8,
     n_top_right: int = 0,
     n_bottom_left: int = 0,
+    max_x: int | None = None,
+    max_y: int | None = None,
 ):
     """Build AboveRow[-1..w+h-1] and LeftCol[-1..w+h-1] per spec 7.11.2
     (without edge filter/upsampling).  recon is the reconstruction plane;
     (x, y) the block origin.  n_top_right / n_bottom_left: number of valid
-    pixels beyond the block edge (0 if unavailable)."""
+    pixels beyond the block edge (0 if unavailable).  max_x/max_y: last
+    valid plane coordinate (the mi-grid bound; spec clamps all edge reads:
+    AboveRow[i] = CurrFrame[y-1][Min(maxX, x+i)])."""
     base = 1 << (bit_depth - 1)
+    if max_x is None:
+        max_x = recon.shape[1] - 1
+    if max_y is None:
+        max_y = recon.shape[0] - 1
     above = np.empty(w + h + 1, dtype=np.int32)  # above[0] = top-left
     left = np.empty(w + h + 1, dtype=np.int32)  # left[0] = top-left
 
@@ -77,7 +85,8 @@ def build_edges(
         row = recon[y - 1]
         n_tr = min(n_top_right, h)
         avail = w + n_tr
-        above[1 : 1 + avail] = row[x : x + avail]
+        idx = np.minimum(np.arange(x, x + avail), max_x)
+        above[1 : 1 + avail] = row[idx]
         above[1 + avail :] = above[avail]  # replicate last
     else:
         # spec: missing above row takes LeftCol[0], or base-1 if no left
@@ -87,7 +96,8 @@ def build_edges(
         col = recon[:, x - 1]
         n_bl = min(n_bottom_left, w)
         avail = h + n_bl
-        left[1 : 1 + avail] = col[y : y + avail]
+        idx = np.minimum(np.arange(y, y + avail), max_y)
+        left[1 : 1 + avail] = col[idx]
         left[1 + avail :] = left[avail]
     else:
         # spec: missing left column takes AboveRow[0], or base+1 if no above

@@ -18,12 +18,12 @@ from rav1e_tpu.obu.headers import (
 dav1d = pytest.importorskip("rav1e_tpu.utils.dav1d_oracle")
 
 
-def encode_decode(y, u, v, q):
+def encode_decode(y, u, v, q, adapt=True):
     h, w = y.shape
-    fe = IntraFrameEncoder(w, h, q_idx=q)
+    fe = IntraFrameEncoder(w, h, q_idx=q, adapt_cdf=adapt)
     tile, recon = fe.encode([y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)])
     seq = Sequence(width=w, height=h)
-    fp = FrameParams(base_q_idx=q, disable_cdf_update=True)
+    fp = FrameParams(base_q_idx=q, disable_cdf_update=not adapt)
     data = temporal_delimiter() + write_sequence_header_obu(seq) + write_frame_obu(seq, fp, tile)
     dec, meta = dav1d.Dav1dDecoder().decode_packet(data)
     return dec, recon, data
@@ -65,6 +65,27 @@ def test_rect_frame():
     dec, recon, _ = encode_decode(y, u, v, 120)
     for i in range(3):
         assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
+
+
+@pytest.mark.parametrize("dims", [(72, 64), (64, 72), (100, 100), (104, 64), (200, 120)])
+def test_partial_superblocks(dims):
+    """Frames whose dimensions force partial SBs, forced HORZ/VERT
+    partitions, mi-grid padding and overhanging edge blocks."""
+    w, h = dims
+    y, u, v = content(w, h, "noise", w + h)
+    dec, recon, _ = encode_decode(y, u, v, 100)
+    for i in range(3):
+        assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
+
+
+def test_adaptation_reduces_rate():
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder as FE
+
+    y, u, v = content(128, 128, "grad", 11)
+    planes = [y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)]
+    t_adapt, _ = FE(128, 128, q_idx=100, adapt_cdf=True).encode(planes)
+    t_static, _ = FE(128, 128, q_idx=100, adapt_cdf=False).encode(planes)
+    assert len(t_adapt) < len(t_static)
 
 
 def test_flat_all_skip():

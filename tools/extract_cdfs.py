@@ -119,19 +119,22 @@ TABLES: dict[str, Table] = {
     "txfm_partition": Table((21,), 2, [28581], at=47944),
     "delta_q": Table((1,), 4, [28160, 32120, 32677], at=48664),
     "delta_lf": Table((5,), 4, [28160, 32120, 32677], at=48640),
-    # intra tx-type signaling: [2 sets][4 tx-size-sqr][13 intra modes]
-    # (set0 of the spec's 3-set enum is the null set; we store sets 1 and 2)
-    "intra_tx_type_set1": Table((4, 13), 7, [1535, 8035, 9461, 17337], source="scan8"),
-    "intra_tx_type_set2": Table((4, 13), 5, [1904, 13317, 16089, 29859], source="scan8"),
-    # inter tx-type signaling: contiguous [4 sets][4 tx-size-sqr][17]
+    # tx-type signaling tables, all stride CDF_SIZE(16)=17 in libaom
+    # (chain-verified: inter [4 sets][4 txsqr][17] @43616, set0 zeros;
+    #  intra [3 sets][4 txsqr][13 modes][17] @43888, set0 zeros)
+    # intra set1 = EXT_TX_SET_DTT4_IDTX_1DDCT (7 syms),
+    # intra set2 = EXT_TX_SET_DTT4_IDTX (5 syms)
+    "intra_tx_type_set1": Table((4, 13), 7, [], at=44772, source="stride17"),
+    "intra_tx_type_set2": Table((4, 13), 5, [], at=45656, source="stride17"),
     "inter_tx_type_set1": Table(
         (4,),
         16,
         [4458, 5560, 7695, 9709, 13330, 14789, 17537, 20266, 21504, 22848, 23934, 25474, 27727, 28915, 30631],
         at=43684,
+        source="stride17",
     ),
-    "inter_tx_type_set2": Table((4,), 12, [], at=43752),
-    "inter_tx_type_set3": Table((4,), 2, [], at=43820),
+    "inter_tx_type_set2": Table((4,), 12, [], at=43752, source="stride17"),
+    "inter_tx_type_set3": Table((4,), 2, [], at=43820, source="stride17"),
     # --- inter mode block (chain: newmv..zeromv..refmv..drl verified) ---
     "newmv": Table((6,), 2, [], at=48030),
     "zeromv": Table((2,), 2, [], at=48048),
@@ -290,16 +293,21 @@ def main() -> None:
             raw = carve(rav, pos, t, has_counter=False)
             # append counter slot
             rows = np.concatenate([raw, np.zeros((len(raw), 1), raw.dtype)], axis=1)
-        elif t.source == "scan8":
-            pos = scan_stride8(aom, t)
-            if pos is None:
-                problems.append(f"{name}: stride-8 scan failed")
-                continue
+        elif t.source == "stride17":
+            # CDF_SIZE(16) storage; active prefix is nsymbs symbols
+            pos = t.at
             count = int(np.prod(t.shape))
-            rows = aom[pos : pos + count * 8].reshape(count, 8)
-            # re-cut to nsymbs+1
-            rows = rows[:, : t.nsymbs + 1].copy()
+            raw = aom[pos : pos + count * 17].reshape(count, 17)
+            for r in raw:
+                if not valid_row(r[: t.nsymbs + 1], t.nsymbs, True):
+                    problems.append(f"{name}: invalid row at {pos}: {r.tolist()}")
+                    break
+            rows = raw[:, : t.nsymbs + 1].copy()
             rows[:, t.nsymbs] = 0
+            if t.anchor:
+                got = [int(x) for x in rows[0][: len(t.anchor)]]
+                if got != icdf(t.anchor):
+                    problems.append(f"{name}: anchor mismatch: {got}")
         else:
             pos = t.at if t.at is not None else None
             if pos is not None:
