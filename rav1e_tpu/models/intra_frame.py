@@ -72,7 +72,8 @@ class IntraFrameEncoder:
     """Encodes one key frame; exposes recon planes for conformance checks."""
 
     def __init__(self, width: int, height: int, q_idx: int, bit_depth: int = 8,
-                 adapt_cdf: bool = True, speed: int = 6):
+                 adapt_cdf: bool = True, speed: int = 6, use_native: bool = True):
+        self.use_native = use_native
         self.out_w = width
         self.out_h = height
         # the mi grid is 8-px aligned (spec MiCols = 2*((w+7)>>3)); pixels
@@ -109,7 +110,12 @@ class IntraFrameEncoder:
             self.src.append(a)
         self.rec = [np.zeros_like(s) for s in self.src]
         self.cdf = CdfContext(self.q)
-        self.enc = MsacEncoder()
+        if self.use_native:
+            from rav1e_tpu.ec.native import NativeMsacEncoder
+
+            self.enc = NativeMsacEncoder()
+        else:
+            self.enc = MsacEncoder()
 
         # neighbor context state.  Arrays are SB-padded (like the decoder's)
         # because edge blocks legally overhang the mi grid and their context
@@ -333,21 +339,31 @@ class IntraFrameEncoder:
         scan = scan_for(we, he)
         tctx = self._txb_skip_ctx(plane, px, py, tw, th)
         dctx = self._dc_sign_ctx(plane, px, py, tw, th)
-        tx_type_fn = None
+        tx_type_row = None
         if plane == 0 and max(tw, th) <= 16 and self.q > 0:
             # tx sqr-up <= 16x16: intra tx set DTT4_IDTX (reduced_tx_set=1);
             # we always choose DCT_DCT = symbol 1 in that set
             txsqr = int(np.log2(min(tw, th))) - 2
-            row = self.cdf.intra_tx_type_set2[txsqr][y_mode]
-            sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
+            tx_type_row = self.cdf.intra_tx_type_set2[txsqr][y_mode]
 
-            def tx_type_fn():
-                sym(1, row)
+        if self.use_native:
+            cul, dc_cat = self.enc.encode_txb(
+                levels, scan, ptype, cf.TX_CLASS_2D, tctx, dctx, self.cdf,
+                txs_ctx, adapt=self.adapt, tx_type_row=tx_type_row, tx_type_sym=1,
+            )
+        else:
+            tx_type_fn = None
+            if tx_type_row is not None:
+                sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
+                row = tx_type_row
 
-        cul, dc_cat = cf.encode_txb(
-            self.enc, self.cdf, levels, scan, ptype, txs_ctx,
-            cf.TX_CLASS_2D, tctx, dctx, adapt=self.adapt, tx_type_fn=tx_type_fn,
-        )
+                def tx_type_fn():
+                    sym(1, row)
+
+            cul, dc_cat = cf.encode_txb(
+                self.enc, self.cdf, levels, scan, ptype, txs_ctx,
+                cf.TX_CLASS_2D, tctx, dctx, adapt=self.adapt, tx_type_fn=tx_type_fn,
+            )
         self._update_coef_ctx(plane, px, py, tw, th, cul, dc_cat)
 
     def _txb_skip_ctx(self, plane: int, px: int, py: int, tw: int, th: int) -> int:
