@@ -400,6 +400,6 @@ class IntraFrameEncoder:
         ctx.left_dc[py // u : r1] = dc_cat
 
     def _reconstruct(self, plane, px, py, pred, dq) -> None:
-        resid = tf.inverse_transform(dq, tf.DCT_DCT, self.bd)
+        resid = tf.inverse_transform_native(dq, tf.DCT_DCT, self.bd)
         out = np.clip(pred + resid, 0, (1 << self.bd) - 1)
         self.rec[plane][py : py + pred.shape[0], px : px + pred.shape[1]] = out

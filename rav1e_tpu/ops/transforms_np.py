@@ -537,28 +537,80 @@ def _inv_basis_1d(kind: str, n: int) -> np.ndarray:
     return B
 
 
+_FWD_MAT_CACHE: dict = {}
+
+
+def _fwd_mats(tx_type: int, w: int, h: int):
+    """Cached (Fv, FhT, scale) such that C = Fv @ r @ FhT * scale."""
+    key = (tx_type, w, h)
+    m = _FWD_MAT_CACHE.get(key)
+    if m is None:
+        vert, horz, _, _ = _TX1D[tx_type]
+        Bh = _inv_basis_1d(horz, w)
+        Bv = _inv_basis_1d(vert, h)
+        row_shift, col_shift = _inv_shifts(w, h)
+        scale = float(1 << (row_shift + col_shift))
+        if abs(int(np.log2(w)) - int(np.log2(h))) == 1:
+            scale *= 4096.0 / INV_SQRT2  # undo the InvSqrt2 pre-scale
+        m = (np.linalg.inv(Bv), np.linalg.inv(Bh).T, scale)
+        _FWD_MAT_CACHE[key] = m
+    return m
+
+
 def forward_transform(residual: np.ndarray, tx_type: int, bit_depth: int = 8) -> np.ndarray:
     """Encoder-side forward transform: the float inverse of the normative
     integer inverse mapping, so inverse_transform(forward_transform(r)) ~ r.
-    Output coefficients are on the exact scale the decoder dequantizes."""
-    h, w = residual.shape
-    vert, horz, flip_v, flip_h = _TX1D[tx_type]
-    row_shift, col_shift = _inv_shifts(w, h)
+    Output coefficients are on the exact scale the decoder dequantizes.
+    Supports batched input (..., h, w)."""
+    h, w = residual.shape[-2:]
+    _, _, flip_v, flip_h = _TX1D[tx_type]
     x = residual.astype(np.float64)
     if flip_v:
-        x = x[::-1, :]
+        x = x[..., ::-1, :]
     if flip_h:
-        x = x[:, ::-1]
-    Bh = _inv_basis_1d(horz, w)
-    Bv = _inv_basis_1d(vert, h)
-    # inverse maps coeffs -> residual as:
-    #   r = (Bv @ (C @ Bh^T) * rect) / 2^(row_shift+col_shift)
-    # so C = Bv^{-1} @ r @ Bh^{-T} * 2^(rs+cs) / rect
-    scale = float(1 << (row_shift + col_shift))
-    if abs(int(np.log2(w)) - int(np.log2(h))) == 1:
-        scale *= 4096.0 / INV_SQRT2  # undo the InvSqrt2 pre-scale
-    coeffs = np.linalg.solve(Bv, x) @ np.linalg.inv(Bh).T * scale
+        x = x[..., :, ::-1]
+    Fv, FhT, scale = _fwd_mats(tx_type, w, h)
+    coeffs = Fv @ x @ FhT * scale
     return np.round(coeffs).astype(np.int32)
+
+
+_NATIVE_INV = None
+
+
+def _native_inv():
+    global _NATIVE_INV
+    if _NATIVE_INV is None:
+        import ctypes
+        from pathlib import Path
+
+        so = Path(__file__).resolve().parent.parent.parent / "native" / "libmsac.so"
+        try:
+            if not so.exists():
+                import subprocess
+
+                subprocess.run(["make", "-C", str(so.parent)], check=True, capture_output=True)
+            lib = ctypes.CDLL(str(so))
+            p32 = ctypes.POINTER(ctypes.c_int32)
+            lib.inv_txfm.argtypes = [p32, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, p32]
+            _NATIVE_INV = (lib, p32)
+        except Exception:
+            _NATIVE_INV = False
+    return _NATIVE_INV
+
+
+def inverse_transform_native(coeffs: np.ndarray, tx_type: int, bit_depth: int = 8) -> np.ndarray:
+    """C++ inverse (bit-identical; parity-tested).  Falls back to numpy."""
+    nat = _native_inv()
+    if not nat:
+        return inverse_transform(coeffs, tx_type, bit_depth)
+    import ctypes
+
+    lib, p32 = nat
+    h, w = coeffs.shape
+    cin = np.ascontiguousarray(coeffs, np.int32)
+    out = np.empty((h, w), np.int32)
+    lib.inv_txfm(cin.ctypes.data_as(p32), w, h, tx_type, bit_depth, out.ctypes.data_as(p32))
+    return out
 
 
 def inverse_transform(coeffs: np.ndarray, tx_type: int, bit_depth: int = 8) -> np.ndarray:
