@@ -164,6 +164,9 @@ void msac_symbol(MsacEnc *e, uint16_t *icdf, int nsyms, int val, int adapt) {
     enc_symbol(e, icdf, nsyms, val, adapt);
 }
 
+// approximate stream position in bits (for RD rate measurement)
+int msac_tell(MsacEnc *e) { return (int)(e->n * 8) + e->cnt + 10; }
+
 void msac_bool(MsacEnc *e, int bit, unsigned f) { enc_bool(e, bit, f); }
 
 void msac_literal(MsacEnc *e, unsigned value, int bits) {

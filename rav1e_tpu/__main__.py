@@ -1,0 +1,96 @@
+"""CLI: y4m in -> IVF out (reference analog: src/bin/rav1e.rs).
+
+Usage: python -m rav1e_tpu input.y4m -o output.ivf [--quantizer 100]
+           [--speed 6] [--limit N] [--psnr] [--reconstruction recon.y4m]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from rav1e_tpu.api.config import Config, EncoderConfig
+from rav1e_tpu.api.context import EncoderError, EncoderStatus
+from rav1e_tpu.obu.ivf import write_ivf_frame, write_ivf_header
+from rav1e_tpu.utils.frame import read_y4m, write_y4m_frame, write_y4m_header
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="rav1e_tpu", description="TPU-native AV1 encoder")
+    ap.add_argument("input", help="input .y4m file ('-' for stdin)")
+    ap.add_argument("-o", "--output", required=True, help="output .ivf file")
+    ap.add_argument("--quantizer", type=int, default=100, help="base quantizer 0..255")
+    ap.add_argument("-s", "--speed", type=int, default=6, help="speed preset 0..10")
+    ap.add_argument("-l", "--limit", type=int, default=0, help="max frames (0 = all)")
+    ap.add_argument("--psnr", action="store_true", help="report PSNR of reconstruction")
+    ap.add_argument("--reconstruction", help="write reconstruction to .y4m")
+    args = ap.parse_args(argv)
+
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    meta, frames = read_y4m(fin)
+    w, h = meta["width"], meta["height"]
+    fps = meta["fps"]
+
+    from rav1e_tpu.api.config import SpeedSettings
+
+    cfg = Config(
+        enc=EncoderConfig(
+            width=w,
+            height=h,
+            bit_depth=meta["bit_depth"],
+            chroma_sampling=meta["ss"],
+            quantizer=args.quantizer,
+            time_base=(fps[1], fps[0]),
+            speed_settings=SpeedSettings.from_preset(args.speed),
+        )
+    )
+    ctx = cfg.new_context()
+
+    fout = open(args.output, "wb")
+    write_ivf_header(fout, w, h, fps[0], fps[1])
+    frec = None
+    if args.reconstruction:
+        frec = open(args.reconstruction, "wb")
+        write_y4m_header(frec, w, h, fps, meta["bit_depth"], meta["ss"])
+
+    n = 0
+    total_bytes = 0
+    psnr_acc = []
+    t0 = time.perf_counter()
+    for frame in frames:
+        ctx.send_frame(frame)
+        pkt = ctx.receive_packet()
+        write_ivf_frame(fout, n, pkt.data)
+        total_bytes += len(pkt.data)
+        recon = ctx._encoder.last_recon
+        if args.psnr:
+            mse = np.mean((recon[0].astype(np.float64) - frame.planes[0].window()) ** 2)
+            peak = (1 << meta["bit_depth"]) - 1
+            psnr_acc.append(10 * np.log10(peak * peak / mse) if mse > 0 else 99.0)
+        if frec is not None:
+            from rav1e_tpu.utils.frame import Frame
+
+            write_y4m_frame(frec, Frame.from_planes(*recon, meta["bit_depth"], meta["ss"]))
+        n += 1
+        if args.limit and n >= args.limit:
+            break
+    dt = time.perf_counter() - t0
+    fout.close()
+    if frec:
+        frec.close()
+    if fin is not sys.stdin.buffer:
+        fin.close()
+
+    kbps = total_bytes * 8 * fps[0] / fps[1] / max(n, 1) / 1000
+    msg = f"encoded {n} frames, {dt:.2f}s ({n / dt:.2f} fps), {kbps:.1f} kb/s"
+    if psnr_acc:
+        msg += f", PSNR(Y) avg {np.mean(psnr_acc):.2f} dB"
+    print(msg, file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

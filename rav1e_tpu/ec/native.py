@@ -40,6 +40,8 @@ def _load():
         ctypes.c_int, ctypes.c_int, u16p, ctypes.c_int,
     ]
     lib.msac_encode_txb.restype = ctypes.c_int
+    lib.msac_tell.argtypes = [ctypes.c_void_p]
+    lib.msac_tell.restype = ctypes.c_int
     return lib
 
 
@@ -81,6 +83,12 @@ class NativeMsacEncoder:
 
     def literal(self, value: int, bits: int) -> None:
         _lib.msac_literal(self._e, value, bits)
+
+    def tell_bits(self) -> int:
+        return _lib.msac_tell(self._e)
+
+    def reset(self) -> None:
+        _lib.msac_reset(self._e)
 
     def done(self) -> bytes:
         cap = _lib.msac_size_upper(self._e)

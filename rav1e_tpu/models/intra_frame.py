@@ -46,9 +46,17 @@ _SKIP_CONTEXTS = ((1, 2, 2, 2, 3), (1, 4, 4, 4, 5), (1, 4, 4, 4, 5),
                   (1, 4, 4, 4, 5), (1, 4, 4, 4, 6))
 
 
+_SCAN_CACHE: dict = {}
+
+
 def scan_for(w: int, h: int, tx_class: int = cf.TX_CLASS_2D) -> np.ndarray:
-    kind = {cf.TX_CLASS_2D: "diag", cf.TX_CLASS_HORIZ: "col", cf.TX_CLASS_VERT: "row"}[tx_class]
-    return _TBL[f"scan_{kind}_{w}x{h}"]
+    key = (w, h, tx_class)
+    s = _SCAN_CACHE.get(key)
+    if s is None:
+        kind = {cf.TX_CLASS_2D: "diag", cf.TX_CLASS_HORIZ: "col", cf.TX_CLASS_VERT: "row"}[tx_class]
+        s = np.ascontiguousarray(_TBL[f"scan_{kind}_{w}x{h}"], dtype=np.int32)
+        _SCAN_CACHE[key] = s
+    return s
 
 
 @dataclass
@@ -92,6 +100,11 @@ class IntraFrameEncoder:
         self.speed = speed
         self.dc_q = qz.dc_q(q_idx, 0, bit_depth)
         self.ac_q = qz.ac_q(q_idx, 0, bit_depth)
+        # RD lambda (SSE per bit); HEVC-style 0.06 * step^2 with the AV1
+        # quantizer step ~ ac_q/8 in pixel units
+        self.lam = 0.06 * (self.ac_q / 8.0) ** 2
+        self.rdo_partition = speed <= 8
+        self._scratch = None
 
     def encode(self, planes: list) -> tuple:
         """planes: [Y, U, V] uint8/16 arrays at the REAL frame size.
@@ -187,7 +200,12 @@ class IntraFrameEncoder:
         cdf_row = self.cdf.partition[(bsl - 1) * 4 + ctx]
         nsyms = 4 if size == 8 else 10
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
-        want_split = size > 32  # fixed tree: split 64 -> 32x32 leaves
+        if size > 32:
+            want_split = True  # 64 always splits to 32 (64x64 tx later)
+        elif size == 32 and self.rdo_partition and has_rows and has_cols and self.use_native:
+            want_split = self._rd_split_32(x, y, cdf_row)
+        else:
+            want_split = False
         if has_rows and has_cols:
             part = self.P_SPLIT if want_split else self.P_NONE
             sym(part, cdf_row[: nsyms + 1])
@@ -228,6 +246,102 @@ class IntraFrameEncoder:
         self.above_part[x // 4 : min(x // 4 + n4, self.mi_cols)] = ab
         self.left_part[y // 4 : min(y // 4 + n4, self.mi_rows)] = lf
 
+    # -- RD partition decision -------------------------------------------------
+
+    @staticmethod
+    def _sym_bits(row, s: int) -> float:
+        fl = 32768 if s == 0 else int(row[s - 1])
+        fh = int(row[s])
+        p = max(fl - fh, 1) / 32768.0
+        return -np.log2(p)
+
+    def _trial_rate_txb(self, plane, px, py, tw, th, levels, y_mode) -> float:
+        """Rate of one txb in bits via scratch tokenization (no adaptation)."""
+        if self._scratch is None:
+            from rav1e_tpu.ec.native import NativeMsacEncoder
+
+            self._scratch = NativeMsacEncoder()
+        enc = self._scratch
+        we, he = min(tw, 32), min(th, 32)
+        ptype = 1 if plane else 0
+        txs_ctx = cf.tx_size_ctx(tw, th)
+        scan = scan_for(we, he)
+        tctx = self._txb_skip_ctx(plane, px, py, tw, th)
+        dctx = self._dc_sign_ctx(plane, px, py, tw, th)
+        tx_type_row = None
+        if plane == 0 and max(tw, th) <= 16 and self.q > 0:
+            txsqr = int(np.log2(min(tw, th))) - 2
+            tx_type_row = self.cdf.intra_tx_type_set2[txsqr][y_mode]
+        t0 = enc.tell_bits()
+        enc.encode_txb(levels, scan, ptype, cf.TX_CLASS_2D, tctx, dctx,
+                       self.cdf, txs_ctx, adapt=False,
+                       tx_type_row=tx_type_row, tx_type_sym=1)
+        return enc.tell_bits() - t0
+
+    def _analyze_block(self, x: int, y: int, bw: int, bh: int):
+        """Mode + transforms for one block; writes recon (caller restores if
+        this is a discarded trial).  Returns (dist_sse, rate_bits)."""
+        mc, mr = x // 4, y // 4
+        y_mode = self._choose_mode(x, y, bw, bh)
+        pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
+        pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
+        pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
+        skip = not (lv_y.any() or lv_u.any() or lv_v.any())
+        rate = 1.0  # skip flag ~1 bit
+        above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if y > 0 else 0
+        left_ctx = INTRA_MODE_CTX[int(self.left_mode[mr])] if x > 0 else 0
+        rate += self._sym_bits(self.cdf.kf_y_mode[above_ctx][left_ctx], y_mode)
+        if min(bw, bh) >= 8 and y_mode in ip.DIRECTIONAL_MODES:
+            rate += self._sym_bits(self.cdf.angle_delta[y_mode - ip.V_PRED], 3)
+        cfl_allowed = 1 if max(bw, bh) <= 32 else 0
+        rate += self._sym_bits(self.cdf.uv_mode[cfl_allowed][y_mode], ip.DC_PRED)
+        if not skip:
+            rate += self._trial_rate_txb(0, x, y, bw, bh, lv_y, y_mode)
+            rate += self._trial_rate_txb(1, cx, cy, cw, ch, lv_u, y_mode)
+            rate += self._trial_rate_txb(2, cx, cy, cw, ch, lv_v, y_mode)
+            dq_set = (dq_y, dq_u, dq_v)
+        else:
+            dq_set = (np.zeros_like(dq_y), np.zeros_like(dq_u), np.zeros_like(dq_v))
+        # reconstruct (temporarily if trial)
+        self._reconstruct(0, x, y, pred_y, dq_set[0])
+        self._reconstruct(1, cx, cy, pred_u, dq_set[1])
+        self._reconstruct(2, cx, cy, pred_v, dq_set[2])
+        dist = 0
+        for plane, (px, py, tw, th) in ((0, (x, y, bw, bh)), (1, (cx, cy, cw, ch)), (2, (cx, cy, cw, ch))):
+            d = self.rec[plane][py : py + th, px : px + tw].astype(np.int64) - \
+                self.src[plane][py : py + th, px : px + tw]
+            dist += int((d * d).sum())
+        return dist, rate
+
+    def _rd_split_32(self, x: int, y: int, cdf_row) -> bool:
+        """Try NONE(32x32) vs SPLIT(4x 16x16); pick by SSE + lambda*bits."""
+        cx, cy = x >> 1, y >> 1
+        saves = [
+            self.rec[0][y : y + 32, x : x + 32].copy(),
+            self.rec[1][cy : cy + 16, cx : cx + 16].copy(),
+            self.rec[2][cy : cy + 16, cx : cx + 16].copy(),
+        ]
+
+        def restore():
+            self.rec[0][y : y + 32, x : x + 32] = saves[0]
+            self.rec[1][cy : cy + 16, cx : cx + 16] = saves[1]
+            self.rec[2][cy : cy + 16, cx : cx + 16] = saves[2]
+
+        dist_n, rate_n = self._analyze_block(x, y, 32, 32)
+        rate_n += self._sym_bits(cdf_row[:11], self.P_NONE)
+        cost_none = dist_n + self.lam * rate_n
+        restore()
+
+        dist_s, rate_s = 0.0, self._sym_bits(cdf_row[:11], self.P_SPLIT)
+        for (dx, dy) in ((0, 0), (16, 0), (0, 16), (16, 16)):
+            d, r = self._analyze_block(x + dx, y + dy, 16, 16)
+            dist_s += d
+            rate_s += r + 2.0  # 16-level partition NONE symbols ~2 bits
+        cost_split = dist_s + self.lam * rate_s
+        restore()
+        return cost_split < cost_none
+
     # -- leaf block ----------------------------------------------------------
 
     def _choose_mode(self, x: int, y: int, bw: int, bh: int):
@@ -238,8 +352,19 @@ class IntraFrameEncoder:
         above, left = ip.build_edges(rec, x, y, bw, bh, have_above, have_left, self.bd,
                                      max_x=self.mi_cols * 4 - 1, max_y=self.mi_rows * 4 - 1)
         src = self.src[0][y : y + bh, x : x + bw]
+        if self.speed >= 9:
+            candidates = (ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.SMOOTH_PRED, ip.PAETH_PRED)
+        else:
+            # D45/D67/D203 need the top-right / bottom-left availability
+            # rules (spec have_top_right) - TODO next round; zone-2 modes
+            # only read the w+h edge pixels that are always defined
+            candidates = (
+                ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.SMOOTH_PRED,
+                ip.SMOOTH_V_PRED, ip.SMOOTH_H_PRED, ip.PAETH_PRED,
+                ip.D135_PRED, ip.D113_PRED, ip.D157_PRED,
+            )
         best, best_cost = ip.DC_PRED, None
-        for mode in (ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.SMOOTH_PRED, ip.PAETH_PRED):
+        for mode in candidates:
             pred = ip.predict(mode, above, left, bw, bh, have_above, have_left, 0, self.bd)
             cost = int(np.abs(src - pred).sum())
             if best_cost is None or cost < best_cost:
