@@ -1,43 +1,155 @@
 """Device-side (JAX/XLA) compute steps of the encode pipeline.
 
-This module holds the jit-compiled, batched-over-superblocks entry points.
-The philosophy (SURVEY.md section 7): everything per-pixel/per-block and
-batchable runs on device; the serial entropy tail runs on host.
+The TPU-first reformulation (SURVEY.md section 7): everything per-pixel and
+batchable runs on device over the whole frame at once; the host entropy
+pass consumes the decisions.  Mode analysis here mirrors the reference's
+lookahead cost model (src/api/lookahead.rs estimate_intra_costs) but covers
+the full candidate mode set used by the host RD loop.
 
-`intra_analysis_step` is the lookahead-style intra cost model (reference
-analog: src/api/lookahead.rs estimate_intra_costs): evaluate cheap intra
-predictors for every 8x8 sub-block of a batch of 64x64 superblocks and
-return per-SB cost maps.  It is the flagship single-chip step while the full
-RDO pipeline is under construction, and the unit of sharding for the
-multi-chip dry run.
+`mode_analysis(y, n)`: evaluate every intra candidate mode for every n x n
+block of a luma plane using source-edge approximation, returning the
+per-block best mode and its SAD.  One fused jit graph per block size -
+thousands of blocks batch over the VPU; no host round-trips.
 """
 
 from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# persistent XLA compile cache: encoder shapes recur across runs
+try:
+    _cache = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+# mode ids must match ops.intra_np
+DC, V, H = 0, 1, 2
+D45, D135, D113, D157, D203, D67 = 3, 4, 5, 6, 7, 8
+SMOOTH, SMOOTH_V, SMOOTH_H, PAETH = 9, 10, 11, 12
+
+# candidate list mirrored from the host encoder (zone-2 directional only)
+CANDIDATES = (DC, V, H, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH, D135, D113, D157)
+_ANGLE = {D45: 45, D135: 135, D113: 113, D157: 157, D203: 203, D67: 67, V: 90, H: 180}
+
+_TBL = np.load(__file__.rsplit("/", 2)[0] + "/ops/av1_tables.npz")
+_DR = _TBL["dr_intra_derivative"]
+_SM = _TBL["sm_weights"]
+
+
+def _sm_weights(n: int) -> np.ndarray:
+    off = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}[n]
+    return _SM[off : off + n]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def mode_analysis(y: jax.Array, n: int) -> tuple:
+    """y: (H, W) int32 luma plane, H/W multiples of n.
+    Returns (best_mode (by,bx) int32, best_sad (by,bx) int32)."""
+    Hh, Ww = y.shape
+    by, bx = Hh // n, Ww // n
+    blocks = y.reshape(by, n, bx, n).transpose(0, 2, 1, 3)  # (by,bx,n,n)
+
+    pad = jnp.pad(y, ((1, 0), (1, 0)), constant_values=128)
+    above = pad[0:Hh:n, 1:].reshape(by, bx, n)  # (by,bx,n)
+    left = jnp.swapaxes(pad[1:, 0:Ww:n].reshape(by, n, bx), 1, 2)  # (by,bx,n)
+    topleft = pad[0:Hh:n, 0:Ww:n].reshape(by, bx)  # (by,bx)
+
+    A = above[..., None, :]  # (by,bx,1,n)
+    L = left[..., :, None]  # (by,bx,n,1)
+    TL = topleft[..., None, None]
+
+    preds = []
+    # DC
+    dc = (above.sum(-1) + left.sum(-1) + n) // (2 * n)
+    preds.append(jnp.broadcast_to(dc[..., None, None], blocks.shape))
+    # V / H
+    preds.append(jnp.broadcast_to(A, blocks.shape))
+    preds.append(jnp.broadcast_to(L, blocks.shape))
+    # SMOOTH family
+    w = jnp.asarray(_sm_weights(n), jnp.int32)
+    below = left[..., -1][..., None, None]
+    right = above[..., -1][..., None, None]
+    wy = w[None, None, :, None]
+    wx = w[None, None, None, :]
+    sm = (wy * A + (256 - wy) * below + wx * L + (256 - wx) * right + 256) >> 9
+    preds.append(sm)
+    preds.append((wy * A + (256 - wy) * below + 128) >> 8)
+    preds.append((wx * L + (256 - wx) * right + 128) >> 8)
+    # PAETH
+    base = A + L - TL
+    pa = jnp.abs(base - A)
+    pl = jnp.abs(base - L)
+    ptl = jnp.abs(base - TL)
+    paeth = jnp.where((pl <= pa) & (pl <= ptl), jnp.broadcast_to(L, blocks.shape),
+                      jnp.where(pa <= ptl, jnp.broadcast_to(A, blocks.shape),
+                                jnp.broadcast_to(TL, blocks.shape)))
+    preds.append(paeth)
+    # zone-2 directional (90 < angle < 180): mix of above/left rays
+    az = jnp.concatenate([topleft[..., None], above], axis=-1)  # (by,bx,n+1)
+    lz = jnp.concatenate([topleft[..., None], left], axis=-1)
+    rr = jnp.arange(n)[:, None]
+    cc = jnp.arange(n)[None, :]
+    for mode in (D135, D113, D157):
+        ang = _ANGLE[mode]
+        dx = int(_DR[180 - ang])
+        dy = int(_DR[ang - 90])
+        xpos = (cc << 6) - (rr + 1) * dx  # (n,n)
+        base_x = xpos >> 6
+        shift_x = (xpos >> 1) & 0x1F
+        ypos = (rr << 6) - (cc + 1) * dy
+        base_y = ypos >> 6
+        shift_y = (ypos >> 1) & 0x1F
+        ax_idx0 = jnp.clip(1 + base_x, 0, n)
+        ax_idx1 = jnp.clip(2 + base_x, 0, n)
+        av = (az[..., ax_idx0] * (32 - shift_x) + az[..., ax_idx1] * shift_x + 16) >> 5
+        ly_idx0 = jnp.clip(1 + base_y, 0, n)
+        ly_idx1 = jnp.clip(2 + base_y, 0, n)
+        lv = (lz[..., ly_idx0] * (32 - shift_y) + lz[..., ly_idx1] * shift_y + 16) >> 5
+        preds.append(jnp.where(base_x >= -1, av, lv))
+
+    stack = jnp.stack(preds, axis=0)  # (nmodes, by, bx, n, n)
+    sads = jnp.abs(stack - blocks[None]).sum((-1, -2))  # (nmodes, by, bx)
+    best = jnp.argmin(sads, axis=0)
+    best_sad = jnp.min(sads, axis=0)
+    mode_ids = jnp.asarray(CANDIDATES, jnp.int32)
+    return mode_ids[best], best_sad
+
+
+def frame_mode_maps(y_plane: np.ndarray) -> dict:
+    """Run device mode analysis for the block sizes the encoder uses.
+    y_plane: padded (SB-aligned) int32 numpy luma plane."""
+    yj = jnp.asarray(y_plane, jnp.int32)
+    out = {}
+    for n in (32, 16):
+        modes, sads = mode_analysis(yj, n)
+        out[n] = (np.asarray(modes), np.asarray(sads))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# legacy single-chip analysis step (kept as the driver's compile-check entry)
+# ---------------------------------------------------------------------------
 
 
 @jax.jit
 def intra_analysis_step(sbs: jax.Array, qidx: jax.Array) -> jax.Array:
     """sbs: (N, 64, 64) int32 luma superblocks.  Returns (N, 8, 8) int32
-    per-8x8-block minimal intra prediction cost (DC/H/V/Paeth candidates,
-    predicted from source neighbors - the lookahead approximation)."""
+    per-8x8-block minimal intra prediction cost (lookahead cost model)."""
     n = sbs.shape[0]
-    # split into 8x8 blocks: axes (n, by, bx, y, x)
     blocks = jnp.moveaxis(sbs.reshape(n, 8, 8, 8, 8), 2, 3)
-
-    # neighbor rows/cols from the source (edge blocks see the 128 pad value)
     padded = jnp.pad(sbs, ((0, 0), (1, 0), (1, 0)), constant_values=128)
-    # row above each block: padded rows 0,8,..56 -> (n, by, bx, x)
     above = padded[:, 0:64:8, 1:].reshape(n, 8, 8, 8)
-    # column left of each block: padded cols 0,8,..56 -> (n, by, y, bx) -> (n, by, bx, y)
     left = jnp.moveaxis(padded[:, 1:, 0:64:8].reshape(n, 8, 8, 8), 2, 3)
-
-    dc = (above.sum(-1) + left.sum(-1) + 8) // 16  # (n, by, bx)
+    dc = (above.sum(-1) + left.sum(-1) + 8) // 16
     pred_dc = dc[..., None, None]
     pred_h = left[..., :, None] * jnp.ones((1, 1, 1, 1, 8), jnp.int32)
     pred_v = above[..., None, :] * jnp.ones((1, 1, 1, 8, 1), jnp.int32)
@@ -60,3 +172,17 @@ def sharded_intra_analysis(mesh: Mesh, sbs: jax.Array, qidx: jax.Array) -> jax.A
         out_shardings=NamedSharding(mesh, P("sb", None, None)),
     )
     return fn(sbs, qidx)
+
+
+def sharded_mode_analysis(mesh: Mesh, y: jax.Array, n: int) -> tuple:
+    """Frame mode analysis with SB rows sharded over the mesh (the tile/
+    row-group axis); used by the multi-chip dry run."""
+    shard = NamedSharding(mesh, P("sb", None))
+    y = jax.device_put(y, shard)
+    fn = jax.jit(
+        mode_analysis,
+        static_argnums=(1,),
+        in_shardings=(shard,),
+        out_shardings=(NamedSharding(mesh, P("sb", None)),) * 2,
+    )
+    return fn(y, n)

@@ -80,7 +80,8 @@ class IntraFrameEncoder:
     """Encodes one key frame; exposes recon planes for conformance checks."""
 
     def __init__(self, width: int, height: int, q_idx: int, bit_depth: int = 8,
-                 adapt_cdf: bool = True, speed: int = 6, use_native: bool = True):
+                 adapt_cdf: bool = True, speed: int = 6, use_native: bool = True,
+                 device_modes: bool | None = None):
         self.use_native = use_native
         self.out_w = width
         self.out_h = height
@@ -105,6 +106,12 @@ class IntraFrameEncoder:
         self.lam = 0.06 * (self.ac_q / 8.0) ** 2
         self.rdo_partition = speed <= 8
         self._scratch = None
+        # device (TPU) mode analysis: batched evaluation of all candidate
+        # modes for all blocks in one jit pass; auto-on for larger frames
+        if device_modes is None:
+            device_modes = width * height >= 320 * 240
+        self.device_modes = device_modes
+        self._mode_maps = None
 
     def encode(self, planes: list) -> tuple:
         """planes: [Y, U, V] uint8/16 arrays at the REAL frame size.
@@ -146,6 +153,14 @@ class IntraFrameEncoder:
             PlaneCtx.new(pc >> 1, pr >> 1),
             PlaneCtx.new(pc >> 1, pr >> 1),
         ]
+
+        if self.device_modes:
+            try:
+                from rav1e_tpu.models.device_pipeline import frame_mode_maps
+
+                self._mode_maps = frame_mode_maps(self.src[0])
+            except Exception:
+                self._mode_maps = None
 
         sb = 64
         for sy in range(0, self.coded_h, sb):
@@ -345,7 +360,17 @@ class IntraFrameEncoder:
     # -- leaf block ----------------------------------------------------------
 
     def _choose_mode(self, x: int, y: int, bw: int, bh: int):
-        """SAD-based intra mode choice over cheap candidates."""
+        """SAD-based intra mode choice over cheap candidates.  Uses the
+        device (TPU) mode map when available (source-edge approximation),
+        falling back to the exact recon-edge host loop."""
+        if (
+            self._mode_maps is not None
+            and bw == bh
+            and bw in self._mode_maps
+            and x % bw == 0
+            and y % bh == 0
+        ):
+            return int(self._mode_maps[bw][0][y // bh][x // bw])
         rec = self.rec[0]
         have_above = y > 0
         have_left = x > 0
