@@ -162,6 +162,7 @@ class IntraFrameEncoder:
             except Exception:
                 self._mode_maps = None
 
+        self._pending = {}
         sb = 64
         for sy in range(0, self.coded_h, sb):
             for sx in range(0, self.coded_w, sb):
@@ -295,7 +296,9 @@ class IntraFrameEncoder:
 
     def _analyze_block(self, x: int, y: int, bw: int, bh: int):
         """Mode + transforms for one block; writes recon (caller restores if
-        this is a discarded trial).  Returns (dist_sse, rate_bits)."""
+        this is a discarded trial).  Returns (dist_sse, rate_bits, info);
+        info carries the artifacts so the winning candidate is coded without
+        recomputation."""
         mc, mr = x // 4, y // 4
         y_mode = self._choose_mode(x, y, bw, bh)
         pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
@@ -327,7 +330,12 @@ class IntraFrameEncoder:
             d = self.rec[plane][py : py + th, px : px + tw].astype(np.int64) - \
                 self.src[plane][py : py + th, px : px + tw]
             dist += int((d * d).sum())
-        return dist, rate
+        info = {
+            "mode": y_mode,
+            "skip": skip,
+            "planes": ((pred_y, lv_y, dq_set[0]), (pred_u, lv_u, dq_set[1]), (pred_v, lv_v, dq_set[2])),
+        }
+        return dist, rate, info
 
     def _rd_split_32(self, x: int, y: int, cdf_row) -> bool:
         """Try NONE(32x32) vs SPLIT(4x 16x16); pick by SSE + lambda*bits."""
@@ -343,19 +351,25 @@ class IntraFrameEncoder:
             self.rec[1][cy : cy + 16, cx : cx + 16] = saves[1]
             self.rec[2][cy : cy + 16, cx : cx + 16] = saves[2]
 
-        dist_n, rate_n = self._analyze_block(x, y, 32, 32)
+        dist_n, rate_n, info_n = self._analyze_block(x, y, 32, 32)
         rate_n += self._sym_bits(cdf_row[:11], self.P_NONE)
         cost_none = dist_n + self.lam * rate_n
         restore()
 
         dist_s, rate_s = 0.0, self._sym_bits(cdf_row[:11], self.P_SPLIT)
+        infos = {}
         for (dx, dy) in ((0, 0), (16, 0), (0, 16), (16, 16)):
-            d, r = self._analyze_block(x + dx, y + dy, 16, 16)
+            d, r, info = self._analyze_block(x + dx, y + dy, 16, 16)
+            infos[(x + dx, y + dy)] = info
             dist_s += d
             rate_s += r + 2.0  # 16-level partition NONE symbols ~2 bits
         cost_split = dist_s + self.lam * rate_s
         restore()
-        return cost_split < cost_none
+        if cost_split < cost_none:
+            self._pending.update(infos)
+            return True
+        self._pending[(x, y)] = info_n
+        return False
 
     # -- leaf block ----------------------------------------------------------
 
@@ -400,16 +414,21 @@ class IntraFrameEncoder:
         mc, mr = x // 4, y // 4
         n4w, n4h = bw // 4, bh // 4
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
-
-        y_mode = self._choose_mode(x, y, bw, bh)
+        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
         uv_mode = ip.DC_PRED
 
-        # --- transform + quantize first (skip flag needs the answer) ---
-        pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
-        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
-        pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, uv_mode)
-        pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, uv_mode)
-        skip = not (lv_y.any() or lv_u.any() or lv_v.any())
+        info = self._pending.pop((x, y), None)
+        if info is not None and info["planes"][0][0].shape == (bh, bw):
+            y_mode = info["mode"]
+            (pred_y, lv_y, dq_y), (pred_u, lv_u, dq_u), (pred_v, lv_v, dq_v) = info["planes"]
+            skip = info["skip"]
+        else:
+            y_mode = self._choose_mode(x, y, bw, bh)
+            # transform + quantize first (skip flag needs the answer)
+            pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+            pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, uv_mode)
+            pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, uv_mode)
+            skip = not (lv_y.any() or lv_u.any() or lv_v.any())
 
         # --- mode info ---
         skip_ctx = int(self.above_skip[mc] + self.left_skip[mr])

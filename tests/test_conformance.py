@@ -104,3 +104,20 @@ def test_recon_quality_sane():
     mse = np.mean((recon[0].astype(float) - y.astype(float)) ** 2)
     psnr = 10 * np.log10(255**2 / mse)
     assert psnr > 33, psnr
+
+
+def test_10bit_conformance():
+    rng = np.random.default_rng(3)
+    w, h = 128, 96
+    y = rng.integers(0, 1024, (h, w)).astype(np.int32)
+    u = rng.integers(0, 1024, (h // 2, w // 2)).astype(np.int32)
+    v = rng.integers(0, 1024, (h // 2, w // 2)).astype(np.int32)
+    fe = IntraFrameEncoder(w, h, q_idx=100, bit_depth=10, device_modes=False)
+    tile, recon = fe.encode([y, u, v])
+    seq = Sequence(width=w, height=h, bit_depth=10)
+    fp = FrameParams(base_q_idx=100, disable_cdf_update=False)
+    data = temporal_delimiter() + write_sequence_header_obu(seq) + write_frame_obu(seq, fp, tile)
+    dec, meta = dav1d.Dav1dDecoder().decode_packet(data)
+    assert meta[3] == 10
+    for i in range(3):
+        assert np.array_equal(dec[i].astype(np.int32), recon[i]), f"plane {i}"
