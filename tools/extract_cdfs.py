@@ -113,12 +113,14 @@ TABLES: dict[str, Table] = {
         [22801, 23489, 24293, 24756, 25601, 26123, 26606, 27418, 27945, 29228, 29685, 30349],
         at=48448,
     ),
-    "cfl_sign": Table((1,), 8, [1418, 2123, 13340, 18405, 26972, 28343, 32294]),
-    "cfl_alpha": Table((6,), 16, [7637, 20719, 31401, 32481, 32657, 32688]),
+    "cfl_sign": Table((1,), 8, [1418, 2123, 13340, 18405, 26972, 28343, 32294], at=42033, source="rav_at"),
+    "cfl_alpha": Table((6,), 16, [], at=42041, source="rav_at"),
     "tx_size": Table((3, 3), 3, [19968], at=48616, row_syms=[2, 2, 2, 3, 3, 3, 3, 3, 3]),
-    "txfm_partition": Table((21,), 2, [28581], at=47944),
+    "txfm_partition": Table((21,), 2, [28581], at=42369, source="rav_at"),
     "delta_q": Table((1,), 4, [28160, 32120, 32677], at=48664),
-    "delta_lf": Table((5,), 4, [28160, 32120, 32677], at=48640),
+    # delta_lf defaults equal delta_q's (spec: Default_Delta_Lf_Cdf); five
+    # copies (joint + per-filter multi)
+    "delta_lf": Table((5,), 4, [28160, 32120, 32677] * 5, source="literal4"),
     # tx-type signaling tables, all stride CDF_SIZE(16)=17 in libaom
     # (chain-verified: inter [4 sets][4 txsqr][17] @43616, set0 zeros;
     #  intra [3 sets][4 txsqr][13 modes][17] @43888, set0 zeros)
@@ -135,14 +137,8 @@ TABLES: dict[str, Table] = {
     ),
     "inter_tx_type_set2": Table((4,), 12, [], at=43752, source="stride17"),
     "inter_tx_type_set3": Table((4,), 2, [], at=43820, source="stride17"),
-    # --- inter mode block (chain: newmv..zeromv..refmv..drl verified) ---
-    "newmv": Table((6,), 2, [], at=48030),
-    "zeromv": Table((2,), 2, [], at=48048),
-    "refmv": Table((6,), 2, [], at=48054),
-    "drl": Table((3,), 2, [13104], at=48072),
+    # --- inter mode block ---
     "inter_compound_mode": Table((8,), 8, [7760, 13823, 15808, 17641, 19156, 20666, 26891], at=48224),
-    "comp_mode": Table((5,), 2, [26828], at=47728),
-    "comp_ref_type": Table((5,), 2, [1198], at=47744),
     "mv_joint": Table((1,), 4, [4096, 11264, 19328], at=48800),
     # nmv_component struct layout (verified): classes(12), class0_fp(2x5),
     # fp(5), sign(3), class0_hp(3), hp(3), class0(3), bits(10x3) = 69 u16
@@ -157,10 +153,26 @@ TABLES: dict[str, Table] = {
     # --- small binary tables sourced from librav1e (stride nsymbs layout;
     # values corroborated by the probability-form constants of the spec) ---
     "skip": Table((3,), 2, [31671, 16515, 4576], source="rav1e"),
-    "intra_inter": Table((4,), 2, [], at=0, source="skip_for_now"),
-    "single_ref": Table((3, 6), 2, [], at=0, source="skip_for_now"),
-    "comp_ref": Table((3, 3), 2, [], at=0, source="skip_for_now"),
-    "comp_bwd_ref": Table((3, 2), 2, [], at=0, source="skip_for_now"),
+    # Inter-mode CDF block, carved from librav1e .rodata's CDFContext default
+    # at fixed offsets (chain verified 2026-08-16: cfl_alpha ends 42137,
+    # inter_compound_mode at 42169 (matches aom@48224 extraction), intra_inter
+    # at 42233 follows it; single_ref..comp_bwd_ref chain through 42327).
+    # libaom .rodata corroborates newmv/refmv/drl/single_ref values at
+    # 48040/48056/48072/47888.  Layout: [icdf0, 0] per binary row.
+    "newmv": Table((6,), 2, [], at=42137, source="rav_at"),
+    "refmv": Table((6,), 2, [], at=42151, source="rav_at"),
+    "drl": Table((3,), 2, [13104, 24560, 18945], at=42163, source="rav_at"),
+    "intra_inter": Table((4,), 2, [806, 16662, 20186, 26538], at=42233, source="rav_at"),
+    "comp_mode": Table((5,), 2, [26828], at=42241, source="rav_at"),
+    "comp_ref_type": Table((5,), 2, [1198], at=42251, source="rav_at"),
+    "single_ref": Table((3, 6), 2, [4897], at=42261, source="rav_at"),
+    "comp_ref": Table((3, 3), 2, [4946], at=42297, source="rav_at"),
+    "comp_bwd_ref": Table((3, 2), 2, [2235], at=42315, source="rav_at"),
+    # zeromv (GLOBALMV) defaults: stored as code immediates in both binaries
+    # (librav1e allocates only a [0,0] placeholder pair at 42149); values
+    # below are validated EMPIRICALLY by the dav1d inter conformance tests
+    # (a wrong default desyncs msac decode immediately).
+    "zeromv": Table((2,), 2, [2175, 1054], source="literal"),
     "uni_comp_ref": Table((3, 3), 2, [], at=0, source="skip_for_now"),
     "interp_filter": Table((16,), 3, [31935, 32720], at=48504),
     "segment_id": Table((3,), 8, [5622, 7893, 16093, 18233, 27809, 28373, 32533], source="rav1e"),
@@ -258,7 +270,40 @@ def main() -> None:
             continue
         rows = None
         pos = None
-        if t.source == "nmv":
+        if t.source == "literal":
+            # values known from spec constants, absent from binary .rodata
+            # (inlined as code immediates); anchor holds probability form
+            rows = np.array([[32768 - p, 0] for p in t.anchor], dtype=np.uint16)
+            pos = -1
+        elif t.source == "literal4":
+            # 4-symbol tables from spec constants; anchor holds all rows'
+            # probability-form prefixes (3 values per row)
+            count = int(np.prod(t.shape))
+            vals = [t.anchor[i * 3 : i * 3 + 3] for i in range(count)]
+            rows = np.array(
+                [[32768 - a, 32768 - b, 32768 - c, 0] for a, b, c in vals],
+                dtype=np.uint16,
+            )
+            pos = -1
+        elif t.source == "rav_at":
+            # carve from librav1e .rodata at a chain-verified offset,
+            # stride == nsymbs ([... , 0] per row, no counter slot)
+            count = int(np.prod(t.shape))
+            stride = t.nsymbs
+            raw = rav[t.at : t.at + count * stride].reshape(count, stride)
+            pos = t.at
+            for r in raw:
+                if not valid_row(r, t.nsymbs, has_counter=False):
+                    problems.append(f"{name}: invalid rav row @{t.at}: {r.tolist()}")
+            if t.anchor:
+                if t.nsymbs == 2:  # anchor = first value of each row
+                    got = [32768 - int(v) for v in raw[: len(t.anchor), 0]]
+                else:  # anchor = prefix of the first row
+                    got = [32768 - int(v) for v in raw[0, : len(t.anchor)]]
+                if got != list(t.anchor):
+                    problems.append(f"{name}: anchor mismatch at {pos}: {got}")
+            rows = np.ascontiguousarray(raw)
+        elif t.source == "nmv":
             off, inner, ns = NMV_LAYOUT[name]
             stride = ns + 1
             comp_rows = []
