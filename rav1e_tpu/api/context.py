@@ -107,5 +107,5 @@ class Context:
             from rav1e_tpu.models.pipeline import FrameEncoder
 
             self._encoder = FrameEncoder(self.enc)
-        data = self._encoder.encode_key_frame(frame)
-        return Packet(data=data, input_frameno=frameno, frame_type="key")
+        data, ftype = self._encoder.encode_frame(frame, frameno)
+        return Packet(data=data, input_frameno=frameno, frame_type=ftype)

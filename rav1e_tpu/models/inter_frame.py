@@ -1,0 +1,302 @@
+"""Inter (P) frame tile encoder: motion search, inter mode coding, MV
+residual coding, motion-compensated reconstruction.
+
+Reference analog: the inter paths of src/encoder.rs write_block +
+src/context/block_unit.rs (mode/MV coding) + src/me.rs (motion search),
+rebuilt on this framework's device/host split.  Single-reference (LAST)
+low-latency prediction; the MV stack and all coding contexts mirror the
+decoder exactly (validated against libdav1d in tests/test_inter_conformance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rav1e_tpu.entropy import coeffs as cf
+from rav1e_tpu.models import mv_pred as mvp
+from rav1e_tpu.models.intra_frame import INTRA_MODE_CTX, IntraFrameEncoder, scan_for
+from rav1e_tpu.ops import intra_np as ip
+from rav1e_tpu.ops import mc_np as mc
+from rav1e_tpu.ops import quantize_np as qz
+from rav1e_tpu.ops import transforms_np as tf
+
+# YMode values (spec enum, after the 13 intra modes)
+NEARESTMV = 13
+NEARMV = 14
+GLOBALMV = 15
+NEWMV = 16
+
+
+def size_group(bw: int, bh: int) -> int:
+    """spec Size_Group[bsize] (for the y_mode cdf in inter frames)."""
+    g = -(-(int(np.log2(bw)) + int(np.log2(bh))) // 2) - 2
+    return max(0, min(3, g))
+
+
+class InterFrameEncoder(IntraFrameEncoder):
+    """Encodes one single-ref inter frame.  refs = [Y, U, V] reconstruction
+    planes of the reference at the REAL frame size (the decoder's ref)."""
+
+    def __init__(self, width, height, q_idx, refs, bit_depth=8, adapt_cdf=True,
+                 speed=6, use_native=True):
+        super().__init__(width, height, q_idx, bit_depth=bit_depth,
+                         adapt_cdf=adapt_cdf, speed=speed, use_native=use_native,
+                         device_modes=False)
+        self.refs = [np.asarray(p, np.int32) for p in refs]
+        self.rdo_partition = False  # inter partition RD lands next milestone
+        self.me_range = 16  # full-pel search radius (px)
+
+    def _pre_encode(self) -> None:
+        self.grid = mvp.MiGrid(self.mi_rows, self.mi_cols)
+
+    # -- prediction ----------------------------------------------------------
+
+    def _mc_pred(self, plane: int, px: int, py: int, w: int, h: int, mv) -> np.ndarray:
+        sub = 0 if plane == 0 else 1
+        rw = self.out_w if plane == 0 else (self.out_w + 1) >> 1
+        rh = self.out_h if plane == 0 else (self.out_h + 1) >> 1
+        return mc.put_single(self.refs[plane], px, py, w, h, mv[0], mv[1],
+                             sub, sub, self.bd, ref_w=rw, ref_h=rh)
+
+    def _code_inter_tx(self, plane, px, py, tw, th, pred):
+        src = self.src[plane][py : py + th, px : px + tw]
+        resid = (src - pred).astype(np.int32)
+        coeffs = tf.forward_transform(resid, tf.DCT_DCT, self.bd)
+        we, he = min(tw, 32), min(th, 32)
+        coeffs[he:, :] = 0
+        coeffs[:, we:] = 0
+        levels = qz.quantize(coeffs, self.dc_q, self.ac_q, tw, th)
+        dq = qz.dequantize(levels, self.dc_q, self.ac_q, tw, th, self.bd)
+        return levels[:he, :we], dq
+
+    # -- motion search -------------------------------------------------------
+
+    def _sad(self, px, py, w, h, mv) -> int:
+        pred = self._mc_pred(0, px, py, w, h, mv)
+        src = self.src[0][py : py + h, px : px + w]
+        return int(np.abs(src - pred).sum())
+
+    def _motion_search(self, x, y, bw, bh, stack) -> tuple:
+        """Full-pel SAD search seeded by the MV stack; diamond refinement.
+        Returns (mv, sad).  MVs in 1/8 pel, full-pel aligned."""
+        cands = {(0, 0)}
+        for mv in stack[:2]:
+            cands.add(((mv[0] + 4) & ~7, (mv[1] + 4) & ~7))
+        best, best_sad = (0, 0), None
+        for mv in cands:
+            s = self._sad(x, y, bw, bh, mv)
+            if best_sad is None or s < best_sad:
+                best, best_sad = mv, s
+        # diamond refinement at full-pel steps
+        step = 8 * 8  # start at 8 px
+        while step >= 8:
+            improved = True
+            while improved:
+                improved = False
+                for dr, dc in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                    mv = (best[0] + dr, best[1] + dc)
+                    if abs(mv[0]) > self.me_range * 8 * 4 or abs(mv[1]) > self.me_range * 8 * 4:
+                        continue
+                    s = self._sad(x, y, bw, bh, mv)
+                    if s < best_sad:
+                        best, best_sad = mv, s
+                        improved = True
+            step >>= 1
+        return best, best_sad
+
+    # -- block coding --------------------------------------------------------
+
+    def _decide_inter(self, x, y, bw, bh, res: mvp.MvStackResult):
+        """Pick (ymode, mv, ref_mv_idx, intra_mode) for the block."""
+        mv_me, sad_me = self._motion_search(x, y, bw, bh, res.stack)
+        sad_zero = self._sad(x, y, bw, bh, (0, 0)) if mv_me != (0, 0) else sad_me
+        nearest = tuple(res.stack[0])
+        # rate-bias: GLOBALMV cheapest, NEARESTMV close, NEWMV pays MV bits
+        options = []
+        options.append((sad_zero + 0, GLOBALMV, (0, 0), 0))
+        if res.num_mv_found >= 1 and nearest != (0, 0):
+            sad_near = self._sad(x, y, bw, bh, nearest)
+            options.append((sad_near + 2, NEARESTMV, nearest, 0))
+        if mv_me != (0, 0) and mv_me != nearest:
+            options.append((sad_me + 3 * bw // 8, NEWMV, mv_me, 0))
+        elif mv_me == nearest and nearest != (0, 0):
+            pass  # already covered by NEARESTMV
+        options.sort(key=lambda o: o[0])
+        cost, mode, mv, idx = options[0]
+        # intra fallback: DC prediction beats motion?
+        rec = self.rec[0]
+        above, left = ip.build_edges(rec, x, y, bw, bh, y > 0, x > 0, self.bd,
+                                     max_x=self.mi_cols * 4 - 1, max_y=self.mi_rows * 4 - 1)
+        pred_dc = ip.predict(ip.DC_PRED, above, left, bw, bh, y > 0, x > 0, 0, self.bd)
+        sad_dc = int(np.abs(self.src[0][y : y + bh, x : x + bw] - pred_dc).sum())
+        if sad_dc + 4 * bw < cost:
+            return None, None, 0  # intra
+        return mode, mv, idx
+
+    def _block(self, x: int, y: int, bw: int, bh: int) -> None:
+        mc_, mr = x // 4, y // 4
+        n4w, n4h = bw // 4, bh // 4
+        sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
+        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
+
+        res = mvp.find_mv_stack(self.grid, mr, mc_, n4w, n4h, mvp.LAST_FRAME)
+        mode, mv, ref_mv_idx = self._decide_inter(x, y, bw, bh, res)
+        is_inter = mode is not None
+
+        if is_inter:
+            pred_y = self._mc_pred(0, x, y, bw, bh, mv)
+            pred_u = self._mc_pred(1, cx, cy, cw, ch, mv)
+            pred_v = self._mc_pred(2, cx, cy, cw, ch, mv)
+            y_mode = mode
+        else:
+            y_mode = self._choose_mode(x, y, bw, bh)
+            pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+            pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
+            pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
+        if is_inter:
+            lv_y, dq_y = self._code_inter_tx(0, x, y, bw, bh, pred_y)
+            lv_u, dq_u = self._code_inter_tx(1, cx, cy, cw, ch, pred_u)
+            lv_v, dq_v = self._code_inter_tx(2, cx, cy, cw, ch, pred_v)
+        skip = not (lv_y.any() or lv_u.any() or lv_v.any())
+
+        # --- mode info ---
+        # skip_mode_present == 0 -> no skip_mode symbol
+        skip_ctx = int(self.above_skip[mc_] + self.left_skip[mr])
+        sym(1 if skip else 0, self.cdf.skip[skip_ctx])
+
+        ii_ctx = mvp.intra_inter_ctx(self.grid, mr, mc_)
+        sym(1 if is_inter else 0, self.cdf.intra_inter[ii_ctx])
+
+        if is_inter:
+            # ref frames: single reference path, LAST_FRAME
+            counts = mvp.neighbor_ref_counts(self.grid, mr, mc_)
+            ctxs = mvp.single_ref_ctxs(counts)
+            sym(0, self.cdf.single_ref[ctxs[1]][0])  # p1: forward group
+            sym(0, self.cdf.single_ref[ctxs[3]][2])  # p3: {LAST, LAST2}
+            sym(0, self.cdf.single_ref[ctxs[4]][3])  # p4: LAST
+
+            # inter mode tree
+            sym(0 if mode == NEWMV else 1, self.cdf.newmv[res.new_mv_context])
+            if mode != NEWMV:
+                sym(0 if mode == GLOBALMV else 1, self.cdf.zeromv[res.zero_mv_context])
+                if mode != GLOBALMV:
+                    sym(0 if mode == NEARESTMV else 1, self.cdf.refmv[res.ref_mv_context])
+            # drl index
+            if mode == NEWMV:
+                for idx in (0, 1):
+                    if res.num_mv_found > idx + 1:
+                        bit = 1 if ref_mv_idx != idx else 0
+                        sym(bit, self.cdf.drl[mvp.drl_ctx(res.weights, idx)])
+                        if not bit:
+                            break
+            elif mode == NEARMV:
+                for idx in (1, 2):
+                    if res.num_mv_found > idx + 1:
+                        bit = 1 if ref_mv_idx != idx else 0
+                        sym(bit, self.cdf.drl[mvp.drl_ctx(res.weights, idx)])
+                        if not bit:
+                            break
+            if mode == NEWMV:
+                pred_mv = res.stack[ref_mv_idx]
+                self._encode_mv(mv[0] - pred_mv[0], mv[1] - pred_mv[1])
+        else:
+            # intra in inter frame: y_mode over size-group cdf
+            sym(y_mode, self.cdf.y_mode[size_group(bw, bh)])
+            if min(bw, bh) >= 8 and y_mode in ip.DIRECTIONAL_MODES:
+                sym(0 + 3, self.cdf.angle_delta[y_mode - ip.V_PRED])
+            cfl_allowed = 1 if max(bw, bh) <= 32 else 0
+            uv_cdf = self.cdf.uv_mode[cfl_allowed][y_mode]
+            nsyms = 14 if cfl_allowed else 13
+            sym(ip.DC_PRED, uv_cdf[: nsyms + 1])
+
+        # --- residual ---
+        if not skip:
+            self._residual_any(0, x, y, bw, bh, lv_y, y_mode, is_inter)
+            self._residual_any(1, cx, cy, cw, ch, lv_u, y_mode, is_inter)
+            self._residual_any(2, cx, cy, cw, ch, lv_v, y_mode, is_inter)
+        else:
+            for p, (px, py, tw, th) in (
+                (0, (x, y, bw, bh)),
+                (1, (cx, cy, cw, ch)),
+                (2, (cx, cy, cw, ch)),
+            ):
+                self._update_coef_ctx(p, px, py, tw, th, 0, 0)
+            dq_y = np.zeros_like(dq_y)
+            dq_u = np.zeros_like(dq_u)
+            dq_v = np.zeros_like(dq_v)
+
+        # --- reconstruct ---
+        self._reconstruct(0, x, y, pred_y, dq_y)
+        self._reconstruct(1, cx, cy, pred_u, dq_u)
+        self._reconstruct(2, cx, cy, pred_v, dq_v)
+
+        # --- neighbor state ---
+        c1 = min(mc_ + n4w, self.mi_cols)
+        r1 = min(mr + n4h, self.mi_rows)
+        self.above_skip[mc_:c1] = 1 if skip else 0
+        self.left_skip[mr:r1] = 1 if skip else 0
+        if is_inter:
+            self.grid.set_block(mr, mc_, n4w, n4h, mvp.LAST_FRAME, mv,
+                                is_newmv=(mode == NEWMV))
+        else:
+            self.grid.set_block(mr, mc_, n4w, n4h, mvp.INTRA_FRAME)
+
+    def _residual_any(self, plane, px, py, tw, th, levels, y_mode, is_inter):
+        """Residual coding with inter/intra tx-type signaling."""
+        if not is_inter:
+            self._residual(plane, px, py, tw, th, levels,
+                           y_mode if y_mode < 13 else 0)
+            return
+        we, he = min(tw, 32), min(th, 32)
+        ptype = 1 if plane else 0
+        txs_ctx = cf.tx_size_ctx(tw, th)
+        scan = scan_for(we, he)
+        tctx = self._txb_skip_ctx(plane, px, py, tw, th)
+        dctx = self._dc_sign_ctx(plane, px, py, tw, th)
+        tx_type_row = None
+        if plane == 0 and self.q > 0:
+            # inter + reduced_tx_set: EXT_TX_SET_DCT_IDTX {IDTX, DCT}; we
+            # always pick DCT_DCT = symbol 1, cdf indexed by square-size class
+            txsqr = min(3, int(np.log2(min(tw, th))) - 2)
+            tx_type_row = self.cdf.inter_tx_type_set3[txsqr]
+        cul, dc_cat = self.enc.encode_txb(
+            levels, scan, ptype, cf.TX_CLASS_2D, tctx, dctx, self.cdf,
+            txs_ctx, adapt=self.adapt, tx_type_row=tx_type_row, tx_type_sym=1,
+        )
+        self._update_coef_ctx(plane, px, py, tw, th, cul, dc_cat)
+
+    # -- MV residual coding (spec read_mv mirrored) ---------------------------
+
+    def _encode_mv(self, d_row: int, d_col: int) -> None:
+        sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
+        joint = (2 if d_row else 0) | (1 if d_col else 0)
+        sym(joint, self.cdf.mv_joint[0])
+        if d_row:
+            self._encode_mv_component(0, d_row)
+        if d_col:
+            self._encode_mv_component(1, d_col)
+
+    def _encode_mv_component(self, comp: int, v: int) -> None:
+        """allow_high_precision_mv=0, force_integer_mv=0: v must be even."""
+        assert v != 0 and v % 2 == 0, v
+        sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
+        sign = 1 if v < 0 else 0
+        mag = abs(v)
+        sym(sign, self.cdf.mv_sign[comp])
+        z = mag - 1
+        if z < 16:
+            sym(0, self.cdf.mv_class[comp])
+            int_bit = z >> 3
+            fr = (z >> 1) & 3
+            sym(int_bit, self.cdf.mv_class0[comp])
+            sym(fr, self.cdf.mv_class0_fp[comp][int_bit])
+            # hp not coded (allow_high_precision_mv == 0), inferred 1
+        else:
+            cls = int(np.log2(z)) - 3
+            sym(cls, self.cdf.mv_class[comp])
+            d = z - (16 << (cls - 1))
+            int_part = d >> 3
+            for i in range(cls):
+                sym((int_part >> i) & 1, self.cdf.mv_bits[comp][i])
+            fr = (d >> 1) & 3
+            sym(fr, self.cdf.mv_fp[comp])

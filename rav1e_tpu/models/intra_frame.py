@@ -162,6 +162,7 @@ class IntraFrameEncoder:
             except Exception:
                 self._mode_maps = None
 
+        self._pre_encode()
         self._pending = {}
         sb = 64
         for sy in range(0, self.coded_h, sb):
@@ -174,6 +175,9 @@ class IntraFrameEncoder:
             self.rec[2][: (self.out_h + 1) >> 1, : (self.out_w + 1) >> 1],
         ]
         return data, recon
+
+    def _pre_encode(self) -> None:
+        """Hook for subclasses (inter: mi-grid MV state init)."""
 
     # -- partition tree ------------------------------------------------------
 

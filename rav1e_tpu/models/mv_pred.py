@@ -1,0 +1,312 @@
+"""AV1 motion-vector prediction: the ref-MV stack (DRL) construction and the
+inter-mode / ref-frame coding contexts.
+
+Reference analog: src/context/block_unit.rs (rav1e's ref-MV stack) which
+mirrors AV1 spec 7.10.2 "Find MV stack process".  Both the encoder's RD
+search and the host entropy pass call this; the decoder re-derives the same
+stack, so every rule here is normative (validated bit-exactly against
+libdav1d by tests/test_inter_conformance.py).
+
+Scope notes: single-reference prediction without temporal MVs
+(sequence signals enable_ref_frame_mvs=0) and identity global motion, which
+is the toolset our frame headers declare.  ZeroMvContext therefore stays 0
+(it is only modified by the temporal-MV scan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# RefFrame enum (spec): 0 = INTRA_FRAME, 1..7 = LAST..ALTREF; -1 = not coded
+NONE_FRAME = -1
+INTRA_FRAME = 0
+LAST_FRAME = 1
+LAST2_FRAME = 2
+LAST3_FRAME = 3
+GOLDEN_FRAME = 4
+BWDREF_FRAME = 5
+ALTREF2_FRAME = 6
+ALTREF_FRAME = 7
+
+MV_BORDER = 128  # eighth-pel units (16 px)
+REF_CAT_LEVEL = 640
+MAX_REF_MV_STACK_SIZE = 8
+MVREF_ROW_COLS = 3
+
+
+class MiGrid:
+    """Per-4x4 mode-info state the MV prediction reads; the encoder writes a
+    block's rectangle after coding it (mirroring the decoder's store)."""
+
+    def __init__(self, mi_rows: int, mi_cols: int):
+        self.rows = mi_rows
+        self.cols = mi_cols
+        self.ref = np.full((mi_rows, mi_cols), NONE_FRAME, np.int32)
+        self.mv = np.zeros((mi_rows, mi_cols, 2), np.int32)  # (row, col) 1/8 pel
+        self.is_newmv = np.zeros((mi_rows, mi_cols), np.bool_)
+        self.bw4 = np.zeros((mi_rows, mi_cols), np.int32)  # candidate width in mi
+        self.bh4 = np.zeros((mi_rows, mi_cols), np.int32)
+
+    def set_block(self, mi_row, mi_col, bw4, bh4, ref, mv=(0, 0), is_newmv=False):
+        r1 = min(mi_row + bh4, self.rows)
+        c1 = min(mi_col + bw4, self.cols)
+        self.ref[mi_row:r1, mi_col:c1] = ref
+        self.mv[mi_row:r1, mi_col:c1] = mv
+        self.is_newmv[mi_row:r1, mi_col:c1] = is_newmv
+        self.bw4[mi_row:r1, mi_col:c1] = bw4
+        self.bh4[mi_row:r1, mi_col:c1] = bh4
+
+
+def lower_mv_precision(mv, allow_hp: bool, force_integer: bool = False):
+    """spec 7.10.2.10: candidate MVs rounded to the frame's precision."""
+    out = []
+    for v in mv:
+        v = int(v)
+        if force_integer:
+            a = abs(v)
+            v = (1 if v > 0 else -1) * ((a + 3) & ~7) if a & 7 else v
+        elif v & 1:
+            v += -1 if v > 0 else 1
+        out.append(v)
+    return (out[0], out[1]) if not allow_hp else (int(mv[0]), int(mv[1]))
+
+
+@dataclass
+class MvStackResult:
+    stack: list  # [(mv_row, mv_col)] clamped, padded to >= 2
+    weights: list
+    num_mv_found: int
+    new_mv_context: int  # 0..5
+    ref_mv_context: int  # 0..5
+    zero_mv_context: int  # 0..1
+
+
+def drl_ctx(weights, idx: int) -> int:
+    """spec: context for the DRL bit between stack entries idx, idx+1."""
+    if weights[idx] >= REF_CAT_LEVEL and weights[idx + 1] >= REF_CAT_LEVEL:
+        return 0
+    if weights[idx] >= REF_CAT_LEVEL and weights[idx + 1] < REF_CAT_LEVEL:
+        return 1
+    return 2
+
+
+def find_mv_stack(
+    grid: MiGrid,
+    mi_row: int,
+    mi_col: int,
+    bw4: int,
+    bh4: int,
+    rf: int,
+    allow_hp: bool = False,
+    global_mv=(0, 0),
+) -> MvStackResult:
+    """spec 7.10.2 Find MV stack, single-reference path."""
+    stack: list = []  # mvs
+    weights: list = []
+    state = {"found": False, "newmv_count": 0}
+
+    def is_inside(r: int, c: int) -> bool:
+        # single tile spanning the frame
+        return 0 <= r < grid.rows and 0 <= c < grid.cols
+
+    def add_candidate(r: int, c: int, weight: int) -> None:
+        ref = int(grid.ref[r, c])
+        if ref <= INTRA_FRAME:
+            return
+        if ref != rf:
+            return
+        cand_mv = lower_mv_precision(grid.mv[r, c], allow_hp)
+        if grid.is_newmv[r, c]:
+            state["newmv_count"] += 1
+        state["found"] = True
+        for i, mv in enumerate(stack):
+            if mv == cand_mv:
+                weights[i] += weight
+                return
+        if len(stack) < MAX_REF_MV_STACK_SIZE:
+            stack.append(cand_mv)
+            weights.append(weight)
+
+    def scan_row(delta_row: int) -> None:
+        delta_col = 0
+        end4 = min(min(bw4, grid.cols - mi_col), 16)
+        use_step16 = bw4 >= 16
+        if abs(delta_row) > 1:
+            delta_row += mi_row & 1
+            delta_col = 1 - (mi_col & 1)
+        i = 0
+        while i < end4:
+            r = mi_row + delta_row
+            c = mi_col + delta_col + i
+            if not is_inside(r, c):
+                break
+            length = min(2, max(1, int(grid.bw4[r, c])))
+            if use_step16:
+                length = max(4, length)
+            add_candidate(r, c, length * 2)
+            i += length
+
+    def scan_col(delta_col: int) -> None:
+        delta_row = 0
+        end4 = min(min(bh4, grid.rows - mi_row), 16)
+        use_step16 = bh4 >= 16
+        if abs(delta_col) > 1:
+            delta_col += mi_col & 1
+            delta_row = 1 - (mi_row & 1)
+        i = 0
+        while i < end4:
+            r = mi_row + delta_row + i
+            c = mi_col + delta_col
+            if not is_inside(r, c):
+                break
+            length = min(2, max(1, int(grid.bh4[r, c])))
+            if use_step16:
+                length = max(4, length)
+            add_candidate(r, c, length * 2)
+            i += length
+
+    def scan_point(delta_row: int, delta_col: int) -> None:
+        r = mi_row + delta_row
+        c = mi_col + delta_col
+        if is_inside(r, c) and grid.ref[r, c] != NONE_FRAME:
+            add_candidate(r, c, 4)
+
+    found_above = False
+    found_left = False
+
+    state["found"] = False
+    if mi_row > 0:
+        scan_row(-1)
+    found_above |= state["found"]
+
+    state["found"] = False
+    if mi_col > 0:
+        scan_col(-1)
+    found_left |= state["found"]
+
+    state["found"] = False
+    if bw4 <= 16:  # top-right point only for blocks narrow enough (spec)
+        scan_point(-1, bw4)
+    found_above |= state["found"]
+
+    close_matches = int(found_above) + int(found_left)
+    num_nearest = len(stack)
+    num_new = state["newmv_count"]
+    for i in range(num_nearest):
+        weights[i] += REF_CAT_LEVEL
+    zero_mv_context = 0  # temporal-MV scan disabled (enable_ref_frame_mvs=0)
+
+    state["found"] = False
+    scan_point(-1, -1)
+    found_above |= state["found"]
+
+    for idx in range(2, MVREF_ROW_COLS + 1):
+        delta = -(idx * 2 - 1)
+        state["found"] = False
+        if mi_row > 0:
+            scan_row(delta)
+        found_above |= state["found"]
+        state["found"] = False
+        if mi_col > 0:
+            scan_col(delta)
+        found_left |= state["found"]
+
+    total_matches = int(found_above) + int(found_left)
+
+    # stable descending sort: nearest group then outer group
+    def sort_range(lo: int, hi: int) -> None:
+        order = sorted(range(lo, hi), key=lambda i: -weights[i])
+        stack[lo:hi] = [stack[i] for i in order]
+        weights[lo:hi] = [weights[i] for i in order]
+
+    sort_range(0, num_nearest)
+    sort_range(num_nearest, len(stack))
+
+    if close_matches == 0:
+        new_mv_context = min(total_matches, 1)  # 0, 1
+        ref_mv_context = total_matches  # 0, 1, 2
+    elif close_matches == 1:
+        new_mv_context = 3 - min(num_new, 1)  # 2, 3
+        ref_mv_context = 2 + total_matches  # 3, 4
+    else:
+        new_mv_context = 5 - min(num_new, 1)  # 4, 5
+        ref_mv_context = 5
+
+    num_mv_found = len(stack)
+    while len(stack) < 2:
+        stack.append((int(global_mv[0]), int(global_mv[1])))
+        weights.append(0)
+
+    # clamp (spec 7.10.2.14)
+    row_border = MV_BORDER + bh4 * 32
+    col_border = MV_BORDER + bw4 * 32
+    mb_top = -(mi_row * 32)
+    mb_bottom = (grid.rows - bh4 - mi_row) * 32
+    mb_left = -(mi_col * 32)
+    mb_right = (grid.cols - bw4 - mi_col) * 32
+    for i in range(len(stack)):
+        r, c = stack[i]
+        r = max(mb_top - row_border, min(mb_bottom + row_border, r))
+        c = max(mb_left - col_border, min(mb_right + col_border, c))
+        stack[i] = (r, c)
+
+    return MvStackResult(
+        stack=stack,
+        weights=weights,
+        num_mv_found=num_mv_found,
+        new_mv_context=new_mv_context,
+        ref_mv_context=ref_mv_context,
+        zero_mv_context=zero_mv_context,
+    )
+
+
+# -- neighbor-derived coding contexts ----------------------------------------
+
+
+def intra_inter_ctx(grid: MiGrid, mi_row: int, mi_col: int) -> int:
+    """Context for the is_inter bit (libaom av1_get_intra_inter_context)."""
+    has_above = mi_row > 0
+    has_left = mi_col > 0
+    above_intra = has_above and grid.ref[mi_row - 1, mi_col] == INTRA_FRAME
+    left_intra = has_left and grid.ref[mi_row, mi_col - 1] == INTRA_FRAME
+    if has_above and has_left:
+        if above_intra and left_intra:
+            return 3
+        return 1 if (above_intra or left_intra) else 0
+    if has_above or has_left:
+        return 2 * int(above_intra or left_intra)
+    return 0
+
+
+def neighbor_ref_counts(grid: MiGrid, mi_row: int, mi_col: int) -> np.ndarray:
+    """Counts of each RefFrame among the direct above/left neighbors."""
+    counts = np.zeros(8, np.int32)
+    if mi_row > 0:
+        r = int(grid.ref[mi_row - 1, mi_col])
+        if r > INTRA_FRAME:
+            counts[r] += 1
+    if mi_col > 0:
+        r = int(grid.ref[mi_row, mi_col - 1])
+        if r > INTRA_FRAME:
+            counts[r] += 1
+    return counts
+
+
+def _balance_ctx(c0: int, c1: int) -> int:
+    return 1 if c0 == c1 else (0 if c0 < c1 else 2)
+
+
+def single_ref_ctxs(counts: np.ndarray) -> dict:
+    """Contexts for single_ref_p1..p6 (libaom av1_get_pred_context_*)."""
+    fwd = int(counts[LAST_FRAME] + counts[LAST2_FRAME] + counts[LAST3_FRAME] + counts[GOLDEN_FRAME])
+    bwd = int(counts[BWDREF_FRAME] + counts[ALTREF2_FRAME] + counts[ALTREF_FRAME])
+    return {
+        1: _balance_ctx(fwd, bwd),
+        2: _balance_ctx(int(counts[BWDREF_FRAME] + counts[ALTREF2_FRAME]), int(counts[ALTREF_FRAME])),
+        3: _balance_ctx(int(counts[LAST_FRAME] + counts[LAST2_FRAME]), int(counts[LAST3_FRAME] + counts[GOLDEN_FRAME])),
+        4: _balance_ctx(int(counts[LAST_FRAME]), int(counts[LAST2_FRAME])),
+        5: _balance_ctx(int(counts[LAST3_FRAME]), int(counts[GOLDEN_FRAME])),
+        6: _balance_ctx(int(counts[BWDREF_FRAME]), int(counts[ALTREF2_FRAME])),
+    }

@@ -10,6 +10,8 @@ import numpy as np
 
 from rav1e_tpu.models.intra_frame import IntraFrameEncoder
 from rav1e_tpu.obu.headers import (
+    INTER_FRAME,
+    PRIMARY_REF_NONE,
     FrameParams,
     Sequence,
     temporal_delimiter,
@@ -29,7 +31,20 @@ class FrameEncoder:
             subsampling_y=enc_config.chroma_sampling[1],
         )
         self.frame_count = 0
-        self.last_recon = None
+        self.last_recon = None  # decoder-visible LAST reference planes
+
+    def frame_type_for(self, frameno: int) -> str:
+        kf_int = self.cfg.max_key_frame_interval or 240
+        if self.last_recon is None or (frameno % kf_int) == 0:
+            return "key"
+        return "inter"
+
+    def encode_frame(self, frame, frameno: int) -> tuple:
+        """Returns (packet_bytes, frame_type)."""
+        ftype = self.frame_type_for(frameno)
+        if ftype == "key":
+            return self.encode_key_frame(frame), "key"
+        return self.encode_inter_frame(frame), "inter"
 
     def encode_key_frame(self, frame) -> bytes:
         q = self.cfg.quantizer
@@ -52,6 +67,38 @@ class FrameEncoder:
         )
         out = temporal_delimiter()
         out += write_sequence_header_obu(self.seq)
+        out += write_frame_obu(self.seq, fp, tile)
+        self.frame_count += 1
+        return out
+
+    def encode_inter_frame(self, frame) -> bytes:
+        from rav1e_tpu.models.inter_frame import InterFrameEncoder
+
+        q = self.cfg.quantizer
+        fe = InterFrameEncoder(
+            self.cfg.width,
+            self.cfg.height,
+            q_idx=q,
+            refs=self.last_recon,
+            bit_depth=self.cfg.bit_depth,
+            adapt_cdf=True,
+            speed=self.cfg.speed_settings.speed,
+        )
+        planes = [p.window() for p in frame.planes]
+        tile, recon = fe.encode(planes)
+        self.last_recon = recon
+
+        fp = FrameParams(
+            frame_type=INTER_FRAME,
+            base_q_idx=q,
+            disable_cdf_update=False,
+            order_hint=self.frame_count & 0x7F,
+            # all 8 slots refreshed each frame; every ref name maps slot 0
+            refresh_frame_flags=0xFF,
+            ref_frame_idx=(0, 0, 0, 0, 0, 0, 0),
+            primary_ref_frame=PRIMARY_REF_NONE,
+        )
+        out = temporal_delimiter()
         out += write_frame_obu(self.seq, fp, tile)
         self.frame_count += 1
         return out
