@@ -75,6 +75,26 @@ class CdfContext:
                 arr = table.copy()
             setattr(self, name, arr)
 
+    def copy(self, reset_counters: bool = False) -> "CdfContext":
+        """Deep copy of the adaptive state (for primary_ref_frame
+        inheritance and for RD checkpointing).  reset_counters mirrors the
+        decoder's frame-end CDF save, which zeroes every row's adaptation
+        counter (the slot after the terminating 0) while keeping the
+        probabilities."""
+        new = object.__new__(CdfContext)
+        for k, v in self.__dict__.items():
+            if not isinstance(v, np.ndarray):
+                new.__dict__[k] = v
+                continue
+            c = v.copy()
+            if reset_counters and c.ndim >= 1 and c.shape[-1] >= 2:
+                flat = c.reshape(-1, c.shape[-1])
+                first_zero = (flat == 0).argmax(axis=1)
+                cols = np.arange(flat.shape[1])[None, :]
+                flat[cols > first_zero[:, None]] = 0
+            new.__dict__[k] = c
+        return new
+
     @staticmethod
     def q_context(base_q_idx: int) -> int:
         """spec: coefficient CDF selection by quantizer (get_q_ctx)."""

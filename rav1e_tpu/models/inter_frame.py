@@ -38,10 +38,10 @@ class InterFrameEncoder(IntraFrameEncoder):
     planes of the reference at the REAL frame size (the decoder's ref)."""
 
     def __init__(self, width, height, q_idx, refs, bit_depth=8, adapt_cdf=True,
-                 speed=6, use_native=True):
+                 speed=6, use_native=True, init_cdf=None):
         super().__init__(width, height, q_idx, bit_depth=bit_depth,
                          adapt_cdf=adapt_cdf, speed=speed, use_native=use_native,
-                         device_modes=False)
+                         device_modes=False, init_cdf=init_cdf)
         self.refs = [np.asarray(p, np.int32) for p in refs]
         self.rdo_partition = False  # inter partition RD lands next milestone
         self.me_range = 16  # full-pel search radius (px)
@@ -158,6 +158,31 @@ class InterFrameEncoder(IntraFrameEncoder):
             lv_u, dq_u = self._code_inter_tx(1, cx, cy, cw, ch, pred_u)
             lv_v, dq_v = self._code_inter_tx(2, cx, cy, cw, ch, pred_v)
         skip = not (lv_y.any() or lv_u.any() or lv_v.any())
+
+        # skip-vs-code RD: is the residual worth its rate?
+        if is_inter and not skip:
+            dist_code = 0
+            dist_skip = 0
+            rate = 0.0
+            for plane, (px, py, tw, th, pred, lv, dq) in (
+                (0, (x, y, bw, bh, pred_y, lv_y, dq_y)),
+                (1, (cx, cy, cw, ch, pred_u, lv_u, dq_u)),
+                (2, (cx, cy, cw, ch, pred_v, lv_v, dq_v)),
+            ):
+                src = self.src[plane][py : py + th, px : px + tw].astype(np.int64)
+                resid = tf.inverse_transform_native(dq, tf.DCT_DCT, self.bd)
+                coded = np.clip(pred + resid, 0, (1 << self.bd) - 1)
+                d = coded - src
+                dist_code += int((d * d).sum())
+                d0 = pred.astype(np.int64) - src
+                dist_skip += int((d0 * d0).sum())
+                if lv.any():
+                    rate += self._trial_rate_txb(plane, px, py, tw, th, lv, 0)
+            if dist_skip + self.lam * 2.0 < dist_code + self.lam * rate:
+                skip = True
+                lv_y = np.zeros_like(lv_y)
+                lv_u = np.zeros_like(lv_u)
+                lv_v = np.zeros_like(lv_v)
 
         # --- mode info ---
         # skip_mode_present == 0 -> no skip_mode symbol

@@ -81,7 +81,8 @@ class IntraFrameEncoder:
 
     def __init__(self, width: int, height: int, q_idx: int, bit_depth: int = 8,
                  adapt_cdf: bool = True, speed: int = 6, use_native: bool = True,
-                 device_modes: bool | None = None):
+                 device_modes: bool | None = None, init_cdf=None):
+        self.init_cdf = init_cdf  # primary-ref CDF inheritance (None: defaults)
         self.use_native = use_native
         self.out_w = width
         self.out_h = height
@@ -129,7 +130,11 @@ class IntraFrameEncoder:
             a[ph:, :] = a[ph - 1 : ph, :]
             self.src.append(a)
         self.rec = [np.zeros_like(s) for s in self.src]
-        self.cdf = CdfContext(self.q)
+        self.cdf = (
+            self.init_cdf.copy(reset_counters=True)
+            if self.init_cdf is not None
+            else CdfContext(self.q)
+        )
         if self.use_native:
             from rav1e_tpu.ec.native import NativeMsacEncoder
 

@@ -32,6 +32,7 @@ class FrameEncoder:
         )
         self.frame_count = 0
         self.last_recon = None  # decoder-visible LAST reference planes
+        self.ref_cdf = None  # end-of-frame adapted CDFs saved in ref slot 0
 
     def frame_type_for(self, frameno: int) -> str:
         kf_int = self.cfg.max_key_frame_interval or 240
@@ -59,6 +60,7 @@ class FrameEncoder:
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
         self.last_recon = recon
+        self.ref_cdf = fe.cdf
 
         fp = FrameParams(
             base_q_idx=q,
@@ -83,10 +85,12 @@ class FrameEncoder:
             bit_depth=self.cfg.bit_depth,
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
+            init_cdf=self.ref_cdf,
         )
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
         self.last_recon = recon
+        self.ref_cdf = fe.cdf
 
         fp = FrameParams(
             frame_type=INTER_FRAME,
@@ -96,7 +100,8 @@ class FrameEncoder:
             # all 8 slots refreshed each frame; every ref name maps slot 0
             refresh_frame_flags=0xFF,
             ref_frame_idx=(0, 0, 0, 0, 0, 0, 0),
-            primary_ref_frame=PRIMARY_REF_NONE,
+            # CDFs (and filter deltas) inherit from LAST = ref_frame_idx[0]
+            primary_ref_frame=0,
         )
         out = temporal_delimiter()
         out += write_frame_obu(self.seq, fp, tile)

@@ -34,15 +34,16 @@ def tx_scale(w: int, h: int) -> int:
 def quantize(coeffs: np.ndarray, dc: int, ac: int, w: int, h: int) -> np.ndarray:
     """coeffs: (h, w) int32 from forward_transform.  Returns levels (h, w).
 
-    Deadzone quantizer: bias ~ 21/32 of a step toward zero (matches the
-    reference encoder's default rounding strength)."""
+    Deadzone quantizer: bias 13/32 of a step (tuned empirically on this
+    encoder: dominates 21/32 and round-half on both size and PSNR for intra
+    and inter; see PROGRESS notes 2026-08-16)."""
     shift = tx_scale(w, h)
     q = np.full(coeffs.shape, ac, dtype=np.int64)
     q.flat[0] = dc
     x = coeffs.astype(np.int64) << shift
     sign = np.sign(x)
     mag = np.abs(x)
-    bias = (q * 21) >> 5
+    bias = (q * 13) >> 5
     level = (mag + bias) // q
     # clamp level magnitude to the coded range
     level = np.minimum(level, (1 << 15) - 1)
