@@ -38,10 +38,12 @@ class InterFrameEncoder(IntraFrameEncoder):
     planes of the reference at the REAL frame size (the decoder's ref)."""
 
     def __init__(self, width, height, q_idx, refs, bit_depth=8, adapt_cdf=True,
-                 speed=6, use_native=True, init_cdf=None):
+                 speed=6, use_native=True, init_cdf=None,
+                 lf_levels=(0, 0, 0, 0), lf_sharpness=0):
         super().__init__(width, height, q_idx, bit_depth=bit_depth,
                          adapt_cdf=adapt_cdf, speed=speed, use_native=use_native,
-                         device_modes=False, init_cdf=init_cdf)
+                         device_modes=False, init_cdf=init_cdf,
+                         lf_levels=lf_levels, lf_sharpness=lf_sharpness)
         self.refs = [np.asarray(p, np.int32) for p in refs]
         self.rdo_partition = False  # inter partition RD lands next milestone
         self.me_range = 16  # full-pel search radius (px)
@@ -183,6 +185,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                 lv_y = np.zeros_like(lv_y)
                 lv_u = np.zeros_like(lv_u)
                 lv_v = np.zeros_like(lv_v)
+
+        self.db_info.set_block(x, y, bw, bh, skip)
 
         # --- mode info ---
         # skip_mode_present == 0 -> no skip_mode symbol

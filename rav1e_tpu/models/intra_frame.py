@@ -81,8 +81,11 @@ class IntraFrameEncoder:
 
     def __init__(self, width: int, height: int, q_idx: int, bit_depth: int = 8,
                  adapt_cdf: bool = True, speed: int = 6, use_native: bool = True,
-                 device_modes: bool | None = None, init_cdf=None):
+                 device_modes: bool | None = None, init_cdf=None,
+                 lf_levels=(0, 0, 0, 0), lf_sharpness: int = 0):
         self.init_cdf = init_cdf  # primary-ref CDF inheritance (None: defaults)
+        self.lf_levels = tuple(lf_levels)
+        self.lf_sharpness = lf_sharpness
         self.use_native = use_native
         self.out_w = width
         self.out_h = height
@@ -167,6 +170,9 @@ class IntraFrameEncoder:
             except Exception:
                 self._mode_maps = None
 
+        from rav1e_tpu.ops.deblock_np import DeblockInfo
+
+        self.db_info = DeblockInfo(self.h // 4, self.w // 4)
         self._pre_encode()
         self._pending = {}
         sb = 64
@@ -174,6 +180,11 @@ class IntraFrameEncoder:
             for sx in range(0, self.coded_w, sb):
                 self._partition(sx, sy, 64)
         data = self.enc.done()
+        if any(self.lf_levels):
+            from rav1e_tpu.ops.deblock_np import deblock_frame
+
+            deblock_frame(self.rec, self.db_info, self.lf_levels,
+                          self.lf_sharpness, self.bd, self.coded_w, self.coded_h)
         recon = [
             self.rec[0][: self.out_h, : self.out_w],
             self.rec[1][: (self.out_h + 1) >> 1, : (self.out_w + 1) >> 1],
@@ -438,6 +449,8 @@ class IntraFrameEncoder:
             pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, uv_mode)
             pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, uv_mode)
             skip = not (lv_y.any() or lv_u.any() or lv_v.any())
+
+        self.db_info.set_block(x, y, bw, bh, skip)
 
         # --- mode info ---
         skip_ctx = int(self.above_skip[mc] + self.left_skip[mr])

@@ -34,6 +34,15 @@ class FrameEncoder:
         self.last_recon = None  # decoder-visible LAST reference planes
         self.ref_cdf = None  # end-of-frame adapted CDFs saved in ref slot 0
 
+    def lf_levels_for(self, q_idx: int) -> tuple:
+        """Deblock filter level from quantizer (reference analog: the
+        from-q level model used at fast speeds, src/deblock.rs)."""
+        from rav1e_tpu.ops import quantize_np as qz
+
+        q = qz.ac_q(q_idx, 0, self.cfg.bit_depth) >> (self.cfg.bit_depth - 8)
+        lvl = int(np.clip((q * 20723 + 1015158 + (1 << 17)) >> 18, 0, 63))
+        return (lvl, lvl, lvl, lvl)
+
     def frame_type_for(self, frameno: int) -> str:
         kf_int = self.cfg.max_key_frame_interval or 240
         if self.last_recon is None or (frameno % kf_int) == 0:
@@ -49,6 +58,7 @@ class FrameEncoder:
 
     def encode_key_frame(self, frame) -> bytes:
         q = self.cfg.quantizer
+        lf = self.lf_levels_for(q)
         fe = IntraFrameEncoder(
             self.cfg.width,
             self.cfg.height,
@@ -56,6 +66,7 @@ class FrameEncoder:
             bit_depth=self.cfg.bit_depth,
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
+            lf_levels=lf,
         )
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
@@ -66,6 +77,7 @@ class FrameEncoder:
             base_q_idx=q,
             disable_cdf_update=False,
             order_hint=self.frame_count & 0x7F,
+            loop_filter_levels=lf,
         )
         out = temporal_delimiter()
         out += write_sequence_header_obu(self.seq)
@@ -77,6 +89,7 @@ class FrameEncoder:
         from rav1e_tpu.models.inter_frame import InterFrameEncoder
 
         q = self.cfg.quantizer
+        lf = self.lf_levels_for(q)
         fe = InterFrameEncoder(
             self.cfg.width,
             self.cfg.height,
@@ -86,6 +99,7 @@ class FrameEncoder:
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
             init_cdf=self.ref_cdf,
+            lf_levels=lf,
         )
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
@@ -97,6 +111,7 @@ class FrameEncoder:
             base_q_idx=q,
             disable_cdf_update=False,
             order_hint=self.frame_count & 0x7F,
+            loop_filter_levels=lf,
             # all 8 slots refreshed each frame; every ref name maps slot 0
             refresh_frame_flags=0xFF,
             ref_frame_idx=(0, 0, 0, 0, 0, 0, 0),
