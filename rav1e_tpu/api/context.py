@@ -107,5 +107,43 @@ class Context:
             from rav1e_tpu.models.pipeline import FrameEncoder
 
             self._encoder = FrameEncoder(self.enc)
-        data, ftype = self._encoder.encode_frame(frame, frameno)
+            if self.enc.speed_settings.no_scene_detection:
+                self._sc = None
+            else:
+                from rav1e_tpu.api.scenechange import SceneChangeDetector
+
+                self._sc = SceneChangeDetector(
+                    bit_depth=self.enc.bit_depth,
+                    min_len=self.enc.min_key_frame_interval,
+                    max_len=self.enc.max_key_frame_interval,
+                )
+            if self.enc.bitrate > 0:
+                from rav1e_tpu.api.rate import RCState
+
+                num, den = self.enc.time_base
+                self._rc = RCState(
+                    width=self.enc.width,
+                    height=self.enc.height,
+                    bit_depth=self.enc.bit_depth,
+                    target_bitrate=self.enc.bitrate,
+                    fps=den / num,
+                    min_q=max(1, self.enc.min_quantizer),
+                )
+            else:
+                self._rc = None
+        ftype = self._frame_type(frameno, frame)
+        q_idx = None
+        if self._rc is not None:
+            q_idx = self._rc.select_qi(ftype)
+        data, ftype = self._encoder.encode_frame(frame, frameno, q_idx, ftype)
+        if self._rc is not None:
+            self._rc.update(ftype, q_idx, len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype)
+
+    def _frame_type(self, frameno: int, frame) -> str:
+        if self._sc is None:
+            return self._encoder.frame_type_for(frameno)
+        is_cut = self._sc.analyze(frame.planes[0].window())
+        if frameno == 0 or is_cut:
+            return "key"
+        return "inter"

@@ -82,10 +82,12 @@ class IntraFrameEncoder:
     def __init__(self, width: int, height: int, q_idx: int, bit_depth: int = 8,
                  adapt_cdf: bool = True, speed: int = 6, use_native: bool = True,
                  device_modes: bool | None = None, init_cdf=None,
-                 lf_levels=(0, 0, 0, 0), lf_sharpness: int = 0):
+                 lf_levels=(0, 0, 0, 0), lf_sharpness: int = 0,
+                 cdef_damping: int = 0):
         self.init_cdf = init_cdf  # primary-ref CDF inheritance (None: defaults)
         self.lf_levels = tuple(lf_levels)
         self.lf_sharpness = lf_sharpness
+        self.cdef_damping = cdef_damping  # 0: CDEF off; 3..6 per spec
         self.use_native = use_native
         self.out_w = width
         self.out_h = height
@@ -185,6 +187,16 @@ class IntraFrameEncoder:
 
             deblock_frame(self.rec, self.db_info, self.lf_levels,
                           self.lf_sharpness, self.bd, self.coded_w, self.coded_h)
+        self.cdef_strengths = None
+        if self.cdef_damping:
+            self.cdef_strengths = self._cdef_search()
+            y_s, uv_s = self.cdef_strengths
+            from rav1e_tpu.ops.cdef_jax import cdef_frame_device as cdef_frame
+
+            cdef_frame(self.rec, self.db_info.skip,
+                       y_s >> 2, [0, 1, 2, 4][y_s & 3],
+                       uv_s >> 2, [0, 1, 2, 4][uv_s & 3],
+                       self.cdef_damping, self.bd, self.coded_w, self.coded_h)
         recon = [
             self.rec[0][: self.out_h, : self.out_w],
             self.rec[1][: (self.out_h + 1) >> 1, : (self.out_w + 1) >> 1],
@@ -194,6 +206,87 @@ class IntraFrameEncoder:
 
     def _pre_encode(self) -> None:
         """Hook for subclasses (inter: mi-grid MV state init)."""
+
+    def _cdef_search(self) -> tuple:
+        """Pick one (luma, chroma) CDEF strength pair for the frame
+        (cdef_bits=0) by SSE vs source on sampled 8x8 blocks.
+        Reference analog: rdo_loop_decision's CDEF strength search."""
+        from rav1e_tpu.ops import cdef_np as cd
+
+        pad = 3
+        w, h = self.coded_w, self.coded_h
+        src_pad = []
+        for p, plane in enumerate(self.rec):
+            sub = 0 if p == 0 else 1
+            s = np.full(((h >> sub) + 2 * pad, (w >> sub) + 2 * pad),
+                        cd.CDEF_VERY_LARGE, np.int32)
+            s[pad : pad + (h >> sub), pad : pad + (w >> sub)] = plane[: h >> sub, : w >> sub]
+            src_pad.append(s)
+        # stratified sample of non-skip 8x8 blocks
+        blocks = []
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                if not self.db_info.skip[by // 4 : by // 4 + 2, bx // 4 : bx // 4 + 2].all():
+                    blocks.append((by, bx))
+        if not blocks:
+            return (0, 0)
+        step = max(1, len(blocks) // 96)
+        sample = blocks[::step]
+        dirs = {}
+        for by, bx in sample:
+            dirs[(by, bx)] = cd.find_dir_block(
+                src_pad[0][pad + by : pad + by + 8, pad + bx : pad + bx + 8], self.bd
+            )
+
+        def sse_y(pri, sec):
+            total = 0
+            for by, bx in sample:
+                d, var = dirs[(by, bx)]
+                pa = cd.adjust_strength(pri << (self.bd - 8), var) if pri else 0
+                if pa or sec:
+                    out = cd.cdef_filter_block(
+                        src_pad[0], by, bx, 8, 8, pa, sec << (self.bd - 8),
+                        self.cdef_damping, d, self.bd, pad)
+                else:
+                    out = src_pad[0][pad + by : pad + by + 8, pad + bx : pad + bx + 8]
+                ref = self.src[0][by : by + 8, bx : bx + 8]
+                diff = out.astype(np.int64) - ref
+                total += int((diff * diff).sum())
+            return total
+
+        def sse_uv(pri, sec):
+            total = 0
+            for by, bx in sample:
+                d, _ = dirs[(by, bx)]
+                cy, cx = by >> 1, bx >> 1
+                for p in (1, 2):
+                    if pri or sec:
+                        out = cd.cdef_filter_block(
+                            src_pad[p], cy, cx, 4, 4, pri << (self.bd - 8),
+                            sec << (self.bd - 8), self.cdef_damping - 1, d,
+                            self.bd, pad)
+                    else:
+                        out = src_pad[p][pad + cy : pad + cy + 4, pad + cx : pad + cx + 4]
+                    ref = self.src[p][cy : cy + 4, cx : cx + 4]
+                    diff = out.astype(np.int64) - ref
+                    total += int((diff * diff).sum())
+            return total
+
+        best_y, best_cost = 0, None
+        for pri in (0, 1, 2, 4):
+            for sec in (0, 2):
+                cost = sse_y(pri, sec)
+                code = (pri << 2) | (3 if sec == 4 else sec)
+                if best_cost is None or cost < best_cost:
+                    best_y, best_cost = code, cost
+        best_uv, best_cost = 0, None
+        for pri in (0, 1, 2):
+            for sec in (0,):
+                cost = sse_uv(pri, sec)
+                code = (pri << 2) | sec
+                if best_cost is None or cost < best_cost:
+                    best_uv, best_cost = code, cost
+        return (best_y, best_uv)
 
     # -- partition tree ------------------------------------------------------
 

@@ -29,6 +29,7 @@ class FrameEncoder:
             bit_depth=enc_config.bit_depth,
             subsampling_x=enc_config.chroma_sampling[0],
             subsampling_y=enc_config.chroma_sampling[1],
+            enable_cdef=enc_config.speed_settings.cdef,
         )
         self.frame_count = 0
         self.last_recon = None  # decoder-visible LAST reference planes
@@ -49,16 +50,26 @@ class FrameEncoder:
             return "key"
         return "inter"
 
-    def encode_frame(self, frame, frameno: int) -> tuple:
+    def encode_frame(self, frame, frameno: int, q_idx: int | None = None,
+                     ftype: str | None = None) -> tuple:
         """Returns (packet_bytes, frame_type)."""
-        ftype = self.frame_type_for(frameno)
+        if ftype is None:
+            ftype = self.frame_type_for(frameno)
+        elif ftype == "inter" and self.last_recon is None:
+            ftype = "key"
         if ftype == "key":
-            return self.encode_key_frame(frame), "key"
-        return self.encode_inter_frame(frame), "inter"
+            return self.encode_key_frame(frame, q_idx), "key"
+        return self.encode_inter_frame(frame, q_idx), "inter"
 
-    def encode_key_frame(self, frame) -> bytes:
-        q = self.cfg.quantizer
+    def cdef_damping_for(self, q_idx: int) -> int:
+        if not self.seq.enable_cdef:
+            return 0
+        return 3 + (q_idx >> 6)
+
+    def encode_key_frame(self, frame, q_idx: int | None = None) -> bytes:
+        q = self.cfg.quantizer if q_idx is None else q_idx
         lf = self.lf_levels_for(q)
+        damping = self.cdef_damping_for(q)
         fe = IntraFrameEncoder(
             self.cfg.width,
             self.cfg.height,
@@ -67,6 +78,7 @@ class FrameEncoder:
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
             lf_levels=lf,
+            cdef_damping=damping,
         )
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
@@ -79,17 +91,23 @@ class FrameEncoder:
             order_hint=self.frame_count & 0x7F,
             loop_filter_levels=lf,
         )
+        if fe.cdef_strengths is not None:
+            fp.cdef_damping = damping
+            fp.cdef_bits = 0
+            fp.cdef_y_strengths = (fe.cdef_strengths[0],)
+            fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
         out = temporal_delimiter()
         out += write_sequence_header_obu(self.seq)
         out += write_frame_obu(self.seq, fp, tile)
         self.frame_count += 1
         return out
 
-    def encode_inter_frame(self, frame) -> bytes:
+    def encode_inter_frame(self, frame, q_idx: int | None = None) -> bytes:
         from rav1e_tpu.models.inter_frame import InterFrameEncoder
 
-        q = self.cfg.quantizer
+        q = self.cfg.quantizer if q_idx is None else q_idx
         lf = self.lf_levels_for(q)
+        damping = self.cdef_damping_for(q)
         fe = InterFrameEncoder(
             self.cfg.width,
             self.cfg.height,
@@ -100,6 +118,7 @@ class FrameEncoder:
             speed=self.cfg.speed_settings.speed,
             init_cdf=self.ref_cdf,
             lf_levels=lf,
+            cdef_damping=damping,
         )
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
@@ -118,6 +137,11 @@ class FrameEncoder:
             # CDFs (and filter deltas) inherit from LAST = ref_frame_idx[0]
             primary_ref_frame=0,
         )
+        if fe.cdef_strengths is not None:
+            fp.cdef_damping = damping
+            fp.cdef_bits = 0
+            fp.cdef_y_strengths = (fe.cdef_strengths[0],)
+            fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
         out = temporal_delimiter()
         out += write_frame_obu(self.seq, fp, tile)
         self.frame_count += 1

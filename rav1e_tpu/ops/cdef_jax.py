@@ -1,0 +1,186 @@
+"""Device (TPU) CDEF: whole-frame direction estimation + filtering in one
+jitted XLA graph.
+
+Mirrors cdef_np.cdef_frame_batched bit-exactly (asserted by
+tests/test_cdef_conformance.py::test_device_equals_host).  The direction
+costs are 64->15 matmuls over all 8x8 blocks (MXU-friendly); the filter is
+96 statically-shifted tap adds fused by XLA.  Strength parameters are traced
+so one compile per resolution serves every frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from rav1e_tpu.ops.cdef_np import (
+    CDEF_DIRECTIONS,
+    CDEF_VERY_LARGE,
+    DIV_TABLE,
+    PRI_TAPS,
+    SEC_TAPS,
+    _bin_mats,
+    _D0_DIV,
+    _ODD_LENS,
+)
+
+_jax = None
+
+
+def _get_jax():
+    global _jax
+    if _jax is None:
+        import jax
+
+        _jax = jax
+    return _jax
+
+
+def _find_dir_all_jnp(jnp, plane, bd, h, w):
+    nby, nbx = h // 8, w // 8
+    x = (plane[:h, :w].astype(jnp.int32) >> (bd - 8)) - 128
+    blocks = x.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+    mats = _bin_mats()
+    costs = []
+    for d in range(8):
+        partial_ = blocks @ jnp.asarray(mats[d].T, jnp.int32)  # [nb, nbins]
+        p64 = partial_.astype(jnp.int64)
+        if d in (0, 4):
+            c = (p64**2 * jnp.asarray(_D0_DIV)[None, :]).sum(axis=1)
+        elif d in (2, 6):
+            c = (p64**2).sum(axis=1) * 105
+        else:
+            c = (p64**2 * jnp.asarray(DIV_TABLE[_ODD_LENS])[None, :]).sum(axis=1)
+        costs.append(c)
+    costs = jnp.stack(costs)  # [8, nb]
+    best = costs.argmax(axis=0)
+    nb = costs.shape[1]
+    idx = jnp.arange(nb)
+    var = (costs[best, idx] - costs[(best + 4) & 7, idx]) >> 10
+    return best.reshape(nby, nbx).astype(jnp.int32), var.reshape(nby, nbx)
+
+
+def _adjust_vec_jnp(jnp, strength, var):
+    """strength: traced scalar; var: array."""
+    v6 = var >> 6
+    i = jnp.minimum(jnp.where(v6 > 0, jnp.log2(jnp.maximum(v6, 1).astype(jnp.float32)).astype(jnp.int32), 0), 12)
+    out = (strength * (4 + i) + 8) >> 4
+    return jnp.where((var > 0) & (strength > 0), out, 0)
+
+
+def _constrain_jnp(jnp, diff, strength, damping):
+    a = jnp.abs(diff)
+    bl = jnp.where(strength > 0,
+                   jnp.log2(jnp.maximum(strength, 1).astype(jnp.float32)).astype(jnp.int32), 0)
+    shift = jnp.maximum(0, damping - bl)
+    v = jnp.minimum(a, jnp.maximum(0, strength - (a >> shift)))
+    return jnp.where(strength > 0, jnp.sign(diff) * v, 0)
+
+
+def _filter_plane_jnp(jnp, plane, dirs, pri_map, sec, damping, bd, w, h, active, sub):
+    bs = 8 >> sub
+    pad = 3
+    src = jnp.full((h + 2 * pad, w + 2 * pad), CDEF_VERY_LARGE, jnp.int32)
+    src = src.at[pad : pad + h, pad : pad + w].set(plane[:h, :w].astype(jnp.int32))
+    x = src[pad : pad + h, pad : pad + w]
+
+    rep = lambda m: jnp.repeat(jnp.repeat(m, bs, 0), bs, 1)[:h, :w]
+    pri_px = rep(pri_map)
+    act_px = rep(active)
+    dir_px = rep(dirs)
+
+    summ = jnp.zeros((h, w), jnp.int32)
+    mx = x
+    mn = x
+
+    def tap(dy, dx):
+        return src[pad + dy : pad + dy + h, pad + dx : pad + dx + w]
+
+    tap_parity = (pri_px >> (bd - 8)) & 1
+    for d in range(8):
+        dmask = dir_px == d
+        for k in range(2):
+            dy, dx = int(CDEF_DIRECTIONS[d][k][0]), int(CDEF_DIRECTIONS[d][k][1])
+            for s in (1, -1):
+                p = tap(s * dy, s * dx)
+                tap_w = jnp.where(tap_parity == 1, PRI_TAPS[1][k], PRI_TAPS[0][k])
+                contrib = tap_w * _constrain_jnp(jnp, p - x, pri_px, damping)
+                summ = summ + jnp.where(dmask, contrib, 0)
+                valid = dmask & (p != CDEF_VERY_LARGE) & (pri_px > 0)
+                mx = jnp.where(valid, jnp.maximum(mx, p), mx)
+                mn = jnp.where(valid, jnp.minimum(mn, p), mn)
+        for d2 in ((d + 2) & 7, (d + 6) & 7):
+            for k in range(2):
+                dy, dx = int(CDEF_DIRECTIONS[d2][k][0]), int(CDEF_DIRECTIONS[d2][k][1])
+                for s in (1, -1):
+                    p = tap(s * dy, s * dx)
+                    contrib = SEC_TAPS[k] * _constrain_jnp(jnp, p - x, sec, damping)
+                    summ = summ + jnp.where(dmask, contrib, 0)
+                    valid = dmask & (p != CDEF_VERY_LARGE) & (sec > 0)
+                    mx = jnp.where(valid, jnp.maximum(mx, p), mx)
+                    mn = jnp.where(valid, jnp.minimum(mn, p), mn)
+
+    out = x + ((8 + summ - (summ < 0)) >> 4)
+    out = jnp.clip(out, mn, mx)
+    write = act_px & ((pri_px > 0) | (sec > 0))
+    return jnp.where(write, out, plane[:h, :w])
+
+
+def _make_kernel(bd: int, coded_w: int, coded_h: int):
+    jax = _get_jax()
+    jnp = jax.numpy
+
+    @partial(jax.jit, static_argnames=("damping",))
+    def kernel(y, u, v, skip, y_pri, y_sec, uv_pri, uv_sec, damping):
+        nby, nbx = coded_h // 8, coded_w // 8
+        dirs, var = _find_dir_all_jnp(jnp, y, bd, coded_h, coded_w)
+        s4 = skip[: nby * 2, : nbx * 2].reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3)
+        active = ~s4.reshape(nby, nbx, 4).all(axis=2)
+        scale = bd - 8
+        pri_map = _adjust_vec_jnp(jnp, y_pri << scale, var)
+        y_out = _filter_plane_jnp(jnp, y, dirs, pri_map, y_sec << scale,
+                                  damping, bd, coded_w, coded_h, active, 0)
+        uv_map = jnp.full(dirs.shape, uv_pri << scale, jnp.int32)
+        u_out = _filter_plane_jnp(jnp, u, dirs, uv_map, uv_sec << scale,
+                                  damping - 1, bd, coded_w >> 1, coded_h >> 1,
+                                  active, 1)
+        v_out = _filter_plane_jnp(jnp, v, dirs, uv_map, uv_sec << scale,
+                                  damping - 1, bd, coded_w >> 1, coded_h >> 1,
+                                  active, 1)
+        return y_out, u_out, v_out
+
+    return kernel
+
+
+_KERNELS: dict = {}
+
+
+def cdef_frame_device(rec, skip, y_pri, y_sec, uv_pri, uv_sec, damping, bd,
+                      coded_w, coded_h) -> None:
+    """Device CDEF, in-place on the host arrays.  Falls back to the NumPy
+    batched path if no device backend is usable."""
+    if (y_pri | y_sec | uv_pri | uv_sec) == 0:
+        return
+    try:
+        key = (bd, coded_w, coded_h)
+        k = _KERNELS.get(key)
+        if k is None:
+            k = _make_kernel(*key)
+            _KERNELS[key] = k
+        y, u, v = k(
+            rec[0][:coded_h, :coded_w].astype(np.int32),
+            rec[1][: coded_h >> 1, : coded_w >> 1].astype(np.int32),
+            rec[2][: coded_h >> 1, : coded_w >> 1].astype(np.int32),
+            np.asarray(skip, bool),
+            y_pri, y_sec, uv_pri, uv_sec, damping=damping,
+        )
+    except Exception:
+        from rav1e_tpu.ops.cdef_np import cdef_frame_batched
+
+        cdef_frame_batched(rec, skip, y_pri, y_sec, uv_pri, uv_sec, damping,
+                           bd, coded_w, coded_h)
+        return
+    rec[0][:coded_h, :coded_w] = np.asarray(y)
+    rec[1][: coded_h >> 1, : coded_w >> 1] = np.asarray(u)
+    rec[2][: coded_h >> 1, : coded_w >> 1] = np.asarray(v)

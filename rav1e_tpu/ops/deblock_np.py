@@ -124,21 +124,21 @@ def _filter_line(p, q, limit, blimit, thresh, size, bd):
             out_q[..., idx] = np.where(m8, val, out_q[..., idx])
 
     # --- filter14 (luma wide) -----------------------------------------------
-    # taps solved from libdav1d step responses (sliding 14-window with the
-    # leading pair doubled; every row sums to 16)
+    # taps solved from libdav1d responses: sliding window [i-6, i+6] with
+    # border clamp plus the {i-1, i, i+1} triple doubled; rows sum to 16
     m14 = mask & (size == 14) & flat8 & flat2
     if m14.any():
         o_p5 = _rpot(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0, 4)
-        o_p4 = _rpot(p6 * 6 + p5 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1, 4)
-        o_p3 = _rpot(p6 * 5 + p5 + p4 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1 + q2, 4)
-        o_p2 = _rpot(p6 * 4 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 + q0 + q1 + q2 + q3, 4)
-        o_p1 = _rpot(p6 * 3 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 + q1 + q2 + q3 + q4, 4)
-        o_p0 = _rpot(p6 * 2 + p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 + q2 + q3 + q4 + q5, 4)
-        o_q0 = _rpot(p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 + q2 + q3 + q4 + q5 + q6 * 2, 4)
-        o_q1 = _rpot(p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 + q3 + q4 + q5 + q6 * 3, 4)
-        o_q2 = _rpot(p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 + q4 + q5 + q6 * 4, 4)
-        o_q3 = _rpot(p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 + q5 + q6 * 5, 4)
-        o_q4 = _rpot(p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 + q6 * 6, 4)
+        o_p4 = _rpot(p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1, 4)
+        o_p3 = _rpot(p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1 + q2, 4)
+        o_p2 = _rpot(p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 + q1 + q2 + q3, 4)
+        o_p1 = _rpot(p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 + q1 + q2 + q3 + q4, 4)
+        o_p0 = _rpot(p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + q2 + q3 + q4 + q5, 4)
+        o_q0 = _rpot(p5 + p4 + p3 + p2 + p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2 + q3 + q4 + q5 + q6, 4)
+        o_q1 = _rpot(p4 + p3 + p2 + p1 + p0 + q0 * 2 + q1 * 2 + q2 * 2 + q3 + q4 + q5 + q6 * 2, 4)
+        o_q2 = _rpot(p3 + p2 + p1 + p0 + q0 + q1 * 2 + q2 * 2 + q3 * 2 + q4 + q5 + q6 * 3, 4)
+        o_q3 = _rpot(p2 + p1 + p0 + q0 + q1 + q2 * 2 + q3 * 2 + q4 * 2 + q5 + q6 * 4, 4)
+        o_q4 = _rpot(p1 + p0 + q0 + q1 + q2 + q3 * 2 + q4 * 2 + q5 * 2 + q6 * 5, 4)
         o_q5 = _rpot(p0 + q0 + q1 + q2 + q3 + q4 * 2 + q5 * 2 + q6 * 7, 4)
         for idx, val in ((-6, o_p5), (-5, o_p4), (-4, o_p3), (-3, o_p2), (-2, o_p1), (-1, o_p0)):
             out_p[..., idx] = np.where(m14, val, out_p[..., idx])

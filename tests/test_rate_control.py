@@ -1,0 +1,78 @@
+"""Rate control + scene detection behavior tests (reference analog: the
+rate/keyframe assertions of src/api/test.rs)."""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu.api.config import Config, EncoderConfig
+from rav1e_tpu.utils.frame import Frame
+
+
+def clip(w, h, n, cut_at=None, seed=0):
+    """Smooth panning scene; after cut_at, a visually different scene."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0 : h + 64, 0 : w + 64]
+    base1 = np.clip((xx + yy) % 200 + rng.integers(-6, 6, xx.shape), 0, 255).astype(np.uint8)
+    base2 = np.clip(255 - (2 * xx - yy) % 180 + rng.integers(-6, 6, xx.shape), 0, 255).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        src = base2 if (cut_at is not None and t >= cut_at) else base1
+        y = src[t : t + h, 2 * t : 2 * t + w]
+        u = src[: h // 2, : w // 2]
+        v = src[1 : 1 + h // 2, 1 : 1 + w // 2]
+        frames.append(Frame.from_planes(y, u, v))
+    return frames
+
+
+def encode_all(cfg, frames):
+    ctx = Config(enc=cfg).new_context()
+    pkts = []
+    for f in frames:
+        ctx.send_frame(f)
+        pkts.append(ctx.receive_packet())
+    return pkts
+
+
+def test_bitrate_convergence():
+    """ABR mode must land near the requested bitrate over a short clip."""
+    w, h, fps, n = 192, 128, 30, 24
+    target = 400_000  # 400 kbps
+    cfg = EncoderConfig(width=w, height=h, bitrate=target, time_base=(1, fps),
+                        max_key_frame_interval=60)
+    pkts = encode_all(cfg, clip(w, h, n, seed=3))
+    total_bits = sum(len(p.data) for p in pkts) * 8
+    achieved = total_bits * fps / n
+    assert 0.5 * target < achieved < 1.8 * target, achieved
+
+
+def test_scenecut_forces_keyframe():
+    w, h = 128, 96
+    cfg = EncoderConfig(width=w, height=h, quantizer=120,
+                        min_key_frame_interval=4, max_key_frame_interval=100)
+    pkts = encode_all(cfg, clip(w, h, 16, cut_at=8, seed=1))
+    types = [p.frame_type for p in pkts]
+    assert types[0] == "key"
+    assert types[8] == "key", types
+    assert types[1] == "inter" and types[9] == "inter"
+
+
+def test_max_interval_respected():
+    w, h = 96, 64
+    cfg = EncoderConfig(width=w, height=h, quantizer=150,
+                        min_key_frame_interval=2, max_key_frame_interval=6)
+    pkts = encode_all(cfg, clip(w, h, 14, seed=2))
+    types = [p.frame_type for p in pkts]
+    assert types[0] == "key"
+    assert "key" in types[1:8], types  # another key within the interval
+
+
+def test_rc_state_monotonic():
+    """Higher bitrate target must never select a higher quantizer."""
+    from rav1e_tpu.api.rate import RCState
+
+    qs = []
+    for rate in (100_000, 500_000, 2_000_000):
+        rc = RCState(width=320, height=240, bit_depth=8,
+                     target_bitrate=rate, fps=30)
+        qs.append(rc.select_qi("key"))
+    assert qs[0] >= qs[1] >= qs[2], qs
