@@ -5,6 +5,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
+#include <vector>
 
 namespace {
 
@@ -551,3 +553,50 @@ void inv_txfm(const int32_t *coeffs, int w, int h, int tx_type, int bit_depth,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused encoder-side forward transform + quantize + dequantize.
+// The forward transform is the float model (Fv @ x @ FhT * scale) matching
+// rav1e_tpu.ops.transforms_np.forward_transform; quantization matches
+// ops.quantize_np (deadzone bias_num/32, normative dequant).
+// ---------------------------------------------------------------------------
+
+extern "C" void fdct_quant(const int32_t *resid, int w, int h,
+                           const double *Fv, const double *FhT, double scale,
+                           int dc_q, int ac_q, int shift, int bias_num,
+                           int bd, int32_t *levels_out, int32_t *dq_out) {
+    // tmp = Fv (h x h) @ resid (h x w)
+    std::vector<double> tmp((size_t)h * w);
+    for (int i = 0; i < h; i++) {
+        const double *frow = Fv + (size_t)i * h;
+        for (int j = 0; j < w; j++) {
+            double acc = 0;
+            for (int k = 0; k < h; k++) acc += frow[k] * resid[(size_t)k * w + j];
+            tmp[(size_t)i * w + j] = acc;
+        }
+    }
+    const int64_t lim = 1ll << (bd + 7);
+    for (int i = 0; i < h; i++) {
+        for (int j = 0; j < w; j++) {
+            double acc = 0;
+            const double *trow = &tmp[(size_t)i * w];
+            for (int k = 0; k < w; k++) acc += trow[k] * FhT[(size_t)k * w + j];
+            double cf = acc * scale;
+            int64_t c = (int64_t)std::nearbyint(cf);  // round-half-even, matches np.round
+            // beyond-32 coefficients are zeroed by the caller convention
+            int64_t q = (i == 0 && j == 0) ? dc_q : ac_q;
+            int64_t x = c << shift;
+            int64_t mag = x < 0 ? -x : x;
+            int64_t bias = (q * bias_num) >> 5;
+            int64_t level = (mag + bias) / q;
+            if (level > 32767) level = 32767;
+            int64_t slevel = x < 0 ? -level : level;
+            levels_out[(size_t)i * w + j] = (int32_t)slevel;
+            int64_t dmag = (level * q) & 0xFFFFFF;
+            int64_t dq = (x < 0 ? -1 : 1) * (dmag >> shift);
+            if (dq < -lim) dq = -lim;
+            if (dq > lim - 1) dq = lim - 1;
+            dq_out[(size_t)i * w + j] = (int32_t)dq;
+        }
+    }
+}

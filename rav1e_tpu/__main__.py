@@ -26,6 +26,7 @@ def main(argv=None) -> int:
     ap.add_argument("-s", "--speed", type=int, default=6, help="speed preset 0..10")
     ap.add_argument("-l", "--limit", type=int, default=0, help="max frames (0 = all)")
     ap.add_argument("--psnr", action="store_true", help="report PSNR of reconstruction")
+    ap.add_argument("--metrics", action="store_true", help="report PSNR + SSIM")
     ap.add_argument("--reconstruction", help="write reconstruction to .y4m")
     args = ap.parse_args(argv)
 
@@ -59,6 +60,7 @@ def main(argv=None) -> int:
     n = 0
     total_bytes = 0
     psnr_acc = []
+    ssim_acc = []
     t0 = time.perf_counter()
     for frame in frames:
         ctx.send_frame(frame)
@@ -66,10 +68,13 @@ def main(argv=None) -> int:
         write_ivf_frame(fout, n, pkt.data)
         total_bytes += len(pkt.data)
         recon = ctx._encoder.last_recon
-        if args.psnr:
-            mse = np.mean((recon[0].astype(np.float64) - frame.planes[0].window()) ** 2)
-            peak = (1 << meta["bit_depth"]) - 1
-            psnr_acc.append(10 * np.log10(peak * peak / mse) if mse > 0 else 99.0)
+        if args.psnr or args.metrics:
+            from rav1e_tpu.utils.metrics import frame_psnr, ssim
+
+            srcs = [pl.window() for pl in frame.planes]
+            psnr_acc.append(frame_psnr(recon, srcs, meta["bit_depth"])["combined"])
+            if args.metrics:
+                ssim_acc.append(ssim(recon[0], srcs[0], meta["bit_depth"]))
         if frec is not None:
             from rav1e_tpu.utils.frame import Frame
 
@@ -87,7 +92,9 @@ def main(argv=None) -> int:
     kbps = total_bytes * 8 * fps[0] / fps[1] / max(n, 1) / 1000
     msg = f"encoded {n} frames, {dt:.2f}s ({n / dt:.2f} fps), {kbps:.1f} kb/s"
     if psnr_acc:
-        msg += f", PSNR(Y) avg {np.mean(psnr_acc):.2f} dB"
+        msg += f", PSNR avg {np.mean(psnr_acc):.2f} dB"
+    if ssim_acc:
+        msg += f", SSIM(Y) avg {np.mean(ssim_acc):.4f}"
     print(msg, file=sys.stderr)
     return 0
 

@@ -28,16 +28,17 @@ def _load():
     lib.msac_size_upper.restype = ctypes.c_size_t
     lib.msac_done.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.msac_done.restype = ctypes.c_size_t
-    u16p = ctypes.POINTER(ctypes.c_uint16)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    lib.msac_symbol.argtypes = [ctypes.c_void_p, u16p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
-    lib.msac_bool.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_uint]
-    lib.msac_literal.argtypes = [ctypes.c_void_p, ctypes.c_uint, ctypes.c_int]
+    # pointers passed as raw addresses (c_void_p): ndarray.ctypes.data is
+    # far cheaper per call than data_as/POINTER casts in the hot loop
+    vp = ctypes.c_void_p
+    lib.msac_symbol.argtypes = [vp, vp, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.msac_bool.argtypes = [vp, ctypes.c_int, ctypes.c_uint]
+    lib.msac_literal.argtypes = [vp, ctypes.c_uint, ctypes.c_int]
     lib.msac_encode_txb.argtypes = [
-        ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, i32p,
+        vp, vp, ctypes.c_int, ctypes.c_int, vp,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        u16p, u16p, ctypes.c_int, u16p, u16p, u16p, u16p, u16p,
-        ctypes.c_int, ctypes.c_int, u16p, ctypes.c_int,
+        vp, vp, ctypes.c_int, vp, vp, vp, vp, vp,
+        ctypes.c_int, ctypes.c_int, vp, ctypes.c_int,
     ]
     lib.msac_encode_txb.restype = ctypes.c_int
     lib.msac_tell.argtypes = [ctypes.c_void_p]
@@ -50,14 +51,14 @@ _U16P = ctypes.POINTER(ctypes.c_uint16)
 _I32P = ctypes.POINTER(ctypes.c_int32)
 
 
-def _p16(arr: np.ndarray):
+def _p16(arr: np.ndarray) -> int:
     assert arr.dtype == np.uint16 and arr.flags.c_contiguous
-    return arr.ctypes.data_as(_U16P)
+    return arr.ctypes.data
 
 
-def _p32(arr: np.ndarray):
+def _p32(arr: np.ndarray) -> int:
     assert arr.dtype == np.int32 and arr.flags.c_contiguous
-    return arr.ctypes.data_as(_I32P)
+    return arr.ctypes.data
 
 
 class NativeMsacEncoder:

@@ -39,12 +39,15 @@ class InterFrameEncoder(IntraFrameEncoder):
 
     def __init__(self, width, height, q_idx, refs, bit_depth=8, adapt_cdf=True,
                  speed=6, use_native=True, init_cdf=None,
-                 lf_levels=(0, 0, 0, 0), lf_sharpness=0, cdef_damping=0):
+                 lf_levels=(0, 0, 0, 0), lf_sharpness=0, cdef_damping=0,
+                 tile_cols_log2=0, tile_rows_log2=0):
         super().__init__(width, height, q_idx, bit_depth=bit_depth,
                          adapt_cdf=adapt_cdf, speed=speed, use_native=use_native,
                          device_modes=False, init_cdf=init_cdf,
                          lf_levels=lf_levels, lf_sharpness=lf_sharpness,
-                         cdef_damping=cdef_damping)
+                         cdef_damping=cdef_damping,
+                         tile_cols_log2=tile_cols_log2,
+                         tile_rows_log2=tile_rows_log2)
         self.refs = [np.asarray(p, np.int32) for p in refs]
         self.rdo_partition = False  # inter partition RD lands next milestone
         self.me_range = 16  # full-pel search radius (px)
@@ -64,6 +67,9 @@ class InterFrameEncoder(IntraFrameEncoder):
     def _code_inter_tx(self, plane, px, py, tw, th, pred):
         src = self.src[plane][py : py + th, px : px + tw]
         resid = (src - pred).astype(np.int32)
+        if max(tw, th) <= 32:
+            return tf.fdct_quant_native(resid, tf.DCT_DCT, self.dc_q,
+                                        self.ac_q, self.bd)
         coeffs = tf.forward_transform(resid, tf.DCT_DCT, self.bd)
         we, he = min(tw, 32), min(th, 32)
         coeffs[he:, :] = 0
@@ -128,9 +134,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         cost, mode, mv, idx = options[0]
         # intra fallback: DC prediction beats motion?
         rec = self.rec[0]
-        above, left = ip.build_edges(rec, x, y, bw, bh, y > 0, x > 0, self.bd,
+        ha, hl = self._have_above(y), self._have_left(x)
+        above, left = ip.build_edges(rec, x, y, bw, bh, ha, hl, self.bd,
                                      max_x=self.mi_cols * 4 - 1, max_y=self.mi_rows * 4 - 1)
-        pred_dc = ip.predict(ip.DC_PRED, above, left, bw, bh, y > 0, x > 0, 0, self.bd)
+        pred_dc = ip.predict(ip.DC_PRED, above, left, bw, bh, ha, hl, 0, self.bd)
         sad_dc = int(np.abs(self.src[0][y : y + bh, x : x + bw] - pred_dc).sum())
         if sad_dc + 4 * bw < cost:
             return None, None, 0  # intra
@@ -142,7 +149,11 @@ class InterFrameEncoder(IntraFrameEncoder):
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
         cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
 
-        res = mvp.find_mv_stack(self.grid, mr, mc_, n4w, n4h, mvp.LAST_FRAME)
+        tile = (self.ty0 // 4, self.tx0 // 4,
+                min(self.ty1, self.mi_rows * 4) // 4,
+                min(self.tx1, self.mi_cols * 4) // 4)
+        res = mvp.find_mv_stack(self.grid, mr, mc_, n4w, n4h, mvp.LAST_FRAME,
+                                tile=tile)
         mode, mv, ref_mv_idx = self._decide_inter(x, y, bw, bh, res)
         is_inter = mode is not None
 
@@ -194,12 +205,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         skip_ctx = int(self.above_skip[mc_] + self.left_skip[mr])
         sym(1 if skip else 0, self.cdf.skip[skip_ctx])
 
-        ii_ctx = mvp.intra_inter_ctx(self.grid, mr, mc_)
+        ii_ctx = mvp.intra_inter_ctx(self.grid, mr, mc_, tile=tile)
         sym(1 if is_inter else 0, self.cdf.intra_inter[ii_ctx])
 
         if is_inter:
             # ref frames: single reference path, LAST_FRAME
-            counts = mvp.neighbor_ref_counts(self.grid, mr, mc_)
+            counts = mvp.neighbor_ref_counts(self.grid, mr, mc_, tile=tile)
             ctxs = mvp.single_ref_ctxs(counts)
             sym(0, self.cdf.single_ref[ctxs[1]][0])  # p1: forward group
             sym(0, self.cdf.single_ref[ctxs[3]][2])  # p3: {LAST, LAST2}

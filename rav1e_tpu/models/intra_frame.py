@@ -83,7 +83,10 @@ class IntraFrameEncoder:
                  adapt_cdf: bool = True, speed: int = 6, use_native: bool = True,
                  device_modes: bool | None = None, init_cdf=None,
                  lf_levels=(0, 0, 0, 0), lf_sharpness: int = 0,
-                 cdef_damping: int = 0):
+                 cdef_damping: int = 0, tile_cols_log2: int = 0,
+                 tile_rows_log2: int = 0):
+        self.tile_cols_log2 = tile_cols_log2
+        self.tile_rows_log2 = tile_rows_log2
         self.init_cdf = init_cdf  # primary-ref CDF inheritance (None: defaults)
         self.lf_levels = tuple(lf_levels)
         self.lf_sharpness = lf_sharpness
@@ -164,11 +167,14 @@ class IntraFrameEncoder:
             PlaneCtx.new(pc >> 1, pr >> 1),
         ]
 
+        self._rd_maps = None
         if self.device_modes:
             try:
-                from rav1e_tpu.models.device_pipeline import frame_mode_maps
+                from rav1e_tpu.models.device_pipeline import frame_rd_maps
 
-                self._mode_maps = frame_mode_maps(self.src[0])
+                rd = frame_rd_maps(self.src[0], self.dc_q, self.ac_q, self.lam)
+                self._rd_maps = rd
+                self._mode_maps = {32: rd[32], 16: rd[16]}
             except Exception:
                 self._mode_maps = None
 
@@ -177,11 +183,7 @@ class IntraFrameEncoder:
         self.db_info = DeblockInfo(self.h // 4, self.w // 4)
         self._pre_encode()
         self._pending = {}
-        sb = 64
-        for sy in range(0, self.coded_h, sb):
-            for sx in range(0, self.coded_w, sb):
-                self._partition(sx, sy, 64)
-        data = self.enc.done()
+        data = self._encode_tiles()
         if any(self.lf_levels):
             from rav1e_tpu.ops.deblock_np import deblock_frame
 
@@ -206,6 +208,84 @@ class IntraFrameEncoder:
 
     def _pre_encode(self) -> None:
         """Hook for subclasses (inter: mi-grid MV state init)."""
+
+    # -- tiling (reference analog: src/tiling/tiler.rs) -----------------------
+
+    def _tile_grid(self) -> list:
+        """Uniform tile spacing (spec 5.9.15): [(sb_c0, sb_r0, sb_c1, sb_r1)]
+        in superblock units, raster order."""
+        sb_cols = (self.coded_w + 63) >> 6
+        sb_rows = (self.coded_h + 63) >> 6
+        ncols = 1 << self.tile_cols_log2
+        nrows = 1 << self.tile_rows_log2
+        tw = (sb_cols + ncols - 1) >> self.tile_cols_log2
+        th = (sb_rows + nrows - 1) >> self.tile_rows_log2
+        tiles = []
+        for r0 in range(0, sb_rows, th):
+            for c0 in range(0, sb_cols, tw):
+                tiles.append((c0, r0, min(c0 + tw, sb_cols), min(r0 + th, sb_rows)))
+        return tiles
+
+    def _reset_tile_contexts(self) -> None:
+        """Clear the neighbor context state for the current tile's region
+        (the decoder's clear_above/left at tile start)."""
+        c0, r0 = self.tx0 // 4, self.ty0 // 4
+        c1, r1 = self.tx1 // 4, self.ty1 // 4
+        self.above_part[c0:c1] = 0
+        self.left_part[r0:r1] = 0
+        self.above_mode[c0:c1] = 0
+        self.left_mode[r0:r1] = 0
+        self.above_skip[c0:c1] = 0
+        self.left_skip[r0:r1] = 0
+        for p, ctx in enumerate(self.pctx):
+            sub = 0 if p == 0 else 1
+            pc0, pc1 = (self.tx0 >> sub) // 4, ((self.tx1 >> sub) + 3) // 4
+            pr0, pr1 = (self.ty0 >> sub) // 4, ((self.ty1 >> sub) + 3) // 4
+            ctx.above_cul[pc0:pc1] = 0
+            ctx.left_cul[pr0:pr1] = 0
+            ctx.above_dc[pc0:pc1] = 0
+            ctx.left_dc[pr0:pr1] = 0
+
+    def _encode_tiles(self) -> bytes:
+        tiles = self._tile_grid()
+        frame_cdf = self.cdf
+        tile_datas = []
+        for idx, (sc0, sr0, sc1, sr1) in enumerate(tiles):
+            self.tx0, self.ty0 = sc0 * 64, sr0 * 64
+            self.tx1 = min(sc1 * 64, self.coded_w)
+            self.ty1 = min(sr1 * 64, self.coded_h)
+            if len(tiles) > 1:
+                self.cdf = frame_cdf.copy()
+                if self.use_native:
+                    from rav1e_tpu.ec.native import NativeMsacEncoder
+
+                    self.enc = NativeMsacEncoder()
+                else:
+                    self.enc = MsacEncoder()
+                self._reset_tile_contexts()
+            for sy in range(self.ty0, self.ty1, 64):
+                for sx in range(self.tx0, self.tx1, 64):
+                    self._partition(sx, sy, 64)
+            tile_datas.append(self.enc.done())
+            if idx == 0:
+                self.cdf_saved = self.cdf  # context_update_tile_id == 0
+        self.cdf = getattr(self, "cdf_saved", self.cdf)
+        if len(tile_datas) == 1:
+            return tile_datas[0]
+        out = b""
+        for i, td in enumerate(tile_datas):
+            if i < len(tile_datas) - 1:
+                out += (len(td) - 1).to_bytes(4, "little")  # tile_size_minus_1
+            out += td
+        return out
+
+    # tile-aware availability -------------------------------------------------
+
+    def _have_above(self, y: int, sub: int = 0) -> bool:
+        return y > (self.ty0 >> sub)
+
+    def _have_left(self, x: int, sub: int = 0) -> bool:
+        return x > (self.tx0 >> sub)
 
     def _cdef_search(self) -> tuple:
         """Pick one (luma, chroma) CDEF strength pair for the frame
@@ -331,8 +411,13 @@ class IntraFrameEncoder:
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
         if size > 32:
             want_split = True  # 64 always splits to 32 (64x64 tx later)
-        elif size == 32 and self.rdo_partition and has_rows and has_cols and self.use_native:
-            want_split = self._rd_split_32(x, y, cdf_row)
+        elif size == 32 and self.rdo_partition and has_rows and has_cols:
+            if self._rd_maps is not None:
+                want_split = bool(self._rd_maps["split32"][y // 32][x // 32])
+            elif self.use_native:
+                want_split = self._rd_split_32(x, y, cdf_row)
+            else:
+                want_split = False
         else:
             want_split = False
         if has_rows and has_cols:
@@ -420,8 +505,8 @@ class IntraFrameEncoder:
         pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
         skip = not (lv_y.any() or lv_u.any() or lv_v.any())
         rate = 1.0  # skip flag ~1 bit
-        above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if y > 0 else 0
-        left_ctx = INTRA_MODE_CTX[int(self.left_mode[mr])] if x > 0 else 0
+        above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if self._have_above(y) else 0
+        left_ctx = INTRA_MODE_CTX[int(self.left_mode[mr])] if self._have_left(x) else 0
         rate += self._sym_bits(self.cdf.kf_y_mode[above_ctx][left_ctx], y_mode)
         if min(bw, bh) >= 8 and y_mode in ip.DIRECTIONAL_MODES:
             rate += self._sym_bits(self.cdf.angle_delta[y_mode - ip.V_PRED], 3)
@@ -499,8 +584,8 @@ class IntraFrameEncoder:
         ):
             return int(self._mode_maps[bw][0][y // bh][x // bw])
         rec = self.rec[0]
-        have_above = y > 0
-        have_left = x > 0
+        have_above = self._have_above(y)
+        have_left = self._have_left(x)
         above, left = ip.build_edges(rec, x, y, bw, bh, have_above, have_left, self.bd,
                                      max_x=self.mi_cols * 4 - 1, max_y=self.mi_rows * 4 - 1)
         src = self.src[0][y : y + bh, x : x + bw]
@@ -549,8 +634,8 @@ class IntraFrameEncoder:
         skip_ctx = int(self.above_skip[mc] + self.left_skip[mr])
         sym(1 if skip else 0, self.cdf.skip[skip_ctx])
 
-        above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if y > 0 else 0
-        left_ctx = INTRA_MODE_CTX[int(self.left_mode[mr])] if x > 0 else 0
+        above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if self._have_above(y) else 0
+        left_ctx = INTRA_MODE_CTX[int(self.left_mode[mr])] if self._have_left(x) else 0
         sym(y_mode, self.cdf.kf_y_mode[above_ctx][left_ctx])
         # angle delta for directional modes at bsize >= 8x8 (delta always 0
         # until fine directional search lands)
@@ -598,8 +683,9 @@ class IntraFrameEncoder:
         """Predict + forward transform + quantize one tx block.
         Returns (pred, levels2d(eff), dequant(full))."""
         rec = self.rec[plane]
-        have_above = py > 0
-        have_left = px > 0
+        sub = 0 if plane == 0 else 1
+        have_above = self._have_above(py, sub)
+        have_left = self._have_left(px, sub)
         sub = 0 if plane == 0 else 1
         above, left = ip.build_edges(rec, px, py, tw, th, have_above, have_left, self.bd,
                                      max_x=(self.mi_cols * 4 >> sub) - 1,
@@ -607,6 +693,10 @@ class IntraFrameEncoder:
         pred = ip.predict(mode, above, left, tw, th, have_above, have_left, 0, self.bd)
         src = self.src[plane][py : py + th, px : px + tw]
         resid = (src - pred).astype(np.int32)
+        if max(tw, th) <= 32:
+            levels, dq = tf.fdct_quant_native(resid, tf.DCT_DCT, self.dc_q,
+                                              self.ac_q, self.bd)
+            return pred, levels, dq
         coeffs = tf.forward_transform(resid, tf.DCT_DCT, self.bd)
         we, he = min(tw, 32), min(th, 32)
         coeffs[he:, :] = 0

@@ -101,15 +101,17 @@ def find_mv_stack(
     rf: int,
     allow_hp: bool = False,
     global_mv=(0, 0),
+    tile=None,
 ) -> MvStackResult:
-    """spec 7.10.2 Find MV stack, single-reference path."""
+    """spec 7.10.2 Find MV stack, single-reference path.  tile: optional
+    (mi_r0, mi_c0, mi_r1, mi_c1) bounds; candidate scans never cross them."""
+    t_r0, t_c0, t_r1, t_c1 = tile if tile is not None else (0, 0, grid.rows, grid.cols)
     stack: list = []  # mvs
     weights: list = []
     state = {"found": False, "newmv_count": 0}
 
     def is_inside(r: int, c: int) -> bool:
-        # single tile spanning the frame
-        return 0 <= r < grid.rows and 0 <= c < grid.cols
+        return t_r0 <= r < t_r1 and t_c0 <= c < t_c1
 
     def add_candidate(r: int, c: int, weight: int) -> None:
         ref = int(grid.ref[r, c])
@@ -177,12 +179,12 @@ def find_mv_stack(
     found_left = False
 
     state["found"] = False
-    if mi_row > 0:
+    if mi_row > t_r0:
         scan_row(-1)
     found_above |= state["found"]
 
     state["found"] = False
-    if mi_col > 0:
+    if mi_col > t_c0:
         scan_col(-1)
     found_left |= state["found"]
 
@@ -205,11 +207,11 @@ def find_mv_stack(
     for idx in range(2, MVREF_ROW_COLS + 1):
         delta = -(idx * 2 - 1)
         state["found"] = False
-        if mi_row > 0:
+        if mi_row > t_r0:
             scan_row(delta)
         found_above |= state["found"]
         state["found"] = False
-        if mi_col > 0:
+        if mi_col > t_c0:
             scan_col(delta)
         found_left |= state["found"]
 
@@ -265,10 +267,11 @@ def find_mv_stack(
 # -- neighbor-derived coding contexts ----------------------------------------
 
 
-def intra_inter_ctx(grid: MiGrid, mi_row: int, mi_col: int) -> int:
+def intra_inter_ctx(grid: MiGrid, mi_row: int, mi_col: int, tile=None) -> int:
     """Context for the is_inter bit (libaom av1_get_intra_inter_context)."""
-    has_above = mi_row > 0
-    has_left = mi_col > 0
+    t_r0, t_c0 = (tile[0], tile[1]) if tile is not None else (0, 0)
+    has_above = mi_row > t_r0
+    has_left = mi_col > t_c0
     above_intra = has_above and grid.ref[mi_row - 1, mi_col] == INTRA_FRAME
     left_intra = has_left and grid.ref[mi_row, mi_col - 1] == INTRA_FRAME
     if has_above and has_left:
@@ -280,14 +283,15 @@ def intra_inter_ctx(grid: MiGrid, mi_row: int, mi_col: int) -> int:
     return 0
 
 
-def neighbor_ref_counts(grid: MiGrid, mi_row: int, mi_col: int) -> np.ndarray:
+def neighbor_ref_counts(grid: MiGrid, mi_row: int, mi_col: int, tile=None) -> np.ndarray:
     """Counts of each RefFrame among the direct above/left neighbors."""
+    t_r0, t_c0 = (tile[0], tile[1]) if tile is not None else (0, 0)
     counts = np.zeros(8, np.int32)
-    if mi_row > 0:
+    if mi_row > t_r0:
         r = int(grid.ref[mi_row - 1, mi_col])
         if r > INTRA_FRAME:
             counts[r] += 1
-    if mi_col > 0:
+    if mi_col > t_c0:
         r = int(grid.ref[mi_row, mi_col - 1])
         if r > INTRA_FRAME:
             counts[r] += 1

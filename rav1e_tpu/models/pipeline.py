@@ -34,6 +34,13 @@ class FrameEncoder:
         self.frame_count = 0
         self.last_recon = None  # decoder-visible LAST reference planes
         self.ref_cdf = None  # end-of-frame adapted CDFs saved in ref slot 0
+        def log2i(n):
+            k = 0
+            while (1 << k) < max(1, n):
+                k += 1
+            return k
+        self.tile_cols_log2 = log2i(enc_config.tile_cols)
+        self.tile_rows_log2 = log2i(enc_config.tile_rows)
 
     def lf_levels_for(self, q_idx: int) -> tuple:
         """Deblock filter level from quantizer (reference analog: the
@@ -79,6 +86,8 @@ class FrameEncoder:
             speed=self.cfg.speed_settings.speed,
             lf_levels=lf,
             cdef_damping=damping,
+            tile_cols_log2=self.tile_cols_log2,
+            tile_rows_log2=self.tile_rows_log2,
         )
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
@@ -90,6 +99,8 @@ class FrameEncoder:
             disable_cdf_update=False,
             order_hint=self.frame_count & 0x7F,
             loop_filter_levels=lf,
+            tile_cols_log2=self.tile_cols_log2,
+            tile_rows_log2=self.tile_rows_log2,
         )
         if fe.cdef_strengths is not None:
             fp.cdef_damping = damping
@@ -119,6 +130,8 @@ class FrameEncoder:
             init_cdf=self.ref_cdf,
             lf_levels=lf,
             cdef_damping=damping,
+            tile_cols_log2=self.tile_cols_log2,
+            tile_rows_log2=self.tile_rows_log2,
         )
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
@@ -131,6 +144,8 @@ class FrameEncoder:
             disable_cdf_update=False,
             order_hint=self.frame_count & 0x7F,
             loop_filter_levels=lf,
+            tile_cols_log2=self.tile_cols_log2,
+            tile_rows_log2=self.tile_rows_log2,
             # all 8 slots refreshed each frame; every ref name maps slot 0
             refresh_frame_flags=0xFF,
             ref_frame_idx=(0, 0, 0, 0, 0, 0, 0),

@@ -373,10 +373,27 @@ def _write_frame_size(w: BitWriter, seq: Sequence, fp: FrameParams) -> None:
 
 
 def write_frame_obu(seq: Sequence, fp: FrameParams, tile_payload: bytes) -> bytes:
-    """OBU_FRAME: uncompressed header + single tile group."""
+    """OBU_FRAME: uncompressed header + tile group.  For multi-tile frames
+    the payload already carries the per-tile le32 size prefixes (all but the
+    last tile), as assembled by the tile encoder; with NumTiles == 1 there
+    are no start/end flag bits or size fields."""
     w = write_frame_header(seq, fp, standalone=False)
+    if num_tiles_for(seq, fp) > 1:
+        # tile_start_and_end_present_flag = 0 (required for OBU_FRAME),
+        # then byte_alignment before the first tile size field
+        w.f(0, 1)
+        w.byte_align()
     header_bytes = w.bytes()
-    num_tiles = (1 << fp.tile_cols_log2) * (1 << fp.tile_rows_log2)
-    assert num_tiles == 1, "multi-tile group assembly handled in mux layer"
-    # tile_group_obu with NumTiles==1: no start/end flag bits, no tile sizes
     return obu(OBU_FRAME, header_bytes + tile_payload)
+
+
+def num_tiles_for(seq: Sequence, fp: FrameParams) -> int:
+    """Tile count implied by the uniform spacing (spec 5.9.15 semantics)."""
+    sb_shift = 7 if seq.use_128x128_superblock else 6
+    sb_cols = (seq.width + seq.sb_size - 1) >> sb_shift
+    sb_rows = (seq.height + seq.sb_size - 1) >> sb_shift
+    tw = (sb_cols + (1 << fp.tile_cols_log2) - 1) >> fp.tile_cols_log2
+    th = (sb_rows + (1 << fp.tile_rows_log2) - 1) >> fp.tile_rows_log2
+    ncols = (sb_cols + tw - 1) // tw
+    nrows = (sb_rows + th - 1) // th
+    return ncols * nrows

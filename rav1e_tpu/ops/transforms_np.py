@@ -574,6 +574,52 @@ def forward_transform(residual: np.ndarray, tx_type: int, bit_depth: int = 8) ->
     return np.round(coeffs).astype(np.int32)
 
 
+_FQ_CACHE: dict = {}
+
+
+def fdct_quant_native(resid: np.ndarray, tx_type: int, dc_q: int, ac_q: int,
+                      bit_depth: int = 8, bias_num: int = 13):
+    """Fused forward transform + quantize + dequantize via native/transforms.cc.
+    Returns (levels, dq) int32 (h, w); exact match of forward_transform +
+    quantize_np.quantize/dequantize for tx dims <= 32."""
+    import ctypes
+
+    h, w = resid.shape
+    nat = _native_inv()
+    if not nat:
+        from rav1e_tpu.ops import quantize_np as qz
+
+        coeffs = forward_transform(resid, tx_type, bit_depth)
+        levels = qz.quantize(coeffs, dc_q, ac_q, w, h)
+        return levels, qz.dequantize(levels, dc_q, ac_q, w, h, bit_depth)
+    lib = nat[0]
+    key = (tx_type, w, h)
+    m = _FQ_CACHE.get(key)
+    if m is None:
+        Fv, FhT, scale = _fwd_mats(tx_type, w, h)
+        m = (np.ascontiguousarray(Fv, np.float64),
+             np.ascontiguousarray(FhT, np.float64), float(scale))
+        _FQ_CACHE[key] = m
+    Fv, FhT, scale = m
+    _, _, flip_v, flip_h = _TX1D[tx_type]
+    x = resid
+    if flip_v:
+        x = x[::-1, :]
+    if flip_h:
+        x = x[:, ::-1]
+    x = np.ascontiguousarray(x, np.int32)
+    shift = (1 if w * h > 256 else 0) + (1 if w * h > 1024 else 0)
+    levels = np.empty((h, w), np.int32)
+    dq = np.empty((h, w), np.int32)
+    lib.fdct_quant(
+        ctypes.c_void_p(x.ctypes.data), w, h,
+        ctypes.c_void_p(Fv.ctypes.data), ctypes.c_void_p(FhT.ctypes.data),
+        ctypes.c_double(scale), dc_q, ac_q, shift, bias_num, bit_depth,
+        ctypes.c_void_p(levels.ctypes.data), ctypes.c_void_p(dq.ctypes.data),
+    )
+    return levels, dq
+
+
 _NATIVE_INV = None
 
 
@@ -592,6 +638,12 @@ def _native_inv():
             lib = ctypes.CDLL(str(so))
             p32 = ctypes.POINTER(ctypes.c_int32)
             lib.inv_txfm.argtypes = [p32, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, p32]
+            vp = ctypes.c_void_p
+            lib.fdct_quant.argtypes = [
+                vp, ctypes.c_int, ctypes.c_int, vp, vp, ctypes.c_double,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, vp, vp,
+            ]
             _NATIVE_INV = (lib, p32)
         except Exception:
             _NATIVE_INV = False
