@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     ap.add_argument("-l", "--limit", type=int, default=0, help="max frames (0 = all)")
     ap.add_argument("--psnr", action="store_true", help="report PSNR of reconstruction")
     ap.add_argument("--metrics", action="store_true", help="report PSNR + SSIM")
+    ap.add_argument("--bitrate", type=int, default=0, help="target bitrate (bps); 0 = CQ")
+    ap.add_argument("--first-pass", help="write pass-1 stats to FILE")
+    ap.add_argument("--second-pass", help="read pass-1 stats from FILE")
     ap.add_argument("--reconstruction", help="write reconstruction to .y4m")
     args = ap.parse_args(argv)
 
@@ -44,6 +47,8 @@ def main(argv=None) -> int:
             bit_depth=meta["bit_depth"],
             chroma_sampling=meta["ss"],
             quantizer=args.quantizer,
+            bitrate=args.bitrate,
+            rc_stats=(open(args.second_pass, "rb").read() if args.second_pass else None),
             time_base=(fps[1], fps[0]),
             speed_settings=SpeedSettings.from_preset(args.speed),
         )
@@ -83,6 +88,10 @@ def main(argv=None) -> int:
         if args.limit and n >= args.limit:
             break
     dt = time.perf_counter() - t0
+    if args.first_pass:
+        with open(args.first_pass, "wb") as fstats:
+            fstats.write(ctx.twopass_summary())
+            fstats.write(ctx.twopass_out())
     fout.close()
     if frec:
         frec.close()

@@ -90,6 +90,8 @@ class EncoderConfig:
     low_latency: bool = False
     error_resilient: bool = False
     rdo_lookahead_frames: int = 40
+    # two-pass: pass-1 stats blob (summary + per-frame records) for pass 2
+    rc_stats: bytes | None = None
     speed_settings: SpeedSettings = field(
         default_factory=lambda: SpeedSettings.from_preset(6)
     )

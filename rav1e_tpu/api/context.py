@@ -131,14 +131,56 @@ class Context:
                 )
             else:
                 self._rc = None
-        ftype = self._frame_type(frameno, frame)
-        q_idx = None
-        if self._rc is not None:
-            q_idx = self._rc.select_qi(ftype)
-        data, ftype = self._encoder.encode_frame(frame, frameno, q_idx, ftype)
-        if self._rc is not None:
-            self._rc.update(ftype, q_idx, len(data) * 8)
+            from rav1e_tpu.api.rate import (
+                RCState,
+                TwoPassAllocator,
+                TwoPassWriter,
+                parse_twopass,
+            )
+
+            qstep_rc = self._rc
+            if qstep_rc is None:
+                qstep_rc = RCState(width=self.enc.width, height=self.enc.height,
+                                   bit_depth=self.enc.bit_depth,
+                                   target_bitrate=0, fps=30.0)
+            self._tp_writer = TwoPassWriter(qstep_rc._qstep_table)
+            self._tp_alloc = None
+            if self.enc.rc_stats is not None:
+                if self._rc is None:
+                    raise EncoderError(EncoderStatus.FAILURE)
+                metrics = parse_twopass(self.enc.rc_stats)
+                self._tp_alloc = TwoPassAllocator(metrics, self._rc)
+        if self._tp_alloc is not None:
+            # pass 2: frame types and targets come from the pass-1 metrics
+            ftype = self._tp_alloc.metrics[
+                min(frameno, len(self._tp_alloc.metrics) - 1)
+            ].frame_type
+            q_idx = self._tp_alloc.select_qi()
+            data, ftype = self._encoder.encode_frame(frame, frameno, q_idx, ftype)
+            self._tp_alloc.update(len(data) * 8)
+        else:
+            ftype = self._frame_type(frameno, frame)
+            q_idx = None
+            if self._rc is not None:
+                q_idx = self._rc.select_qi(ftype)
+            data, ftype = self._encoder.encode_frame(frame, frameno, q_idx, ftype)
+            if self._rc is not None:
+                self._rc.update(ftype, q_idx, len(data) * 8)
+        self._tp_writer.record(ftype, q_idx if q_idx is not None else self.enc.quantizer,
+                               len(data) * 8)
         return Packet(data=data, input_frameno=frameno, frame_type=ftype)
+
+    # -- two-pass API (reference analog: twopass_out / rc summary) ----------
+
+    def twopass_out(self) -> bytes:
+        """Per-frame pass-1 records accumulated since the last call."""
+        return self._tp_writer.out() if self._encoder else b""
+
+    def twopass_summary(self) -> bytes:
+        """Summary header to prepend to the stats file after pass 1."""
+        if self._encoder is None:
+            return b""
+        return self._tp_writer.summary()
 
     def _frame_type(self, frameno: int, frame) -> str:
         if self._sc is None:

@@ -101,5 +101,122 @@ class RCState:
             self._qi[other] += 0.3 * delta
             self._qi[other] = float(np.clip(self._qi[other], self.min_q, self.max_q))
 
-    def twopass_out(self) -> bytes:
-        raise NotImplementedError("two-pass lands with the lookahead ring")
+
+# -- two-pass ---------------------------------------------------------------
+#
+# Reference analog: src/rate.rs twopass_out/twopass_in (per-TU RCFrameMetrics
+# + magic/version-validated summary).  Pass 1 records per-frame complexity
+# (bits at the known quantizer -> a q-independent scale); pass 2 distributes
+# the bit budget proportionally to each frame's scale share.
+
+TWOPASS_MAGIC = b"RVTP"
+TWOPASS_VERSION = 1
+FRAME_REC_SIZE = 13  # type(1) + qi(1) + bits(8) + reserved(3)
+SUMMARY_SIZE = 4 + 2 + 4 + 8 + 8  # magic, version, frames, key scale, inter scale
+
+
+@dataclass
+class FrameMetrics:
+    frame_type: str
+    qi: int
+    bits: int
+
+    def scale(self, qstep_table) -> float:
+        return self.bits * float(qstep_table[self.qi]) ** BETA[self.frame_type]
+
+    def pack(self) -> bytes:
+        t = 0 if self.frame_type == "key" else 1
+        return bytes([t, self.qi]) + int(self.bits).to_bytes(8, "little") + b"\0" * 3
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "FrameMetrics":
+        return cls("key" if b[0] == 0 else "inter", b[1],
+                   int.from_bytes(b[2:10], "little"))
+
+
+class TwoPassWriter:
+    """Pass-1 stats collection (the twopass_out side)."""
+
+    def __init__(self, qstep_table):
+        self.frames: list = []
+        self._qstep = qstep_table
+        self._pending: list = []
+
+    def record(self, frame_type: str, qi: int, bits: int) -> None:
+        m = FrameMetrics(frame_type, qi, bits)
+        self.frames.append(m)
+        self._pending.append(m.pack())
+
+    def out(self) -> bytes:
+        """Per-frame records accumulated since the last call."""
+        d = b"".join(self._pending)
+        self._pending.clear()
+        return d
+
+    def summary(self) -> bytes:
+        key_scale = sum(m.scale(self._qstep) for m in self.frames if m.frame_type == "key")
+        inter_scale = sum(m.scale(self._qstep) for m in self.frames if m.frame_type != "key")
+        out = TWOPASS_MAGIC
+        out += TWOPASS_VERSION.to_bytes(2, "little")
+        out += len(self.frames).to_bytes(4, "little")
+        out += int(key_scale).to_bytes(8, "little")
+        out += int(inter_scale).to_bytes(8, "little")
+        return out
+
+
+class TwoPassError(ValueError):
+    pass
+
+
+def parse_twopass(data: bytes) -> list:
+    """Validate + parse a pass-1 stats blob (summary + frame records).
+    Raises TwoPassError with reference-style diagnostics."""
+    if len(data) < SUMMARY_SIZE:
+        raise TwoPassError("First-pass stats data not retrieved or not enough data")
+    if data[:4] != TWOPASS_MAGIC:
+        raise TwoPassError("Magic value mismatch")
+    version = int.from_bytes(data[4:6], "little")
+    if version != TWOPASS_VERSION:
+        raise TwoPassError("Version number mismatch")
+    nframes = int.from_bytes(data[6:10], "little")
+    if nframes <= 0:
+        raise TwoPassError("No TUs found in first pass summary")
+    body = data[SUMMARY_SIZE:]
+    if len(body) < nframes * FRAME_REC_SIZE:
+        raise TwoPassError("More TUs than frames provided")
+    return [
+        FrameMetrics.unpack(body[i * FRAME_REC_SIZE : (i + 1) * FRAME_REC_SIZE])
+        for i in range(nframes)
+    ]
+
+
+class TwoPassAllocator:
+    """Pass-2 quantizer selection from pass-1 metrics: per-frame bit targets
+    proportional to complexity share, with a drift-correcting reservoir."""
+
+    def __init__(self, metrics: list, rc: "RCState"):
+        self.metrics = metrics
+        self.rc = rc
+        self.total_budget = rc.bits_per_frame * len(metrics)
+        scales = [m.scale(rc._qstep_table) for m in metrics]
+        total = sum(scales) or 1.0
+        self.targets = [self.total_budget * s / total for s in scales]
+        self.idx = 0
+        self.drift = 0.0  # spent - targeted so far
+
+    def select_qi(self) -> int:
+        m = self.metrics[self.idx]
+        target = self.targets[self.idx]
+        # correct accumulated drift over the remaining frames
+        remaining = max(1, len(self.metrics) - self.idx)
+        target = max(target - self.drift / remaining, self.rc.bits_per_frame * 0.05)
+        beta = BETA[m.frame_type]
+        scale = m.scale(self.rc._qstep_table)
+        qstep = (scale / max(target, 1.0)) ** (1.0 / beta)
+        qi = int(np.argmin(np.abs(self.rc._qstep_table - qstep)))
+        self._last_target = target
+        return int(np.clip(qi, self.rc.min_q, self.rc.max_q))
+
+    def update(self, actual_bits: int) -> None:
+        self.drift += actual_bits - self._last_target
+        self.idx = min(self.idx + 1, len(self.metrics) - 1)

@@ -18,18 +18,14 @@ from functools import partial
 
 import os
 
+from rav1e_tpu.utils.jaxsetup import configure as _configure_jax
+
+_configure_jax()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-# persistent XLA compile cache: encoder shapes recur across runs
-try:
-    _cache = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
 
 # mode ids must match ops.intra_np
 DC, V, H = 0, 1, 2
@@ -215,6 +211,76 @@ def frame_mode_maps(y_plane: np.ndarray) -> dict:
         modes, sads = mode_analysis(yj, n)
         out[n] = (np.asarray(modes), np.asarray(sads))
     return out
+
+
+# -- motion estimation: hierarchical full search over candidate grids --------
+#
+# TPU-first reformulation of src/me.rs (SURVEY 2.5): instead of a serial
+# diamond walk per block, evaluate ALL candidate offsets for ALL blocks as
+# one batched reduction.  Stage A searches +-MAX_PX at quarter resolution;
+# stage B refines +-3 px at full resolution around each block's winner.
+
+ME_RANGE_PX = 32  # full-pel search radius (stage A, via quarter-res +-8)
+
+
+def _block_sads(diff_abs: jax.Array, n: int) -> jax.Array:
+    """diff_abs: (H, W) -> per-n x n-block sums (H/n, W/n)."""
+    Hh, Ww = diff_abs.shape
+    return diff_abs.reshape(Hh // n, n, Ww // n, n).sum(axis=(1, 3))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def me_fullpel(src: jax.Array, ref: jax.Array, n: int) -> jax.Array:
+    """Full-pel motion map for n x n blocks: (by, bx, 2) int32 in PIXELS.
+    src/ref: (H, W) int32 planes (same padded shape, H/W multiples of n)."""
+    Hh, Ww = src.shape
+    # stage A: quarter resolution, exhaustive +-8 (=> +-32 px)
+    q = 4
+    Hq, Wq = Hh // q, Ww // q
+    srcq = src[: Hq * q, : Wq * q].reshape(Hq, q, Wq, q).sum(axis=(1, 3))
+    refq = ref[: Hq * q, : Wq * q].reshape(Hq, q, Wq, q).sum(axis=(1, 3))
+    nq = max(2, n // q)
+    rad = ME_RANGE_PX // q
+    pad_ref = jnp.pad(refq, rad, mode="edge")
+    offs = [(dy, dx) for dy in range(-rad, rad + 1) for dx in range(-rad, rad + 1)]
+    costs = []
+    for dy, dx in offs:
+        shifted = pad_ref[rad + dy : rad + dy + Hq, rad + dx : rad + dx + Wq]
+        costs.append(_block_sads(jnp.abs(srcq - shifted), nq))
+    costs = jnp.stack(costs)  # (noffs, by, bx)
+    best = costs.argmin(axis=0)
+    offs_arr = jnp.asarray(offs, jnp.int32) * q  # full-res px
+    mv_a = offs_arr[best]  # (by, bx, 2) px
+
+    # stage B: full-res +-3 px around the stage-A winner
+    rad2 = 3
+    pad_full = jnp.pad(ref, ME_RANGE_PX + rad2, mode="edge")
+    by, bx = mv_a.shape[:2]
+    # per-block shifted SAD: gather block windows at mv + delta
+    ys = jnp.arange(n)
+    xs = jnp.arange(n)
+    byi = jnp.arange(by)[:, None] * n
+    bxi = jnp.arange(bx)[None, :] * n
+    src_blocks = src.reshape(by, n, bx, n).transpose(0, 2, 1, 3)
+    costs2 = []
+    deltas = [(dy, dx) for dy in range(-rad2, rad2 + 1) for dx in range(-rad2, rad2 + 1)]
+    base_y = byi + mv_a[..., 0] + ME_RANGE_PX + rad2  # (by,bx)
+    base_x = bxi + mv_a[..., 1] + ME_RANGE_PX + rad2
+    for dy, dx in deltas:
+        yy = base_y[..., None] + dy + ys[None, None, :]  # (by,bx,n)
+        xx = base_x[..., None] + dx + xs[None, None, :]
+        win = pad_full[yy[..., :, None], xx[..., None, :]]
+        costs2.append(jnp.abs(src_blocks - win).sum((-1, -2)))
+    costs2 = jnp.stack(costs2)
+    best2 = costs2.argmin(axis=0)
+    deltas_arr = jnp.asarray(deltas, jnp.int32)
+    return mv_a + deltas_arr[best2]
+
+
+def frame_me_map(src_y: np.ndarray, ref_y: np.ndarray, n: int = 32) -> np.ndarray:
+    """Host wrapper: (by, bx, 2) full-pel MVs in 1/8-pel units."""
+    mv = me_fullpel(jnp.asarray(src_y, jnp.int32), jnp.asarray(ref_y, jnp.int32), n)
+    return np.asarray(mv) * 8
 
 
 # ---------------------------------------------------------------------------

@@ -51,9 +51,30 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.refs = [np.asarray(p, np.int32) for p in refs]
         self.rdo_partition = False  # inter partition RD lands next milestone
         self.me_range = 16  # full-pel search radius (px)
+        self.use_satd_subpel = speed <= 8  # subpel refinement toggle
 
     def _pre_encode(self) -> None:
         self.grid = mvp.MiGrid(self.mi_rows, self.mi_cols)
+        # device (TPU) hierarchical full-search ME map for 32x32 blocks
+        self._me_map = None
+        if self.out_w * self.out_h >= 320 * 240:
+            try:
+                from rav1e_tpu.models.device_pipeline import frame_me_map
+
+                ref = self.refs[0]
+                pad = np.zeros_like(self.src[0])
+                rh, rw = ref.shape
+                pad[:rh, :rw] = ref
+                pad[:rh, rw:] = ref[:, -1:]
+                pad[rh:, :] = pad[rh - 1 : rh, :]
+                self._me_map = frame_me_map(self.src[0], pad, 32)
+            except Exception as e:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "device ME unavailable (%s); host fallback", e
+                )
+                self._me_map = None
 
     # -- prediction ----------------------------------------------------------
 
@@ -86,31 +107,48 @@ class InterFrameEncoder(IntraFrameEncoder):
         return int(np.abs(src - pred).sum())
 
     def _motion_search(self, x, y, bw, bh, stack) -> tuple:
-        """Full-pel SAD search seeded by the MV stack; diamond refinement.
-        Returns (mv, sad).  MVs in 1/8 pel, full-pel aligned."""
+        """Full-pel candidates (device ME map + MV stack predictors), then
+        quarter-pel refinement.  Returns (mv, sad), 1/8-pel even values."""
         cands = {(0, 0)}
         for mv in stack[:2]:
             cands.add(((mv[0] + 4) & ~7, (mv[1] + 4) & ~7))
+        if self._me_map is not None:
+            m = self._me_map[min(y // 32, self._me_map.shape[0] - 1)][
+                min(x // 32, self._me_map.shape[1] - 1)
+            ]
+            cands.add((int(m[0]), int(m[1])))
         best, best_sad = (0, 0), None
         for mv in cands:
             s = self._sad(x, y, bw, bh, mv)
             if best_sad is None or s < best_sad:
                 best, best_sad = mv, s
-        # diamond refinement at full-pel steps
-        step = 8 * 8  # start at 8 px
-        while step >= 8:
-            improved = True
-            while improved:
-                improved = False
+        if self._me_map is None:
+            # fall back to a host diamond when no device map exists
+            step = 8 * 8
+            while step >= 8:
+                improved = True
+                while improved:
+                    improved = False
+                    for dr, dc in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                        mv = (best[0] + dr, best[1] + dc)
+                        if abs(mv[0]) > self.me_range * 64 or abs(mv[1]) > self.me_range * 64:
+                            continue
+                        s = self._sad(x, y, bw, bh, mv)
+                        if s < best_sad:
+                            best, best_sad = mv, s
+                            improved = True
+                step >>= 1
+        # subpel refinement at half- then quarter-pel (even 1/8 units; one
+        # diamond round per step - bounded host cost); skipped when the
+        # full-pel match is already near-perfect
+        if self.use_satd_subpel and best_sad > bw * bh:
+            for step in (4, 2):
+                trial = best
                 for dr, dc in ((-step, 0), (step, 0), (0, -step), (0, step)):
-                    mv = (best[0] + dr, best[1] + dc)
-                    if abs(mv[0]) > self.me_range * 8 * 4 or abs(mv[1]) > self.me_range * 8 * 4:
-                        continue
+                    mv = (trial[0] + dr, trial[1] + dc)
                     s = self._sad(x, y, bw, bh, mv)
                     if s < best_sad:
                         best, best_sad = mv, s
-                        improved = True
-            step >>= 1
         return best, best_sad
 
     # -- block coding --------------------------------------------------------

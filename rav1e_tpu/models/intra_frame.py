@@ -175,7 +175,12 @@ class IntraFrameEncoder:
                 rd = frame_rd_maps(self.src[0], self.dc_q, self.ac_q, self.lam)
                 self._rd_maps = rd
                 self._mode_maps = {32: rd[32], 16: rd[16]}
-            except Exception:
+            except Exception as e:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "device RD analysis unavailable (%s); host fallback", e
+                )
                 self._mode_maps = None
 
         from rav1e_tpu.ops.deblock_np import DeblockInfo

@@ -31,6 +31,9 @@ _jax = None
 def _get_jax():
     global _jax
     if _jax is None:
+        from rav1e_tpu.utils.jaxsetup import configure
+
+        configure()
         import jax
 
         _jax = jax
@@ -175,7 +178,12 @@ def cdef_frame_device(rec, skip, y_pri, y_sec, uv_pri, uv_sec, damping, bd,
             np.asarray(skip, bool),
             y_pri, y_sec, uv_pri, uv_sec, damping=damping,
         )
-    except Exception:
+    except Exception as e:
+        import logging
+
+        logging.getLogger("rav1e_tpu").warning(
+            "device CDEF unavailable (%s); host fallback", e
+        )
         from rav1e_tpu.ops.cdef_np import cdef_frame_batched
 
         cdef_frame_batched(rec, skip, y_pri, y_sec, uv_pri, uv_sec, damping,

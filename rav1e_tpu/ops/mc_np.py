@@ -77,7 +77,12 @@ def put_single(
     round0 = 3 if bit_depth < 12 else 5
     round1 = 14 - round0
 
+    interior = (
+        ix - 3 >= 0 and iy - 3 >= 0 and ix + w + 4 <= max_x + 1 and iy + h + 4 <= max_y + 1
+    )
     if fx == 0 and fy == 0:
+        if interior:
+            return ref[iy : iy + h, ix : ix + w].astype(np.int32)
         ys = np.clip(np.arange(iy, iy + h), 0, max_y)
         xs = np.clip(np.arange(ix, ix + w), 0, max_x)
         return ref[np.ix_(ys, xs)].astype(np.int32)
@@ -88,16 +93,23 @@ def put_single(
     taps_y = MC_FILTERS[fset_y][fy]
 
     # horizontal pass over rows [iy-3, iy+h+3]
-    ys = np.clip(np.arange(iy - 3, iy + h + 4), 0, max_y)
-    cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, max_x)
-    src = ref[np.ix_(ys, cols)].astype(np.int64)  # [h+7, w+7]
+    if interior:
+        src = ref[iy - 3 : iy + h + 4, ix - 3 : ix + w + 4].astype(np.int64)
+    else:
+        ys = np.clip(np.arange(iy - 3, iy + h + 4), 0, max_y)
+        cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, max_x)
+        src = ref[np.ix_(ys, cols)].astype(np.int64)  # [h+7, w+7]
     inter = np.zeros((h + 7, w), np.int64)
     for t in range(8):
-        inter += taps_x[t] * src[:, t : t + w]
+        tw_ = int(taps_x[t])
+        if tw_:
+            inter += tw_ * src[:, t : t + w]
     inter = _round2(inter, round0)
 
     out = np.zeros((h, w), np.int64)
     for t in range(8):
-        out += taps_y[t] * inter[t : t + h, :]
+        tw_ = int(taps_y[t])
+        if tw_:
+            out += tw_ * inter[t : t + h, :]
     out = _round2(out, round1)
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)

@@ -76,3 +76,42 @@ def test_rc_state_monotonic():
                      target_bitrate=rate, fps=30)
         qs.append(rc.select_qi("key"))
     assert qs[0] >= qs[1] >= qs[2], qs
+
+
+def test_two_pass():
+    """Pass 1 records complexity; pass 2 must hit the rate at least as
+    accurately as single-pass ABR and validate the stats format."""
+    from rav1e_tpu.api.rate import TwoPassError, parse_twopass
+
+    w, h, fps, n = 160, 96, 30, 16
+    target = 300_000
+    frames = clip(w, h, n, cut_at=8, seed=5)
+    # pass 1 at CQ
+    ctx1 = Config(enc=EncoderConfig(width=w, height=h, quantizer=120,
+                                    min_key_frame_interval=2)).new_context()
+    for f in frames:
+        ctx1.send_frame(f)
+        ctx1.receive_packet()
+    stats = ctx1.twopass_summary() + ctx1.twopass_out()
+    # format validation
+    with pytest.raises(TwoPassError):
+        parse_twopass(b"XXXX" + stats[4:])
+    with pytest.raises(TwoPassError):
+        parse_twopass(stats[:10])
+    metrics = parse_twopass(stats)
+    assert len(metrics) == n
+    assert metrics[0].frame_type == "key"
+    # pass 2
+    cfg2 = EncoderConfig(width=w, height=h, bitrate=target, time_base=(1, fps),
+                         min_key_frame_interval=2, rc_stats=stats)
+    ctx2 = Config(enc=cfg2).new_context()
+    bits = []
+    types = []
+    for f in frames:
+        ctx2.send_frame(f)
+        p = ctx2.receive_packet()
+        bits.append(len(p.data) * 8)
+        types.append(p.frame_type)
+    achieved = sum(bits) * fps / n
+    assert types[8] == "key"  # scene cut carried from pass 1
+    assert 0.55 * target < achieved < 1.7 * target, achieved
