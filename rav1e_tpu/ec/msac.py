@@ -107,6 +107,17 @@ class MsacEncoder:
         for i in range(bits - 1, -1, -1):
             self.bool_((value >> i) & 1, 16384)
 
+    def gather_bool(self, bit: int, cdf_row, pset, nsyms: int) -> None:
+        """Bool with probability gathered from a cdf row (partition set
+        bools at partial superblocks); no adaptation."""
+        total = 0
+        for p in pset:
+            if p >= nsyms:
+                continue
+            hi = 32768 if p == 0 else int(cdf_row[p - 1])
+            total += hi - int(cdf_row[p])
+        self.bool_(bit, max(1, min(total, 32767)))
+
     def done(self) -> bytes:
         """Flush and carry-propagate; returns the final byte stream."""
         low = self.low

@@ -85,6 +85,17 @@ class NativeMsacEncoder:
     def literal(self, value: int, bits: int) -> None:
         _lib.msac_literal(self._e, value, bits)
 
+    def gather_bool(self, bit: int, cdf_row, pset, nsyms: int) -> None:
+        """Bool with probability gathered from a cdf row (partition set
+        bools at partial superblocks); no adaptation."""
+        total = 0
+        for p in pset:
+            if p >= nsyms:
+                continue
+            hi = 32768 if p == 0 else int(cdf_row[p - 1])
+            total += hi - int(cdf_row[p])
+        self.bool_(bit, max(1, min(total, 32767)))
+
     def tell_bits(self) -> int:
         return _lib.msac_tell(self._e)
 

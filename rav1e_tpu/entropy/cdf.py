@@ -95,6 +95,14 @@ class CdfContext:
             new.__dict__[k] = c
         return new
 
+    def restore_from(self, other: "CdfContext") -> None:
+        """In-place restore of every table from `other`, preserving array
+        object identity (recorded symbol ops hold row views into these
+        arrays across tile replays)."""
+        for k, v in self.__dict__.items():
+            if isinstance(v, np.ndarray):
+                v[...] = other.__dict__[k]
+
     @staticmethod
     def q_context(base_q_idx: int) -> int:
         """spec: coefficient CDF selection by quantizer (get_q_ctx)."""

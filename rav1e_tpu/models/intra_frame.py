@@ -91,6 +91,7 @@ class IntraFrameEncoder:
         self.lf_levels = tuple(lf_levels)
         self.lf_sharpness = lf_sharpness
         self.cdef_damping = cdef_damping  # 0: CDEF off; 3..6 per spec
+        self.lrf = False  # loop restoration (Wiener, luma); set by pipeline
         self.use_native = use_native
         self.out_w = width
         self.out_h = height
@@ -194,6 +195,9 @@ class IntraFrameEncoder:
 
             deblock_frame(self.rec, self.db_info, self.lf_levels,
                           self.lf_sharpness, self.bd, self.coded_w, self.coded_h)
+        if self.lrf:
+            # LR stripe boundaries read the pre-CDEF (deblocked) rows
+            self._deblock_copy = [p.copy() for p in self.rec]
         self.cdef_strengths = None
         if self.cdef_damping:
             self.cdef_strengths = self._cdef_search()
@@ -204,6 +208,10 @@ class IntraFrameEncoder:
                        y_s >> 2, [0, 1, 2, 4][y_s & 3],
                        uv_s >> 2, [0, 1, 2, 4][uv_s & 3],
                        self.cdef_damping, self.bd, self.coded_w, self.coded_h)
+        if self.lrf:
+            self._lr_decide()
+            data = self._emit_tiles_lr()
+            self._lr_apply()
         recon = [
             self.rec[0][: self.out_h, : self.out_w],
             self.rec[1][: (self.out_h + 1) >> 1, : (self.out_w + 1) >> 1],
@@ -251,15 +259,27 @@ class IntraFrameEncoder:
             ctx.above_dc[pc0:pc1] = 0
             ctx.left_dc[pr0:pr1] = 0
 
-    def _encode_tiles(self) -> bytes:
+    def _encode_tiles(self):
+        """Run the SB loops.  Without LR, returns the assembled tile bytes.
+        With LR, symbol streams are captured by RecordingEncoders (rav1e's
+        WriterRecorder analog) and emission is deferred to _emit_tiles_lr."""
         tiles = self._tile_grid()
         frame_cdf = self.cdf
+        self._frame_init_cdf = frame_cdf
         tile_datas = []
+        self._tile_recorders = []
         for idx, (sc0, sr0, sc1, sr1) in enumerate(tiles):
             self.tx0, self.ty0 = sc0 * 64, sr0 * 64
             self.tx1 = min(sc1 * 64, self.coded_w)
             self.ty1 = min(sr1 * 64, self.coded_h)
-            if len(tiles) > 1:
+            if self.lrf:
+                from rav1e_tpu.ec.recorder import RecordingEncoder
+
+                self.enc = RecordingEncoder()
+                self._tile_recorders.append(self.enc)
+                if len(tiles) > 1:
+                    self._reset_tile_contexts()
+            elif len(tiles) > 1:
                 self.cdf = frame_cdf.copy()
                 if self.use_native:
                     from rav1e_tpu.ec.native import NativeMsacEncoder
@@ -270,10 +290,16 @@ class IntraFrameEncoder:
                 self._reset_tile_contexts()
             for sy in range(self.ty0, self.ty1, 64):
                 for sx in range(self.tx0, self.tx1, 64):
+                    if self.lrf:
+                        self.enc.sb_anchor(sy // 64, sx // 64)
                     self._partition(sx, sy, 64)
-            tile_datas.append(self.enc.done())
-            if idx == 0:
-                self.cdf_saved = self.cdf  # context_update_tile_id == 0
+            if not self.lrf:
+                tile_datas.append(self.enc.done())
+                if idx == 0:
+                    self.cdf_saved = self.cdf  # context_update_tile_id == 0
+        if self.lrf:
+            self._tile_bounds = tiles
+            return None  # emission deferred to _emit_tiles_lr
         self.cdf = getattr(self, "cdf_saved", self.cdf)
         if len(tile_datas) == 1:
             return tile_datas[0]
@@ -281,6 +307,129 @@ class IntraFrameEncoder:
         for i, td in enumerate(tile_datas):
             if i < len(tile_datas) - 1:
                 out += (len(td) - 1).to_bytes(4, "little")  # tile_size_minus_1
+            out += td
+        return out
+
+    # -- loop restoration (reference analog: src/lrf.rs) ----------------------
+
+    LR_UNIT = 64  # luma restoration unit size (lr_unit_shift = 0)
+
+    def _lr_decide(self) -> None:
+        """Wiener decision: one frame-level tap set (solved over the luma
+        plane), each unit toggles it on/off by SSE.
+
+        All coded units share the taps so every unit after the first codes
+        its coefficients equal to the running reference (v == ref subexp
+        path).  TODO(next round): per-unit taps need the decoder's exact
+        non-default-ref subexp recentering, which resisted black-box
+        identification against libdav1d (see tools/notes in git history)."""
+        from rav1e_tpu.ops import lrf_np as lr
+
+        self._lr_params = {}
+        rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
+        cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
+        cdef_p = self.rec[0]
+        db_p = self._deblock_copy[0]
+        src_f = self.src[0][: self.out_h, : self.out_w].astype(np.float64)
+        vt, ht = lr.solve_wiener(
+            cdef_p[: self.out_h, : self.out_w].astype(np.float64), src_f
+        )
+        if vt == (0, 0, 0) and ht == (0, 0, 0):
+            for ur in range(len(rows)):
+                for uc in range(len(cols)):
+                    self._lr_params[(ur, uc)] = None
+            return
+        restored = lr.wiener_filter_frame(cdef_p, db_p, vt, ht, 64, self.bd,
+                                          self.out_w, self.out_h)
+        for ur, (y0, y1) in enumerate(rows):
+            for uc, (x0, x1) in enumerate(cols):
+                src = self.src[0][y0:y1, x0:x1].astype(np.int64)
+                base = cdef_p[y0:y1, x0:x1].astype(np.int64)
+                sse0 = int(((base - src) ** 2).sum())
+                out = restored[y0:y1, x0:x1]
+                sse1 = int(((out - src) ** 2).sum())
+                # tap rate ~30 bits for the first unit, ~7 after
+                if sse1 + self.lam * 12 < sse0:
+                    self._lr_params[(ur, uc)] = (vt, ht, out)
+                else:
+                    self._lr_params[(ur, uc)] = None
+
+    def _lr_apply(self) -> None:
+        from rav1e_tpu.ops import lrf_np as lr
+
+        rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
+        cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
+        for (ur, uc), p in self._lr_params.items():
+            if p is None:
+                continue
+            y0, y1 = rows[ur]
+            x0, x1 = cols[uc]
+            self.rec[0][y0:y1, x0:x1] = p[2]
+
+    def _lr_write(self, enc, sb_row: int, sb_col: int) -> None:
+        """read_lr for one superblock (spec 5.11.57), luma WIENER frame
+        restoration type; plane 1/2 are RESTORE_NONE (no symbols)."""
+        from rav1e_tpu.entropy import subexp as se
+        from rav1e_tpu.ops import lrf_np as lr
+
+        unit = self.LR_UNIT
+        n_rows = lr.count_units(unit, self.out_h)
+        n_cols = lr.count_units(unit, self.out_w)
+        r_mi, c_mi = sb_row * 16, sb_col * 16
+        ur0 = (r_mi * 4 + unit - 1) // unit
+        ur1 = min(n_rows, ((r_mi + 16) * 4 + unit - 1) // unit)
+        uc0 = (c_mi * 4 + unit - 1) // unit
+        uc1 = min(n_cols, ((c_mi + 16) * 4 + unit - 1) // unit)
+        for ur in range(ur0, ur1):
+            for uc in range(uc0, uc1):
+                p = self._lr_params.get((ur, uc))
+                use = p is not None
+                enc.symbol_adapt(1 if use else 0, self.cdf.wiener_restore[0])
+                if not use:
+                    continue
+                vt, ht, _ = p
+                for pass_i, taps in ((0, vt), (1, ht)):
+                    for i in range(3):
+                        se.write_signed_subexp_with_ref(
+                            enc, int(taps[i]), lr.WIENER_TAPS_MIN[i],
+                            lr.WIENER_TAPS_MAX[i] + 1, lr.WIENER_TAPS_K[i],
+                            int(self._lr_ref[pass_i][i]))
+                        self._lr_ref[pass_i][i] = int(taps[i])
+
+    def _emit_tiles_lr(self) -> bytes:
+        """Replay recorded tiles with read_lr symbols at SB anchors.  The
+        recorded ops hold row views into _frame_init_cdf's arrays, so tile
+        independence is achieved by restoring those arrays IN PLACE before
+        each tile's replay (preserving object identity)."""
+        frame_cdf = self._frame_init_cdf
+        tile_datas = []
+        multi = len(self._tile_recorders) > 1
+        pristine = frame_cdf.copy() if multi else None
+        saved = None
+        for idx, rec in enumerate(self._tile_recorders):
+            if multi and idx > 0:
+                frame_cdf.restore_from(pristine)
+            self.cdf = frame_cdf
+            if self.use_native:
+                from rav1e_tpu.ec.native import NativeMsacEncoder
+
+                enc = NativeMsacEncoder()
+            else:
+                enc = MsacEncoder()
+            self._lr_ref = [list(lr_default) for lr_default in
+                            ((3, -7, 15), (3, -7, 15))]
+            rec.replay(enc, self.cdf, lr_insert=self._lr_write)
+            tile_datas.append(enc.done())
+            if idx == 0:
+                saved = frame_cdf.copy() if multi else frame_cdf
+        self.cdf = saved
+        self.cdf_saved = saved
+        if len(tile_datas) == 1:
+            return tile_datas[0]
+        out = b""
+        for i, td in enumerate(tile_datas):
+            if i < len(tile_datas) - 1:
+                out += (len(td) - 1).to_bytes(4, "little")
             out += td
         return out
 
@@ -431,12 +580,12 @@ class IntraFrameEncoder:
         elif has_cols:
             # bottom edge: HORZ (top half) or SPLIT; bool with gathered cdf
             part = self.P_SPLIT if want_split else self.P_HORZ
-            f = self._gather_prob(cdf_row, self._TOP_SPLIT_SET, nsyms)
-            self.enc.bool_(1 if part == self.P_SPLIT else 0, f)
+            self.enc.gather_bool(1 if part == self.P_SPLIT else 0,
+                                 cdf_row, self._TOP_SPLIT_SET, nsyms)
         elif has_rows:
             part = self.P_SPLIT if want_split else self.P_VERT
-            f = self._gather_prob(cdf_row, self._LEFT_SPLIT_SET, nsyms)
-            self.enc.bool_(1 if part == self.P_SPLIT else 0, f)
+            self.enc.gather_bool(1 if part == self.P_SPLIT else 0,
+                                 cdf_row, self._LEFT_SPLIT_SET, nsyms)
         else:
             part = self.P_SPLIT  # implied, nothing coded
 

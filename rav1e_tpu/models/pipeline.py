@@ -30,6 +30,7 @@ class FrameEncoder:
             subsampling_x=enc_config.chroma_sampling[0],
             subsampling_y=enc_config.chroma_sampling[1],
             enable_cdef=enc_config.speed_settings.cdef,
+            enable_restoration=enc_config.speed_settings.lrf,
         )
         self.frame_count = 0
         self.last_recon = None  # decoder-visible LAST reference planes
@@ -89,6 +90,7 @@ class FrameEncoder:
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
         )
+        fe.lrf = self.seq.enable_restoration
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
         self.last_recon = recon
@@ -107,6 +109,9 @@ class FrameEncoder:
             fp.cdef_bits = 0
             fp.cdef_y_strengths = (fe.cdef_strengths[0],)
             fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
+        if fe.lrf:
+            fp.frame_restoration_type = (2, 0, 0)  # WIENER luma, none chroma
+            fp.lr_unit_shift = 0
         out = temporal_delimiter()
         out += write_sequence_header_obu(self.seq)
         out += write_frame_obu(self.seq, fp, tile)
@@ -133,6 +138,7 @@ class FrameEncoder:
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
         )
+        fe.lrf = self.seq.enable_restoration
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
         self.last_recon = recon
@@ -157,6 +163,9 @@ class FrameEncoder:
             fp.cdef_bits = 0
             fp.cdef_y_strengths = (fe.cdef_strengths[0],)
             fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
+        if fe.lrf:
+            fp.frame_restoration_type = (2, 0, 0)
+            fp.lr_unit_shift = 0
         out = temporal_delimiter()
         out += write_frame_obu(self.seq, fp, tile)
         self.frame_count += 1

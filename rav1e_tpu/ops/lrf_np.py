@@ -24,13 +24,17 @@ def count_units(unit_size: int, frame_size: int) -> int:
     return max((frame_size + (unit_size >> 1)) // unit_size, 1)
 
 
-def unit_ranges(unit_size: int, frame_size: int) -> list:
-    """[(start, end)] covering frame_size; last unit absorbs the remainder."""
+def unit_ranges(unit_size: int, frame_size: int, shifted: bool = False) -> list:
+    """[(start, end)] covering frame_size; last unit absorbs the remainder.
+    shifted: vertical unit ranges are stripe-aligned, i.e. pulled up by
+    unit_size/8 px (unit k covers [64k-8, 64(k+1)-8) for 64-px units), so
+    each restoration unit spans whole filter stripes."""
     n = count_units(unit_size, frame_size)
+    off = (unit_size >> 3) if shifted else 0
     out = []
     for i in range(n):
-        s = i * unit_size
-        e = frame_size if i == n - 1 else (i + 1) * unit_size
+        s = 0 if i == 0 else i * unit_size - off
+        e = frame_size if i == n - 1 else (i + 1) * unit_size - off
         out.append((s, e))
     return out
 
@@ -108,9 +112,65 @@ def wiener_filter_unit(
     return out
 
 
+def wiener_filter_frame(
+    cdef_p: np.ndarray,
+    deblock_p: np.ndarray,
+    vtaps3,
+    htaps3,
+    stripe_size: int,
+    bd: int,
+    frame_w: int,
+    frame_h: int,
+) -> np.ndarray:
+    """Whole-frame Wiener restore (vectorized).  Equivalent to running
+    wiener_filter_unit over every unit with the same taps: the stripe rule
+    is encoded in a per-(row, tap) source-row gather table."""
+    vf = wiener_7tap(vtaps3)
+    hf = wiener_7tap(htaps3)
+    round0 = 3 if bd < 12 else 5
+    round1 = 11 if bd < 12 else 9
+    off_h = 1 << (bd + 6)
+    limit = (1 << (bd + 1 + 7 - round0)) - 1
+    off_v = 1 << (bd + round1 - 1)
+
+    h, w = frame_h, frame_w
+    xs = np.clip(np.arange(-3, w + 3), 0, w - 1)
+    # gather 7 source rows per output row under the stripe rule
+    ridx = np.zeros((h, 7), np.int64)
+    use_db = np.zeros((h, 7), np.bool_)
+    for t in range(-3, 4):
+        for y in range(h):
+            rr, db = _stripe_source(cdef_p, deblock_p, y, t, stripe_size, h)
+            ridx[y, t + 3] = rr
+            use_db[y, t + 3] = db
+    cd = cdef_p[:, xs].astype(np.int64)
+    db_ = deblock_p[:, xs].astype(np.int64)
+    rows = np.where(use_db[:, :, None], db_[ridx], cd[ridx])  # (h, 7, w+6)
+    hor = np.zeros((h, 7, w), np.int64)
+    for t in range(7):
+        if hf[t]:
+            hor += hf[t] * rows[:, :, t : t + w]
+    hor = (hor + off_h + (1 << (round0 - 1))) >> round0
+    hor = np.clip(hor, 0, limit)
+    s = (vf[None, :, None] * hor).sum(axis=1) - off_v
+    v = (s + (1 << (round1 - 1))) >> round1
+    return np.clip(v, 0, (1 << bd) - 1)
+
+
 def solve_wiener(degraded: np.ndarray, source: np.ndarray) -> tuple:
     """Least-squares symmetric separable 7-tap fit; returns (vtaps3, htaps3)
-    quantized to the coded ranges (encoder choice, any value decodable)."""
+    quantized to the coded ranges (encoder choice, any value decodable).
+    Large planes are subsampled (the fit is statistical)."""
+    h, w = degraded.shape
+    if h * w > (1 << 17):
+        # fit on evenly spaced bands of contiguous rows (vertical pairs
+        # need real neighbors, so no row striding)
+        band = 32
+        nbands = max(1, (1 << 17) // (band * w))
+        starts = np.linspace(0, max(0, h - band), nbands).astype(int)
+        idx = np.concatenate([np.arange(s, min(s + band, h)) for s in starts])
+        degraded = degraded[idx]
+        source = source[idx]
 
     def solve_dir(d, s, axis):
         # model s ~ conv(d, f) along axis with symmetric 7-tap, f in 1/128

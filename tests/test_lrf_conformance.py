@@ -1,0 +1,57 @@
+"""Loop restoration (Wiener) conformance + behavior.
+
+The decoded output includes dav1d's LR pass; it must equal our restored
+reconstruction exactly (validates read_lr placement, subexp tap coding,
+stripe-aligned unit geometry and the two-pass filter arithmetic)."""
+
+import numpy as np
+import pytest
+
+from tests.test_inter_conformance import moving_content, run_clip
+
+dav1d = pytest.importorskip("rav1e_tpu.utils.dav1d_oracle")
+
+
+def blurry_content(w, h, n, seed=0):
+    """Smooth content + noise at high q: Wiener restoration engages."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0 : h + 32, 0 : w + 32]
+    base = (128 + 80 * np.sin(xx / 17.0) * np.cos(yy / 23.0)).astype(np.int32)
+    frames = []
+    for t in range(n):
+        y = np.clip(base[t : t + h, 2 * t : 2 * t + w]
+                    + rng.integers(-10, 10, (h, w)), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 136, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_lr_engages_and_conforms():
+    """At mid q on noisy smooth content the Wiener filter should fire on
+    some units, and the stream must decode bit-exactly."""
+    run_clip(blurry_content(192, 128, 2, seed=3), q=140)
+
+
+def test_lr_highq():
+    run_clip(blurry_content(128, 192, 2, seed=5), q=210)
+
+
+def test_lr_partial_units():
+    """Frame dims forcing merged trailing restoration units."""
+    run_clip(blurry_content(200, 136, 2, seed=7), q=170)
+
+
+def test_lr_improves_psnr():
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+
+    y, u, v = blurry_content(192, 128, 1, seed=11)[0]
+    planes = [y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)]
+    res = {}
+    for lrf in (False, True):
+        fe = IntraFrameEncoder(192, 128, q_idx=160, lf_levels=(25,) * 4,
+                               cdef_damping=5, device_modes=False)
+        fe.lrf = lrf
+        _, rec = fe.encode([p.copy() for p in planes])
+        res[lrf] = np.mean((rec[0].astype(float) - planes[0]) ** 2)
+    assert res[True] <= res[False] * 1.0005, res

@@ -168,6 +168,12 @@ TABLES: dict[str, Table] = {
     "single_ref": Table((3, 6), 2, [4897], at=42261, source="rav_at"),
     "comp_ref": Table((3, 3), 2, [4946], at=42297, source="rav_at"),
     "comp_bwd_ref": Table((3, 2), 2, [2235], at=42315, source="rav_at"),
+    # loop restoration type cdfs: switchable chain-located in librav1e;
+    # wiener/sgrproj singles are code immediates (values from libaom
+    # entropymode.c defaults; validated by the LR conformance tests)
+    "switchable_restore": Table((1,), 3, [9413, 22581], at=42461, source="rav_at"),
+    "wiener_restore": Table((1,), 2, [11570], source="literal"),
+    "sgrproj_restore": Table((1,), 2, [16855], source="literal"),
     # zeromv (GLOBALMV) defaults: stored as code immediates in both binaries
     # (librav1e allocates only a [0,0] placeholder pair at 42149); values
     # below are validated EMPIRICALLY by the dav1d inter conformance tests
