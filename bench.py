@@ -31,7 +31,11 @@ def main() -> None:
         frames.append(Frame.from_planes(y, u, v))
 
     try:
-        cfg = Config(enc=EncoderConfig(width=w, height=h, quantizer=100))
+        # all-keyframe run (the metric is keyframe fps): interval 1
+        cfg = Config(enc=EncoderConfig(width=w, height=h, quantizer=100,
+                                       min_key_frame_interval=1,
+                                       max_key_frame_interval=1,
+                                       low_latency=True))
         ctx = cfg.new_context()
         # warmup (jit compile)
         ctx.send_frame(frames[0])

@@ -67,16 +67,23 @@ def main(argv=None) -> int:
     psnr_acc = []
     ssim_acc = []
     t0 = time.perf_counter()
-    for frame in frames:
-        ctx.send_frame(frame)
-        pkt = ctx.receive_packet()
-        write_ivf_frame(fout, n, pkt.data)
+    src_frames = {}
+
+    def handle(pkt):
+        nonlocal total_bytes, n
+        write_ivf_frame(fout, pkt.input_frameno, pkt.data)
         total_bytes += len(pkt.data)
-        recon = ctx._encoder.last_recon
+        if not pkt.shows:
+            return
+        n += 1
+        recon = ctx._encoder.recon_by_input.get(pkt.input_frameno)
+        src = src_frames.pop(pkt.input_frameno, None)
+        if recon is None or src is None:
+            return
         if args.psnr or args.metrics:
             from rav1e_tpu.utils.metrics import frame_psnr, ssim
 
-            srcs = [pl.window() for pl in frame.planes]
+            srcs = [pl.window() for pl in src.planes]
             psnr_acc.append(frame_psnr(recon, srcs, meta["bit_depth"])["combined"])
             if args.metrics:
                 ssim_acc.append(ssim(recon[0], srcs[0], meta["bit_depth"]))
@@ -84,9 +91,27 @@ def main(argv=None) -> int:
             from rav1e_tpu.utils.frame import Frame
 
             write_y4m_frame(frec, Frame.from_planes(*recon, meta["bit_depth"], meta["ss"]))
-        n += 1
-        if args.limit and n >= args.limit:
+
+    def drain():
+        while True:
+            try:
+                handle(ctx.receive_packet())
+            except EncoderError as e:
+                if e.status in (EncoderStatus.NEED_MORE_DATA,
+                                EncoderStatus.LIMIT_REACHED):
+                    return
+                raise
+
+    sent = 0
+    for frame in frames:
+        src_frames[sent] = frame
+        ctx.send_frame(frame)
+        sent += 1
+        drain()
+        if args.limit and sent >= args.limit:
             break
+    ctx.flush()
+    drain()
     dt = time.perf_counter() - t0
     if args.first_pass:
         with open(args.first_pass, "wb") as fstats:

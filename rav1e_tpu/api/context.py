@@ -37,6 +37,9 @@ class Packet:
     input_frameno: int
     frame_type: str  # "key" | "inter"
     opaque: object = None
+    # whether this temporal unit displays a frame (False for the no-show
+    # frames of a pyramid group; their display comes via show_existing)
+    shows: bool = True
 
     def __repr__(self) -> str:
         return (
@@ -49,6 +52,8 @@ class Context:
     ring (lookahead, scenechange, rate control, GOP pyramid) attaches here
     as it lands (see SURVEY.md section 2.2)."""
 
+    GROUP = 4  # pyramid sub-GOP length (reference: InterConfig group_input_len)
+
     def __init__(self, enc: EncoderConfig):
         self.enc = enc
         self.frame_q: deque = deque()
@@ -57,6 +62,17 @@ class Context:
         self.flushing = False
         self.limit: int | None = None
         self._encoder = None  # lazy: models.pipeline.FrameEncoder
+        self._pending: list = []  # reordered packets awaiting delivery
+        self._ftype_q: deque = deque()  # frame types aligned with frame_q
+        self._sc = None
+        if not enc.speed_settings.no_scene_detection:
+            from rav1e_tpu.api.scenechange import SceneChangeDetector
+
+            self._sc = SceneChangeDetector(
+                bit_depth=enc.bit_depth,
+                min_len=enc.min_key_frame_interval,
+                max_len=enc.max_key_frame_interval,
+            )
 
     # -- API ---------------------------------------------------------------
 
@@ -67,18 +83,56 @@ class Context:
             return
         if self.flushing:
             raise EncoderError(EncoderStatus.ENOUGH_DATA)
+        # scene analysis is causal: classify each frame as it arrives
+        if self._sc is not None:
+            is_cut = self._sc.analyze(frame.planes[0].window())
+            ftype = "key" if (self.input_frameno == 0 or is_cut) else "inter"
+        else:
+            kf = self.enc.max_key_frame_interval or 240
+            ftype = "key" if self.input_frameno % kf == 0 else "inter"
         self.frame_q.append((self.input_frameno, frame))
+        self._ftype_q.append(ftype)
         self.input_frameno += 1
 
     def receive_packet(self) -> Packet:
+        if self._pending:
+            self.frames_processed += 1
+            return self._pending.pop(0)
         if not self.frame_q:
             if self.flushing:
                 raise EncoderError(EncoderStatus.LIMIT_REACHED)
             raise EncoderError(EncoderStatus.NEED_MORE_DATA)
-        frameno, frame = self.frame_q.popleft()
-        packet = self._encode_frame(frameno, frame)
-        self.frames_processed += 1
-        return packet
+        self._init_encoder()
+        # two-pass replays pass-1 frame types 1:1, so it runs low-latency
+        if self.enc.low_latency or self._tp_alloc is not None:
+            frameno, frame = self.frame_q.popleft()
+            ftype = self._ftype_q.popleft()
+            packet = self._encode_frame(frameno, frame, ftype)
+            self.frames_processed += 1
+            return packet
+        # pyramid scheduling: keyframes go alone; inter runs in sub-GOPs
+        if self._ftype_q[0] == "key":
+            frameno, frame = self.frame_q.popleft()
+            self._ftype_q.popleft()
+            packet = self._encode_frame(frameno, frame, "key")
+            self.frames_processed += 1
+            return packet
+        # count consecutive inter frames at the head
+        n_run = 0
+        for t in self._ftype_q:
+            if t == "key":
+                break
+            n_run += 1
+        boundary = n_run < len(self._ftype_q)  # a key follows the run
+        if n_run >= self.GROUP or boundary or self.flushing:
+            group = []
+            for _ in range(min(n_run, self.GROUP)):
+                group.append(self.frame_q.popleft())
+                self._ftype_q.popleft()
+            self._encode_group(group)
+            self.frames_processed += 1
+            return self._pending.pop(0)
+        raise EncoderError(EncoderStatus.NEED_MORE_DATA)
 
     def flush(self) -> None:
         self.send_frame(None)
@@ -102,21 +156,13 @@ class Context:
             still_picture=self.enc.still_picture,
         )
 
-    def _encode_frame(self, frameno: int, frame) -> Packet:
-        if self._encoder is None:
+    def _init_encoder(self) -> None:
+        if self._encoder is not None:
+            return
+        if True:
             from rav1e_tpu.models.pipeline import FrameEncoder
 
             self._encoder = FrameEncoder(self.enc)
-            if self.enc.speed_settings.no_scene_detection:
-                self._sc = None
-            else:
-                from rav1e_tpu.api.scenechange import SceneChangeDetector
-
-                self._sc = SceneChangeDetector(
-                    bit_depth=self.enc.bit_depth,
-                    min_len=self.enc.min_key_frame_interval,
-                    max_len=self.enc.max_key_frame_interval,
-                )
             if self.enc.bitrate > 0:
                 from rav1e_tpu.api.rate import RCState
 
@@ -150,6 +196,9 @@ class Context:
                     raise EncoderError(EncoderStatus.FAILURE)
                 metrics = parse_twopass(self.enc.rc_stats)
                 self._tp_alloc = TwoPassAllocator(metrics, self._rc)
+
+    def _encode_frame(self, frameno: int, frame, ftype: str) -> Packet:
+        """Single-frame (key or low-latency P) encode."""
         if self._tp_alloc is not None:
             # pass 2: frame types and targets come from the pass-1 metrics
             ftype = self._tp_alloc.metrics[
@@ -159,7 +208,6 @@ class Context:
             data, ftype = self._encoder.encode_frame(frame, frameno, q_idx, ftype)
             self._tp_alloc.update(len(data) * 8)
         else:
-            ftype = self._frame_type(frameno, frame)
             q_idx = None
             if self._rc is not None:
                 q_idx = self._rc.select_qi(ftype)
@@ -168,7 +216,86 @@ class Context:
                 self._rc.update(ftype, q_idx, len(data) * 8)
         self._tp_writer.record(ftype, q_idx if q_idx is not None else self.enc.quantizer,
                                len(data) * 8)
+        self._encoder.recon_by_input[frameno] = self._encoder.last_recon
+        self._encoder.base_slot = 0
         return Packet(data=data, input_frameno=frameno, frame_type=ftype)
+
+    def _encode_group(self, group: list) -> None:
+        """Pyramid sub-GOP (display-order inter frames): the group's last
+        frame is coded first (no-show ALT ref), the midpoint second (no-show
+        BWD ref), the leaves shown in display order with show_existing
+        temporal units releasing the held frames.  Reference analog:
+        InterConfig's reorder pyramid (src/api/internal.rs)."""
+        from rav1e_tpu.models import mv_pred as mvp
+
+        enc = self._encoder
+        base = getattr(enc, "base_slot", 0)
+        alt_slot = (base + 1) % 3
+        mid_slot = (base + 2) % 3
+        n = len(group)
+        if self._rc is not None:
+            q0 = self._rc.select_qi("inter")
+        else:
+            q0 = self.enc.quantizer
+        total_bits = 0
+
+        def emit(frameno, data, shows):
+            self._pending.append(Packet(data=data, input_frameno=frameno,
+                                        frame_type="inter", shows=shows))
+
+        def record(frameno, data, q):
+            nonlocal total_bits
+            total_bits += len(data) * 8
+            self._tp_writer.record("inter", q, len(data) * 8)
+            enc.recon_by_input[frameno] = enc.last_recon
+
+        alt_no, alt_frame = group[-1]
+        if n == 1:
+            q = q0
+            data = enc.encode_inter(alt_frame, q, alt_no, {mvp.LAST_FRAME: base},
+                                    show_frame=True, refresh_flags=1 << alt_slot)
+            emit(alt_no, data, True)
+            record(alt_no, data, q)
+            enc.base_slot = alt_slot
+        else:
+            q_alt = max(1, q0 - 6)
+            data = enc.encode_inter(alt_frame, q_alt, alt_no, {mvp.LAST_FRAME: base},
+                                    show_frame=False, refresh_flags=1 << alt_slot)
+            emit(alt_no, data, False)
+            record(alt_no, data, q_alt)
+            mid_i = (n - 1) // 2 if n >= 3 else None
+            if mid_i is not None:
+                mid_no, mid_frame = group[mid_i]
+                q_mid = max(1, q0 - 3)
+                data = enc.encode_inter(
+                    mid_frame, q_mid, mid_no,
+                    {mvp.LAST_FRAME: base, mvp.ALTREF_FRAME: alt_slot},
+                    show_frame=False, refresh_flags=1 << mid_slot)
+                emit(mid_no, data, False)
+                record(mid_no, data, q_mid)
+            q_leaf = min(255, q0 + 3)
+            for i in range(n - 1):
+                frameno, frame = group[i]
+                if mid_i is not None and i == mid_i:
+                    se = enc.show_existing(mid_slot)
+                    emit(frameno, se, True)
+                    continue
+                refs = {mvp.ALTREF_FRAME: alt_slot}
+                if mid_i is not None and i < mid_i:
+                    refs[mvp.LAST_FRAME] = base
+                    refs[mvp.BWDREF_FRAME] = mid_slot
+                elif mid_i is not None:
+                    refs[mvp.LAST_FRAME] = mid_slot
+                else:
+                    refs[mvp.LAST_FRAME] = base
+                data = enc.encode_inter(frame, q_leaf, frameno, refs,
+                                        show_frame=True, refresh_flags=0)
+                emit(frameno, data, True)
+                record(frameno, data, q_leaf)
+            emit(alt_no, enc.show_existing(alt_slot), True)
+            enc.base_slot = alt_slot
+        if self._rc is not None:
+            self._rc.update_group("inter", n, total_bits)
 
     # -- two-pass API (reference analog: twopass_out / rc summary) ----------
 
@@ -181,11 +308,3 @@ class Context:
         if self._encoder is None:
             return b""
         return self._tp_writer.summary()
-
-    def _frame_type(self, frameno: int, frame) -> str:
-        if self._sc is None:
-            return self._encoder.frame_type_for(frameno)
-        is_cut = self._sc.analyze(frame.planes[0].window())
-        if frameno == 0 or is_cut:
-            return "key"
-        return "inter"

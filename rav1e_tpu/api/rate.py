@@ -101,6 +101,20 @@ class RCState:
             self._qi[other] += 0.3 * delta
             self._qi[other] = float(np.clip(self._qi[other], self.min_q, self.max_q))
 
+    def update_group(self, frame_type: str, n: int, total_bits: int) -> None:
+        """One controller step for an n-frame pyramid group coded around the
+        group's base selection: the reservoir absorbs every frame, the
+        integral controller steps once on the group mean."""
+        if not self.target_bitrate:
+            return
+        target = getattr(self, "_last_target", self.bits_per_frame)
+        self.fullness += n * self.bits_per_frame - total_bits
+        self.fullness = float(np.clip(self.fullness, 0.0, 2.0 * self.reservoir_target))
+        ratio = max(total_bits / max(1, n), 1) / max(target, 1)
+        delta = self.GAIN * self.QI_PER_OCTAVE * float(np.log2(ratio))
+        cur = self._qi.get(frame_type, 128.0)
+        self._qi[frame_type] = float(np.clip(cur + delta, self.min_q, self.max_q))
+
 
 # -- two-pass ---------------------------------------------------------------
 #

@@ -34,8 +34,11 @@ def size_group(bw: int, bh: int) -> int:
 
 
 class InterFrameEncoder(IntraFrameEncoder):
-    """Encodes one single-ref inter frame.  refs = [Y, U, V] reconstruction
-    planes of the reference at the REAL frame size (the decoder's ref)."""
+    """Encodes one inter frame with single-reference prediction per block,
+    choosing among up to three reference frames (LAST and, in pyramid
+    groups, BWDREF/ALTREF).  refs: {ref_id: [Y, U, V]} reconstruction
+    planes at the REAL frame size (the decoder's refs), or a bare [Y, U, V]
+    list meaning {LAST: planes}."""
 
     def __init__(self, width, height, q_idx, refs, bit_depth=8, adapt_cdf=True,
                  speed=6, use_native=True, init_cdf=None,
@@ -48,41 +51,50 @@ class InterFrameEncoder(IntraFrameEncoder):
                          cdef_damping=cdef_damping,
                          tile_cols_log2=tile_cols_log2,
                          tile_rows_log2=tile_rows_log2)
-        self.refs = [np.asarray(p, np.int32) for p in refs]
+        if not isinstance(refs, dict):
+            refs = {mvp.LAST_FRAME: refs}
+        self.refs = {
+            rid: [np.asarray(p, np.int32) for p in planes]
+            for rid, planes in refs.items()
+        }
+        self.ref_ids = sorted(self.refs)
+        # temporal side per ref (order-hint sign bias); set by the pipeline
+        self.sign_bias = {rid: 0 for rid in self.ref_ids}
         self.rdo_partition = False  # inter partition RD lands next milestone
         self.me_range = 16  # full-pel search radius (px)
         self.use_satd_subpel = speed <= 8  # subpel refinement toggle
 
     def _pre_encode(self) -> None:
         self.grid = mvp.MiGrid(self.mi_rows, self.mi_cols)
-        # device (TPU) hierarchical full-search ME map for 32x32 blocks
-        self._me_map = None
+        # device (TPU) hierarchical full-search ME maps, one per reference
+        self._me_maps = {}
         if self.out_w * self.out_h >= 320 * 240:
             try:
                 from rav1e_tpu.models.device_pipeline import frame_me_map
 
-                ref = self.refs[0]
-                pad = np.zeros_like(self.src[0])
-                rh, rw = ref.shape
-                pad[:rh, :rw] = ref
-                pad[:rh, rw:] = ref[:, -1:]
-                pad[rh:, :] = pad[rh - 1 : rh, :]
-                self._me_map = frame_me_map(self.src[0], pad, 32)
+                for rid in self.ref_ids:
+                    ref = self.refs[rid][0]
+                    pad = np.zeros_like(self.src[0])
+                    rh, rw = ref.shape
+                    pad[:rh, :rw] = ref
+                    pad[:rh, rw:] = ref[:, -1:]
+                    pad[rh:, :] = pad[rh - 1 : rh, :]
+                    self._me_maps[rid] = frame_me_map(self.src[0], pad, 32)
             except Exception as e:
                 import logging
 
                 logging.getLogger("rav1e_tpu").warning(
                     "device ME unavailable (%s); host fallback", e
                 )
-                self._me_map = None
+                self._me_maps = {}
 
     # -- prediction ----------------------------------------------------------
 
-    def _mc_pred(self, plane: int, px: int, py: int, w: int, h: int, mv) -> np.ndarray:
+    def _mc_pred(self, rid: int, plane: int, px: int, py: int, w: int, h: int, mv) -> np.ndarray:
         sub = 0 if plane == 0 else 1
         rw = self.out_w if plane == 0 else (self.out_w + 1) >> 1
         rh = self.out_h if plane == 0 else (self.out_h + 1) >> 1
-        return mc.put_single(self.refs[plane], px, py, w, h, mv[0], mv[1],
+        return mc.put_single(self.refs[rid][plane], px, py, w, h, mv[0], mv[1],
                              sub, sub, self.bd, ref_w=rw, ref_h=rh)
 
     def _code_inter_tx(self, plane, px, py, tw, th, pred):
@@ -101,28 +113,29 @@ class InterFrameEncoder(IntraFrameEncoder):
 
     # -- motion search -------------------------------------------------------
 
-    def _sad(self, px, py, w, h, mv) -> int:
-        pred = self._mc_pred(0, px, py, w, h, mv)
+    def _sad(self, rid, px, py, w, h, mv) -> int:
+        pred = self._mc_pred(rid, 0, px, py, w, h, mv)
         src = self.src[0][py : py + h, px : px + w]
         return int(np.abs(src - pred).sum())
 
-    def _motion_search(self, x, y, bw, bh, stack) -> tuple:
+    def _motion_search(self, rid, x, y, bw, bh, stack) -> tuple:
         """Full-pel candidates (device ME map + MV stack predictors), then
         quarter-pel refinement.  Returns (mv, sad), 1/8-pel even values."""
         cands = {(0, 0)}
         for mv in stack[:2]:
             cands.add(((mv[0] + 4) & ~7, (mv[1] + 4) & ~7))
-        if self._me_map is not None:
-            m = self._me_map[min(y // 32, self._me_map.shape[0] - 1)][
-                min(x // 32, self._me_map.shape[1] - 1)
+        me_map = self._me_maps.get(rid)
+        if me_map is not None:
+            m = me_map[min(y // 32, me_map.shape[0] - 1)][
+                min(x // 32, me_map.shape[1] - 1)
             ]
             cands.add((int(m[0]), int(m[1])))
         best, best_sad = (0, 0), None
         for mv in cands:
-            s = self._sad(x, y, bw, bh, mv)
+            s = self._sad(rid, x, y, bw, bh, mv)
             if best_sad is None or s < best_sad:
                 best, best_sad = mv, s
-        if self._me_map is None:
+        if me_map is None:
             # fall back to a host diamond when no device map exists
             step = 8 * 8
             while step >= 8:
@@ -133,7 +146,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                         mv = (best[0] + dr, best[1] + dc)
                         if abs(mv[0]) > self.me_range * 64 or abs(mv[1]) > self.me_range * 64:
                             continue
-                        s = self._sad(x, y, bw, bh, mv)
+                        s = self._sad(rid, x, y, bw, bh, mv)
                         if s < best_sad:
                             best, best_sad = mv, s
                             improved = True
@@ -146,30 +159,39 @@ class InterFrameEncoder(IntraFrameEncoder):
                 trial = best
                 for dr, dc in ((-step, 0), (step, 0), (0, -step), (0, step)):
                     mv = (trial[0] + dr, trial[1] + dc)
-                    s = self._sad(x, y, bw, bh, mv)
+                    s = self._sad(rid, x, y, bw, bh, mv)
                     if s < best_sad:
                         best, best_sad = mv, s
         return best, best_sad
 
     # -- block coding --------------------------------------------------------
 
-    def _decide_inter(self, x, y, bw, bh, res: mvp.MvStackResult):
-        """Pick (ymode, mv, ref_mv_idx, intra_mode) for the block."""
-        mv_me, sad_me = self._motion_search(x, y, bw, bh, res.stack)
-        sad_zero = self._sad(x, y, bw, bh, (0, 0)) if mv_me != (0, 0) else sad_me
-        nearest = tuple(res.stack[0])
-        # rate-bias: GLOBALMV cheapest, NEARESTMV close, NEWMV pays MV bits
-        options = []
-        options.append((sad_zero + 0, GLOBALMV, (0, 0), 0))
-        if res.num_mv_found >= 1 and nearest != (0, 0):
-            sad_near = self._sad(x, y, bw, bh, nearest)
-            options.append((sad_near + 2, NEARESTMV, nearest, 0))
-        if mv_me != (0, 0) and mv_me != nearest:
-            options.append((sad_me + 3 * bw // 8, NEWMV, mv_me, 0))
-        elif mv_me == nearest and nearest != (0, 0):
-            pass  # already covered by NEARESTMV
-        options.sort(key=lambda o: o[0])
-        cost, mode, mv, idx = options[0]
+    def _decide_inter(self, x, y, bw, bh, tile):
+        """Pick (rid, ymode, mv, ref_mv_idx, stack_res) for the block over
+        every available reference; rid None means intra."""
+        mr, mc_ = y // 4, x // 4
+        best = None  # (cost, rid, mode, mv, idx, res)
+        for rid in self.ref_ids:
+            res = mvp.find_mv_stack(self.grid, mr, mc_, bw // 4, bh // 4,
+                                    rid, tile=tile, sign_bias=self.sign_bias)
+            mv_me, sad_me = self._motion_search(rid, x, y, bw, bh, res.stack)
+            sad_zero = (self._sad(rid, x, y, bw, bh, (0, 0))
+                        if mv_me != (0, 0) else sad_me)
+            nearest = tuple(res.stack[0])
+            # rate-bias: GLOBALMV cheapest, NEAREST close, NEW pays MV bits;
+            # non-LAST refs pay an extra ref-bit bias
+            ref_bias = 0 if rid == mvp.LAST_FRAME else 2 * bw // 8
+            options = [(sad_zero + ref_bias, GLOBALMV, (0, 0), 0)]
+            if res.num_mv_found >= 1 and nearest != (0, 0):
+                sad_near = self._sad(rid, x, y, bw, bh, nearest)
+                options.append((sad_near + 2 + ref_bias, NEARESTMV, nearest, 0))
+            if mv_me != (0, 0) and mv_me != nearest:
+                options.append((sad_me + 3 * bw // 8 + ref_bias, NEWMV, mv_me, 0))
+            options.sort(key=lambda o: o[0])
+            cost, mode, mv, idx = options[0]
+            if best is None or cost < best[0]:
+                best = (cost, rid, mode, mv, idx, res)
+        cost, rid, mode, mv, idx, res = best
         # intra fallback: DC prediction beats motion?
         rec = self.rec[0]
         ha, hl = self._have_above(y), self._have_left(x)
@@ -178,8 +200,29 @@ class InterFrameEncoder(IntraFrameEncoder):
         pred_dc = ip.predict(ip.DC_PRED, above, left, bw, bh, ha, hl, 0, self.bd)
         sad_dc = int(np.abs(self.src[0][y : y + bh, x : x + bw] - pred_dc).sum())
         if sad_dc + 4 * bw < cost:
-            return None, None, 0  # intra
-        return mode, mv, idx
+            return None, None, None, 0, None  # intra
+        return rid, mode, mv, idx, res
+
+    def _write_ref_bits(self, sym, rid, ctxs) -> None:
+        """Single-reference ref_frame coding (spec read_ref_frames single
+        path): p1 fwd/bwd, then p3/p4 (forward) or p2/p6 (backward)."""
+        if rid in (mvp.LAST_FRAME, mvp.LAST2_FRAME, mvp.LAST3_FRAME, mvp.GOLDEN_FRAME):
+            sym(0, self.cdf.single_ref[ctxs[1]][0])  # p1: forward group
+            sym(0 if rid in (mvp.LAST_FRAME, mvp.LAST2_FRAME) else 1,
+                self.cdf.single_ref[ctxs[3]][2])  # p3
+            if rid in (mvp.LAST_FRAME, mvp.LAST2_FRAME):
+                sym(0 if rid == mvp.LAST_FRAME else 1,
+                    self.cdf.single_ref[ctxs[4]][3])  # p4
+            else:
+                sym(0 if rid == mvp.LAST3_FRAME else 1,
+                    self.cdf.single_ref[ctxs[5]][4])  # p5
+        else:
+            sym(1, self.cdf.single_ref[ctxs[1]][0])  # p1: backward group
+            sym(0 if rid in (mvp.BWDREF_FRAME, mvp.ALTREF2_FRAME) else 1,
+                self.cdf.single_ref[ctxs[2]][1])  # p2
+            if rid in (mvp.BWDREF_FRAME, mvp.ALTREF2_FRAME):
+                sym(0 if rid == mvp.BWDREF_FRAME else 1,
+                    self.cdf.single_ref[ctxs[6]][5])  # p6
 
     def _block(self, x: int, y: int, bw: int, bh: int) -> None:
         mc_, mr = x // 4, y // 4
@@ -190,15 +233,13 @@ class InterFrameEncoder(IntraFrameEncoder):
         tile = (self.ty0 // 4, self.tx0 // 4,
                 min(self.ty1, self.mi_rows * 4) // 4,
                 min(self.tx1, self.mi_cols * 4) // 4)
-        res = mvp.find_mv_stack(self.grid, mr, mc_, n4w, n4h, mvp.LAST_FRAME,
-                                tile=tile)
-        mode, mv, ref_mv_idx = self._decide_inter(x, y, bw, bh, res)
+        rid, mode, mv, ref_mv_idx, res = self._decide_inter(x, y, bw, bh, tile)
         is_inter = mode is not None
 
         if is_inter:
-            pred_y = self._mc_pred(0, x, y, bw, bh, mv)
-            pred_u = self._mc_pred(1, cx, cy, cw, ch, mv)
-            pred_v = self._mc_pred(2, cx, cy, cw, ch, mv)
+            pred_y = self._mc_pred(rid, 0, x, y, bw, bh, mv)
+            pred_u = self._mc_pred(rid, 1, cx, cy, cw, ch, mv)
+            pred_v = self._mc_pred(rid, 2, cx, cy, cw, ch, mv)
             y_mode = mode
         else:
             y_mode = self._choose_mode(x, y, bw, bh)
@@ -247,12 +288,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         sym(1 if is_inter else 0, self.cdf.intra_inter[ii_ctx])
 
         if is_inter:
-            # ref frames: single reference path, LAST_FRAME
+            # ref frames: single reference coding for the chosen ref
             counts = mvp.neighbor_ref_counts(self.grid, mr, mc_, tile=tile)
             ctxs = mvp.single_ref_ctxs(counts)
-            sym(0, self.cdf.single_ref[ctxs[1]][0])  # p1: forward group
-            sym(0, self.cdf.single_ref[ctxs[3]][2])  # p3: {LAST, LAST2}
-            sym(0, self.cdf.single_ref[ctxs[4]][3])  # p4: LAST
+            self._write_ref_bits(sym, rid, ctxs)
 
             # inter mode tree
             sym(0 if mode == NEWMV else 1, self.cdf.newmv[res.new_mv_context])
@@ -315,7 +354,7 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.above_skip[mc_:c1] = 1 if skip else 0
         self.left_skip[mr:r1] = 1 if skip else 0
         if is_inter:
-            self.grid.set_block(mr, mc_, n4w, n4h, mvp.LAST_FRAME, mv,
+            self.grid.set_block(mr, mc_, n4w, n4h, rid, mv,
                                 is_newmv=(mode == NEWMV))
         else:
             self.grid.set_block(mr, mc_, n4w, n4h, mvp.INTRA_FRAME)

@@ -102,9 +102,12 @@ def find_mv_stack(
     allow_hp: bool = False,
     global_mv=(0, 0),
     tile=None,
+    sign_bias=None,
 ) -> MvStackResult:
     """spec 7.10.2 Find MV stack, single-reference path.  tile: optional
-    (mi_r0, mi_c0, mi_r1, mi_c1) bounds; candidate scans never cross them."""
+    (mi_r0, mi_c0, mi_r1, mi_c1) bounds; candidate scans never cross them.
+    sign_bias: {ref_id: 0|1} temporal side per reference (from order
+    hints); required for the cross-reference extra search."""
     t_r0, t_c0, t_r1, t_c1 = tile if tile is not None else (0, 0, grid.rows, grid.cols)
     stack: list = []  # mvs
     weights: list = []
@@ -235,6 +238,40 @@ def find_mv_stack(
     else:
         new_mv_context = 5 - min(num_new, 1)  # 4, 5
         ref_mv_context = 5
+
+    # extra search (spec 7.10.2.12): with fewer than 2 candidates, sweep the
+    # nearest above row / left column once more accepting candidates of ANY
+    # reference, sign-flipping MVs whose ref lies on the other temporal side
+    if len(stack) < 2:
+        sb_map = sign_bias or {}
+        my_bias = sb_map.get(rf, 0)
+
+        def add_extra(r: int, c: int) -> None:
+            ref = int(grid.ref[r, c])
+            if ref <= INTRA_FRAME:
+                return
+            mv = (int(grid.mv[r, c, 0]), int(grid.mv[r, c, 1]))
+            if sb_map.get(ref, 0) != my_bias:
+                mv = (-mv[0], -mv[1])
+            mv = lower_mv_precision(mv, allow_hp)
+            if mv not in stack:
+                stack.append(mv)
+                weights.append(2)
+
+        if mi_row > t_r0:
+            end4 = min(min(bw4, grid.cols - mi_col), 16)
+            i = 0
+            while i < end4 and len(stack) < 2:
+                c = mi_col + i
+                add_extra(mi_row - 1, c)
+                i += max(1, int(grid.bw4[mi_row - 1, c]))
+        if mi_col > t_c0:
+            end4 = min(min(bh4, grid.rows - mi_row), 16)
+            i = 0
+            while i < end4 and len(stack) < 2:
+                r = mi_row + i
+                add_extra(r, mi_col - 1)
+                i += max(1, int(grid.bh4[r, mi_col - 1]))
 
     num_mv_found = len(stack)
     while len(stack) < 2:

@@ -35,6 +35,10 @@ class FrameEncoder:
         self.frame_count = 0
         self.last_recon = None  # decoder-visible LAST reference planes
         self.ref_cdf = None  # end-of-frame adapted CDFs saved in ref slot 0
+        # reference slot state: slot -> {"recon", "hint", "cdf"}
+        self.slots = {}
+        self.recon_by_input = {}  # input frameno -> recon (display mapping)
+        self.base_slot = 0
         def log2i(n):
             k = 0
             while (1 << k) < max(1, n):
@@ -95,11 +99,14 @@ class FrameEncoder:
         tile, recon = fe.encode(planes)
         self.last_recon = recon
         self.ref_cdf = fe.cdf
+        hint = self.frame_count & 0x7F
+        for s_ in range(8):
+            self.slots[s_] = {"recon": recon, "hint": hint, "cdf": fe.cdf}
 
         fp = FrameParams(
             base_q_idx=q,
             disable_cdf_update=False,
-            order_hint=self.frame_count & 0x7F,
+            order_hint=hint,
             loop_filter_levels=lf,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
@@ -119,42 +126,74 @@ class FrameEncoder:
         return out
 
     def encode_inter_frame(self, frame, q_idx: int | None = None) -> bytes:
+        """Low-latency P frame: LAST = slot 0, refresh all slots."""
+        return self.encode_inter(
+            frame,
+            q_idx=q_idx,
+            order_hint=self.frame_count & 0x7F,
+            ref_slots={1: 0},
+            show_frame=True,
+            refresh_flags=0xFF,
+        )
+
+    def encode_inter(self, frame, q_idx, order_hint, ref_slots: dict,
+                     show_frame: bool, refresh_flags: int) -> bytes:
+        """General inter frame.  ref_slots: {ref_id: slot} for the refs the
+        block search may use (1=LAST, 5=BWDREF, 7=ALTREF); LAST doubles as
+        the primary ref (CDF inheritance)."""
+        from rav1e_tpu.models import mv_pred as mvp
         from rav1e_tpu.models.inter_frame import InterFrameEncoder
 
         q = self.cfg.quantizer if q_idx is None else q_idx
+        q = int(np.clip(q, 1, 255))
         lf = self.lf_levels_for(q)
         damping = self.cdef_damping_for(q)
+        last_slot = ref_slots[mvp.LAST_FRAME]
+        refs = {rid: self.slots[s_]["recon"] for rid, s_ in ref_slots.items()}
         fe = InterFrameEncoder(
             self.cfg.width,
             self.cfg.height,
             q_idx=q,
-            refs=self.last_recon,
+            refs=refs,
             bit_depth=self.cfg.bit_depth,
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
-            init_cdf=self.ref_cdf,
+            init_cdf=self.slots[last_slot]["cdf"],
             lf_levels=lf,
             cdef_damping=damping,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
         )
         fe.lrf = self.seq.enable_restoration
+
+        def rel_dist(a, b):  # 7-bit order-hint wraparound compare
+            return ((a - b + 64) & 127) - 64
+
+        fe.sign_bias = {
+            rid: 1 if rel_dist(self.slots[s_]["hint"], order_hint & 0x7F) > 0 else 0
+            for rid, s_ in ref_slots.items()
+        }
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
         self.last_recon = recon
         self.ref_cdf = fe.cdf
 
+        # ref name -> slot map for the header (unused names point at LAST)
+        idx = [last_slot] * 7
+        for rid, s_ in ref_slots.items():
+            idx[rid - 1] = s_
         fp = FrameParams(
             frame_type=INTER_FRAME,
+            show_frame=show_frame,
+            showable_frame=not show_frame,
             base_q_idx=q,
             disable_cdf_update=False,
-            order_hint=self.frame_count & 0x7F,
+            order_hint=order_hint & 0x7F,
             loop_filter_levels=lf,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
-            # all 8 slots refreshed each frame; every ref name maps slot 0
-            refresh_frame_flags=0xFF,
-            ref_frame_idx=(0, 0, 0, 0, 0, 0, 0),
+            refresh_frame_flags=refresh_flags,
+            ref_frame_idx=tuple(idx),
             # CDFs (and filter deltas) inherit from LAST = ref_frame_idx[0]
             primary_ref_frame=0,
         )
@@ -168,5 +207,15 @@ class FrameEncoder:
             fp.lr_unit_shift = 0
         out = temporal_delimiter()
         out += write_frame_obu(self.seq, fp, tile)
+        for s_ in range(8):
+            if refresh_flags & (1 << s_):
+                self.slots[s_] = {"recon": recon, "hint": order_hint & 0x7F,
+                                  "cdf": fe.cdf}
         self.frame_count += 1
         return out
+
+    def show_existing(self, slot: int) -> bytes:
+        """A temporal unit that displays an already-decoded reference."""
+        from rav1e_tpu.obu.headers import write_show_existing_obu
+
+        return temporal_delimiter() + write_show_existing_obu(slot)

@@ -387,6 +387,18 @@ def write_frame_obu(seq: Sequence, fp: FrameParams, tile_payload: bytes) -> byte
     return obu(OBU_FRAME, header_bytes + tile_payload)
 
 
+def write_show_existing_obu(slot: int) -> bytes:
+    """OBU_FRAME_HEADER with show_existing_frame=1 (spec 5.9.2): displays
+    the decoded frame in the given reference slot.  No decoder-model or
+    frame-id syntax (our sequence header disables both); the shown frame is
+    an inter frame, so no implicit refresh follows."""
+    w = BitWriter()
+    w.f(1, 1)  # show_existing_frame
+    w.f(slot, 3)  # frame_to_show_map_idx
+    w.trailing_bits()
+    return obu(OBU_FRAME_HEADER, w.bytes())
+
+
 def num_tiles_for(seq: Sequence, fp: FrameParams) -> int:
     """Tile count implied by the uniform spacing (spec 5.9.15 semantics)."""
     sb_shift = 7 if seq.use_128x128_superblock else 6

@@ -104,12 +104,19 @@ class Dav1dDecoder:
 
 
 def decode_stream(packets) -> list:
-    """Decode a sequence of temporal units; returns list of plane lists."""
+    """Decode a sequence of temporal units; returns the DISPLAYED pictures
+    in output order (no-show frames yield none until their
+    show_existing_frame unit arrives)."""
     d = Dav1dDecoder()
     out = []
     try:
         for p in packets:
-            out.append(d.decode_packet(p)[0])
+            d._send(p)
+            while True:
+                pic = d._get_picture()
+                if pic is None:
+                    break
+                out.append(d._extract(pic)[0])
     finally:
         d.close()
     return out

@@ -9,31 +9,54 @@ import numpy as np
 import pytest
 
 from rav1e_tpu.api.config import Config, EncoderConfig
+from rav1e_tpu.api.context import EncoderError, EncoderStatus
 from rav1e_tpu.utils.frame import Frame
 
 dav1d = pytest.importorskip("rav1e_tpu.utils.dav1d_oracle")
 
 
-def run_clip(frames, q=100, w=None, h=None):
-    """Encode frames (list of (y,u,v)), decode with dav1d, compare recon."""
-    h_, w_ = frames[0][0].shape
-    cfg = Config(enc=EncoderConfig(width=w or w_, height=h or h_, quantizer=q))
-    ctx = cfg.new_context()
+def drive(ctx, frames):
+    """Full send/receive protocol: drain packets as available, flush at
+    the end (the reference API's pull loop)."""
     packets = []
-    recons = []
-    for y, u, v in frames:
-        ctx.send_frame(Frame.from_planes(y, u, v))
-        pkt = ctx.receive_packet()
-        packets.append(pkt.data)
-        recons.append([p.copy() for p in ctx._encoder.last_recon])
-    decoded = dav1d.decode_stream(packets)
+
+    def drain():
+        while True:
+            try:
+                packets.append(ctx.receive_packet())
+            except EncoderError as e:
+                if e.status in (EncoderStatus.NEED_MORE_DATA,
+                                EncoderStatus.LIMIT_REACHED):
+                    return e.status
+                raise
+
+    for f in frames:
+        ctx.send_frame(f)
+        drain()
+    ctx.flush()
+    drain()
+    return packets
+
+
+def run_clip(frames, q=100, w=None, h=None, **cfg_kwargs):
+    """Encode frames (list of (y,u,v)), decode with dav1d, compare the
+    displayed pictures against the encoder's recons in display order."""
+    h_, w_ = frames[0][0].shape
+    cfg = Config(enc=EncoderConfig(width=w or w_, height=h or h_, quantizer=q,
+                                   **cfg_kwargs))
+    ctx = cfg.new_context()
+    pkts = drive(ctx, [Frame.from_planes(y, u, v) for y, u, v in frames])
+    shown = [p.input_frameno for p in pkts if p.shows]
+    recons = [ctx._encoder.recon_by_input[no] for no in shown]
+    decoded = dav1d.decode_stream([p.data for p in pkts])
+    assert len(decoded) == len(recons), (len(decoded), len(recons))
     for i, (dec, rec) in enumerate(zip(decoded, recons)):
         for p in range(3):
             assert np.array_equal(dec[p].astype(np.int32), rec[p]), (
-                f"frame {i} plane {p}: "
+                f"display frame {i} (input {shown[i]}) plane {p}: "
                 f"{int((dec[p].astype(np.int32) != rec[p]).sum())} mismatches"
             )
-    return packets
+    return [p.data for p in pkts]
 
 
 def static_content(w, h, n, seed=0):
@@ -88,7 +111,7 @@ def test_partial_superblocks_inter():
 def test_inter_frames_smaller():
     """P-frames of a static clip must be smaller than the keyframe (only
     requantization error of the first recon remains to code)."""
-    pkts = run_clip(static_content(128, 128, 3), q=100)
+    pkts = run_clip(static_content(128, 128, 3), q=100, low_latency=True)
     assert len(pkts[1]) < len(pkts[0]) * 3 // 4
     assert len(pkts[2]) < len(pkts[0]) * 3 // 4
 
@@ -98,6 +121,6 @@ def test_flat_inter_all_skip():
     y = np.full((64, 64), 128, np.uint8)
     u = np.full((32, 32), 90, np.uint8)
     v = np.full((32, 32), 160, np.uint8)
-    pkts = run_clip([(y, u, v)] * 3, q=120)
+    pkts = run_clip([(y, u, v)] * 3, q=120, low_latency=True)
     assert len(pkts[1]) < 40, len(pkts[1])
     assert len(pkts[2]) < 40, len(pkts[2])

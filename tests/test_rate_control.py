@@ -25,12 +25,10 @@ def clip(w, h, n, cut_at=None, seed=0):
 
 
 def encode_all(cfg, frames):
+    from tests.test_inter_conformance import drive
+
     ctx = Config(enc=cfg).new_context()
-    pkts = []
-    for f in frames:
-        ctx.send_frame(f)
-        pkts.append(ctx.receive_packet())
-    return pkts
+    return drive(ctx, frames)
 
 
 def test_bitrate_convergence():
@@ -50,10 +48,13 @@ def test_scenecut_forces_keyframe():
     cfg = EncoderConfig(width=w, height=h, quantizer=120,
                         min_key_frame_interval=4, max_key_frame_interval=100)
     pkts = encode_all(cfg, clip(w, h, 16, cut_at=8, seed=1))
-    types = [p.frame_type for p in pkts]
-    assert types[0] == "key"
-    assert types[8] == "key", types
-    assert types[1] == "inter" and types[9] == "inter"
+    # packets arrive in coding order; map frame types by input frameno
+    ftype = {}
+    for p in pkts:
+        ftype.setdefault(p.input_frameno, p.frame_type)
+    assert ftype[0] == "key"
+    assert ftype[8] == "key", ftype
+    assert ftype[1] == "inter" and ftype[9] == "inter"
 
 
 def test_max_interval_respected():
@@ -61,9 +62,11 @@ def test_max_interval_respected():
     cfg = EncoderConfig(width=w, height=h, quantizer=150,
                         min_key_frame_interval=2, max_key_frame_interval=6)
     pkts = encode_all(cfg, clip(w, h, 14, seed=2))
-    types = [p.frame_type for p in pkts]
-    assert types[0] == "key"
-    assert "key" in types[1:8], types  # another key within the interval
+    ftype = {}
+    for p in pkts:
+        ftype.setdefault(p.input_frameno, p.frame_type)
+    assert ftype[0] == "key"
+    assert "key" in [ftype[i] for i in range(1, 8)], ftype
 
 
 def test_rc_state_monotonic():
@@ -87,8 +90,9 @@ def test_two_pass():
     target = 300_000
     frames = clip(w, h, n, cut_at=8, seed=5)
     # pass 1 at CQ
-    ctx1 = Config(enc=EncoderConfig(width=w, height=h, quantizer=120,
-                                    min_key_frame_interval=2)).new_context()
+    cfg1 = EncoderConfig(width=w, height=h, quantizer=120,
+                         min_key_frame_interval=2, low_latency=True)
+    ctx1 = Config(enc=cfg1).new_context()
     for f in frames:
         ctx1.send_frame(f)
         ctx1.receive_packet()
@@ -103,7 +107,8 @@ def test_two_pass():
     assert metrics[0].frame_type == "key"
     # pass 2
     cfg2 = EncoderConfig(width=w, height=h, bitrate=target, time_base=(1, fps),
-                         min_key_frame_interval=2, rc_stats=stats)
+                         min_key_frame_interval=2, rc_stats=stats,
+                         low_latency=True)
     ctx2 = Config(enc=cfg2).new_context()
     bits = []
     types = []

@@ -17,19 +17,20 @@ def run_tiled(frames, q, tile_cols, tile_rows):
     h, w = frames[0][0].shape
     cfg = Config(enc=EncoderConfig(width=w, height=h, quantizer=q,
                                    tile_cols=tile_cols, tile_rows=tile_rows))
+    from tests.test_inter_conformance import drive
+
     ctx = cfg.new_context()
-    pkts, recons = [], []
-    for y, u, v in frames:
-        ctx.send_frame(Frame.from_planes(y, u, v))
-        pkts.append(ctx.receive_packet().data)
-        recons.append([p.copy() for p in ctx._encoder.last_recon])
-    decoded = dav1d.decode_stream(pkts)
+    pkts = drive(ctx, [Frame.from_planes(y, u, v) for y, u, v in frames])
+    shown = [p.input_frameno for p in pkts if p.shows]
+    recons = [ctx._encoder.recon_by_input[no] for no in shown]
+    decoded = dav1d.decode_stream([p.data for p in pkts])
+    assert len(decoded) == len(recons)
     for i, (dec, rec) in enumerate(zip(decoded, recons)):
         for p in range(3):
             assert np.array_equal(dec[p].astype(np.int32), rec[p]), (
                 f"frame {i} plane {p}"
             )
-    return pkts
+    return [p.data for p in pkts]
 
 
 def test_two_col_tiles_intra():
