@@ -243,10 +243,11 @@ class InterFrameEncoder(IntraFrameEncoder):
             y_mode = mode
         else:
             y_mode = self._choose_mode(x, y, bw, bh)
-            pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
-            pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
-            pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
+            pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+            pred_u, lv_u, dq_u, _ = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
+            pred_v, lv_v, dq_v, _ = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
         if is_inter:
+            tt_y = tf.DCT_DCT
             lv_y, dq_y = self._code_inter_tx(0, x, y, bw, bh, pred_y)
             lv_u, dq_u = self._code_inter_tx(1, cx, cy, cw, ch, pred_u)
             lv_v, dq_v = self._code_inter_tx(2, cx, cy, cw, ch, pred_v)
@@ -329,7 +330,7 @@ class InterFrameEncoder(IntraFrameEncoder):
 
         # --- residual ---
         if not skip:
-            self._residual_any(0, x, y, bw, bh, lv_y, y_mode, is_inter)
+            self._residual_any(0, x, y, bw, bh, lv_y, y_mode, is_inter, tt_y)
             self._residual_any(1, cx, cy, cw, ch, lv_u, y_mode, is_inter)
             self._residual_any(2, cx, cy, cw, ch, lv_v, y_mode, is_inter)
         else:
@@ -344,7 +345,7 @@ class InterFrameEncoder(IntraFrameEncoder):
             dq_v = np.zeros_like(dq_v)
 
         # --- reconstruct ---
-        self._reconstruct(0, x, y, pred_y, dq_y)
+        self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
         self._reconstruct(1, cx, cy, pred_u, dq_u)
         self._reconstruct(2, cx, cy, pred_v, dq_v)
 
@@ -359,11 +360,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         else:
             self.grid.set_block(mr, mc_, n4w, n4h, mvp.INTRA_FRAME)
 
-    def _residual_any(self, plane, px, py, tw, th, levels, y_mode, is_inter):
+    def _residual_any(self, plane, px, py, tw, th, levels, y_mode, is_inter,
+                      tx_type=tf.DCT_DCT):
         """Residual coding with inter/intra tx-type signaling."""
         if not is_inter:
             self._residual(plane, px, py, tw, th, levels,
-                           y_mode if y_mode < 13 else 0)
+                           y_mode if y_mode < 13 else 0, tx_type=tx_type)
             return
         we, he = min(tw, 32), min(th, 32)
         ptype = 1 if plane else 0

@@ -115,6 +115,7 @@ class IntraFrameEncoder:
         # quantizer step ~ ac_q/8 in pixel units
         self.lam = 0.06 * (self.ac_q / 8.0) ** 2
         self.rdo_partition = speed <= 8
+        self.tx_type_search = speed <= 7  # reference: rdo_tx_decision preset
         self._scratch = None
         # device (TPU) mode analysis: batched evaluation of all candidate
         # modes for all blocks in one jit pass; auto-on for larger frames
@@ -653,10 +654,10 @@ class IntraFrameEncoder:
         recomputation."""
         mc, mr = x // 4, y // 4
         y_mode = self._choose_mode(x, y, bw, bh)
-        pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+        pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
         cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
-        pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
-        pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
+        pred_u, lv_u, dq_u, _ = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
+        pred_v, lv_v, dq_v, _ = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
         skip = not (lv_y.any() or lv_u.any() or lv_v.any())
         rate = 1.0  # skip flag ~1 bit
         above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if self._have_above(y) else 0
@@ -674,7 +675,7 @@ class IntraFrameEncoder:
         else:
             dq_set = (np.zeros_like(dq_y), np.zeros_like(dq_u), np.zeros_like(dq_v))
         # reconstruct (temporarily if trial)
-        self._reconstruct(0, x, y, pred_y, dq_set[0])
+        self._reconstruct(0, x, y, pred_y, dq_set[0], tx_type=tt_y)
         self._reconstruct(1, cx, cy, pred_u, dq_set[1])
         self._reconstruct(2, cx, cy, pred_v, dq_set[2])
         dist = 0
@@ -685,6 +686,7 @@ class IntraFrameEncoder:
         info = {
             "mode": y_mode,
             "skip": skip,
+            "tt_y": tt_y,
             "planes": ((pred_y, lv_y, dq_set[0]), (pred_u, lv_u, dq_set[1]), (pred_v, lv_v, dq_set[2])),
         }
         return dist, rate, info
@@ -774,12 +776,13 @@ class IntraFrameEncoder:
             y_mode = info["mode"]
             (pred_y, lv_y, dq_y), (pred_u, lv_u, dq_u), (pred_v, lv_v, dq_v) = info["planes"]
             skip = info["skip"]
+            tt_y = info.get("tt_y", tf.DCT_DCT)
         else:
             y_mode = self._choose_mode(x, y, bw, bh)
             # transform + quantize first (skip flag needs the answer)
-            pred_y, lv_y, dq_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
-            pred_u, lv_u, dq_u = self._code_plane_tx(1, cx, cy, cw, ch, uv_mode)
-            pred_v, lv_v, dq_v = self._code_plane_tx(2, cx, cy, cw, ch, uv_mode)
+            pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+            pred_u, lv_u, dq_u, _ = self._code_plane_tx(1, cx, cy, cw, ch, uv_mode)
+            pred_v, lv_v, dq_v, _ = self._code_plane_tx(2, cx, cy, cw, ch, uv_mode)
             skip = not (lv_y.any() or lv_u.any() or lv_v.any())
 
         self.db_info.set_block(x, y, bw, bh, skip)
@@ -806,7 +809,7 @@ class IntraFrameEncoder:
 
         # --- residual ---
         if not skip:
-            self._residual(0, x, y, bw, bh, lv_y, y_mode)
+            self._residual(0, x, y, bw, bh, lv_y, y_mode, tx_type=tt_y)
             self._residual(1, cx, cy, cw, ch, lv_u)
             self._residual(2, cx, cy, cw, ch, lv_v)
         else:
@@ -821,7 +824,7 @@ class IntraFrameEncoder:
             dq_v = np.zeros_like(dq_v)
 
         # --- reconstruct ---
-        self._reconstruct(0, x, y, pred_y, dq_y)
+        self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
         self._reconstruct(1, cx, cy, pred_u, dq_u)
         self._reconstruct(2, cx, cy, pred_v, dq_v)
 
@@ -847,20 +850,42 @@ class IntraFrameEncoder:
         pred = ip.predict(mode, above, left, tw, th, have_above, have_left, 0, self.bd)
         src = self.src[plane][py : py + th, px : px + tw]
         resid = (src - pred).astype(np.int32)
+        if (plane == 0 and max(tw, th) <= 16 and self.q > 0
+                and self.tx_type_search):
+            # intra tx-type RD: DCT vs ADST_ADST (set DTT4_IDTX symbols)
+            best = None
+            for tt in (tf.DCT_DCT, tf.ADST_ADST):
+                lv, dq = tf.fdct_quant_native(resid, tt, self.dc_q,
+                                              self.ac_q, self.bd)
+                rec = tf.inverse_transform_native(dq, tt, self.bd)
+                d = resid.astype(np.int64) - rec
+                dist = float((d * d).sum())
+                alv = np.abs(lv)
+                rate = 1.45 * int((alv > 0).sum()) + 0.95 * float(
+                    np.log2(1.0 + alv).sum())
+                cost = dist + self.lam * rate
+                if best is None or cost < best[0]:
+                    best = (cost, tt, lv, dq)
+            _, tt, levels, dq = best
+            return pred, levels, dq, tt
         if max(tw, th) <= 32:
             levels, dq = tf.fdct_quant_native(resid, tf.DCT_DCT, self.dc_q,
                                               self.ac_q, self.bd)
-            return pred, levels, dq
+            return pred, levels, dq, tf.DCT_DCT
         coeffs = tf.forward_transform(resid, tf.DCT_DCT, self.bd)
         we, he = min(tw, 32), min(th, 32)
         coeffs[he:, :] = 0
         coeffs[:, we:] = 0
         levels = qz.quantize(coeffs, self.dc_q, self.ac_q, tw, th)
         dq = qz.dequantize(levels, self.dc_q, self.ac_q, tw, th, self.bd)
-        return pred, levels[:he, :we], dq
+        return pred, levels[:he, :we], dq, tf.DCT_DCT
+
+    # symbol index within the intra EXT_TX_SET_DTT4_IDTX set (spec
+    # av1_ext_tx_inv ordering: IDTX, DCT, ADST_ADST, ADST_DCT, DCT_ADST)
+    TX_SET2_SYM = {tf.DCT_DCT: 1, tf.ADST_ADST: 2, tf.ADST_DCT: 3, tf.DCT_ADST: 4}
 
     def _residual(self, plane: int, px: int, py: int, tw: int, th: int, levels,
-                  y_mode: int = 0) -> None:
+                  y_mode: int = 0, tx_type: int = tf.DCT_DCT) -> None:
         we, he = min(tw, 32), min(th, 32)
         ptype = 1 if plane else 0
         txs_ctx = cf.tx_size_ctx(tw, th)
@@ -868,16 +893,17 @@ class IntraFrameEncoder:
         tctx = self._txb_skip_ctx(plane, px, py, tw, th)
         dctx = self._dc_sign_ctx(plane, px, py, tw, th)
         tx_type_row = None
+        tts = 1
         if plane == 0 and max(tw, th) <= 16 and self.q > 0:
-            # tx sqr-up <= 16x16: intra tx set DTT4_IDTX (reduced_tx_set=1);
-            # we always choose DCT_DCT = symbol 1 in that set
+            # tx sqr-up <= 16x16: intra tx set DTT4_IDTX (reduced_tx_set=1)
             txsqr = int(np.log2(min(tw, th))) - 2
             tx_type_row = self.cdf.intra_tx_type_set2[txsqr][y_mode]
+            tts = self.TX_SET2_SYM[tx_type]
 
         if self.use_native:
             cul, dc_cat = self.enc.encode_txb(
                 levels, scan, ptype, cf.TX_CLASS_2D, tctx, dctx, self.cdf,
-                txs_ctx, adapt=self.adapt, tx_type_row=tx_type_row, tx_type_sym=1,
+                txs_ctx, adapt=self.adapt, tx_type_row=tx_type_row, tx_type_sym=tts,
             )
         else:
             tx_type_fn = None
@@ -886,7 +912,7 @@ class IntraFrameEncoder:
                 row = tx_type_row
 
                 def tx_type_fn():
-                    sym(1, row)
+                    sym(tts, row)
 
             cul, dc_cat = cf.encode_txb(
                 self.enc, self.cdf, levels, scan, ptype, txs_ctx,
@@ -927,7 +953,7 @@ class IntraFrameEncoder:
         ctx.above_dc[px // u : c1] = dc_cat
         ctx.left_dc[py // u : r1] = dc_cat
 
-    def _reconstruct(self, plane, px, py, pred, dq) -> None:
-        resid = tf.inverse_transform_native(dq, tf.DCT_DCT, self.bd)
+    def _reconstruct(self, plane, px, py, pred, dq, tx_type: int = tf.DCT_DCT) -> None:
+        resid = tf.inverse_transform_native(dq, tx_type, self.bd)
         out = np.clip(pred + resid, 0, (1 << self.bd) - 1)
         self.rec[plane][py : py + pred.shape[0], px : px + pred.shape[1]] = out

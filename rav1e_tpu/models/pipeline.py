@@ -31,6 +31,7 @@ class FrameEncoder:
             subsampling_y=enc_config.chroma_sampling[1],
             enable_cdef=enc_config.speed_settings.cdef,
             enable_restoration=enc_config.speed_settings.lrf,
+            still_picture=enc_config.still_picture,
         )
         self.frame_count = 0
         self.last_recon = None  # decoder-visible LAST reference planes
@@ -158,7 +159,8 @@ class FrameEncoder:
             bit_depth=self.cfg.bit_depth,
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
-            init_cdf=self.slots[last_slot]["cdf"],
+            init_cdf=(None if self.cfg.error_resilient
+                      else self.slots[last_slot]["cdf"]),
             lf_levels=lf,
             cdef_damping=damping,
             tile_cols_log2=self.tile_cols_log2,
@@ -194,8 +196,13 @@ class FrameEncoder:
             tile_rows_log2=self.tile_rows_log2,
             refresh_frame_flags=refresh_flags,
             ref_frame_idx=tuple(idx),
-            # CDFs (and filter deltas) inherit from LAST = ref_frame_idx[0]
-            primary_ref_frame=0,
+            error_resilient=self.cfg.error_resilient,
+            ref_order_hints=tuple(
+                self.slots.get(i, {"hint": 0})["hint"] for i in range(8)
+            ),
+            # CDFs (and filter deltas) inherit from LAST = ref_frame_idx[0];
+            # error-resilient frames must reset to defaults instead
+            primary_ref_frame=(PRIMARY_REF_NONE if self.cfg.error_resilient else 0),
         )
         if fe.cdef_strengths is not None:
             fp.cdef_damping = damping

@@ -113,6 +113,8 @@ class FrameParams:
     skip_mode_present: bool = False
     reference_select: bool = False
     frame_to_show_map_idx: int = 0  # show_existing_frame path
+    # per-slot order hints (coded only in error-resilient inter frames)
+    ref_order_hints: tuple = (0,) * 8
 
     @property
     def frame_is_intra(self) -> bool:
@@ -269,6 +271,11 @@ def write_frame_header(
     if fp.frame_type != KEY_FRAME or not fp.show_frame:
         if fp.frame_type != SWITCH_FRAME:
             w.f(fp.refresh_frame_flags, 8)
+    if (not fp.frame_is_intra or fp.refresh_frame_flags != 0xFF) and \
+            fp.error_resilient and seq.enable_order_hint:
+        for i in range(8):
+            w.f(fp.ref_order_hints[i] & ((1 << seq.order_hint_bits) - 1),
+                seq.order_hint_bits)
     if fp.frame_is_intra:
         _write_frame_size(w, seq, fp)
         if fp.allow_intrabc:

@@ -120,3 +120,14 @@ def test_two_pass():
     achieved = sum(bits) * fps / n
     assert types[8] == "key"  # scene cut carried from pass 1
     assert 0.55 * target < achieved < 1.7 * target, achieved
+
+
+def test_error_resilient_mode():
+    """Error-resilient streams reset CDFs per frame (no primary ref) and
+    must stay decodable."""
+    import pytest
+    dav1d = pytest.importorskip("rav1e_tpu.utils.dav1d_oracle")
+    from tests.test_inter_conformance import run_clip, moving_content
+
+    run_clip(moving_content(96, 64, 4, dx=2, dy=1), q=140,
+             error_resilient=True, low_latency=True)
