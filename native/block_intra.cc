@@ -1,0 +1,488 @@
+// Native per-block intra encode: edge build, prediction, fused forward
+// transform + quantize, tx-type RD, symbol coding and reconstruction for
+// one leaf block — the host hot loop of the key-frame encoder.
+//
+// Reference analog: rav1e's write_coeffs/encode_block fast path in
+// src/encoder.rs (hand-SIMD there; serial C++ here, sharing the live MSAC
+// instance and the python encoder's numpy context arrays).  Byte-identical
+// to the python path in rav1e_tpu/models/intra_frame.py (parity enforced
+// by tests/test_native_block.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <cstdlib>
+
+struct MsacEnc;  // opaque (msac.cc)
+
+extern "C" {
+void msac_symbol(MsacEnc *e, uint16_t *icdf, int nsyms, int val, int adapt);
+int msac_encode_txb(MsacEnc *e, const int32_t *levels, int w, int h,
+                    const int32_t *scan, int plane_type, int tx_class,
+                    int txb_skip_ctx, int dc_sign_ctx, uint16_t *txb_skip_row,
+                    uint16_t *eob_pt_row, int eob_pt_ns,
+                    uint16_t *eob_extra_tbl, uint16_t *base_eob_tbl,
+                    uint16_t *base_tbl, uint16_t *br_tbl, uint16_t *dc_sign_row,
+                    int adapt, int tx_type_sym, uint16_t *tx_type_row,
+                    int tx_type_ns);
+void fdct_quant(const int32_t *resid, int w, int h, const double *Fv,
+                const double *FhT, double scale, int dc_q, int ac_q, int shift,
+                int bias_num, int bd, int32_t *levels_out, int32_t *dq_out);
+void inv_txfm(const int32_t *coeffs, int w, int h, int tx_type, int bd,
+              int32_t *out);
+}
+
+namespace {
+
+// mode ids (rav1e_tpu/ops/intra_np.py:22)
+enum {
+    DC_PRED = 0, V_PRED = 1, H_PRED = 2,
+    D45 = 3, D135 = 4, D113 = 5, D157 = 6, D203 = 7, D67 = 8,
+    SMOOTH_PRED = 9, SMOOTH_V = 10, SMOOTH_H = 11, PAETH = 12,
+};
+enum { TX_DCT_DCT = 0, TX_ADST_ADST = 3 };  // transforms_np.py:447
+
+// registry slots (must match rav1e_tpu/ec/native_block.py)
+enum {
+    R_KF_Y = 0,      // u16 [5][5][14]
+    R_ANGLE,         // u16 [8][8]
+    R_UV,            // u16 [2][13][15]
+    R_SKIP,          // u16 [3][3]
+    R_TXB_SKIP,      // u16 [5][13][3]
+    R_EOB16, R_EOB32, R_EOB64, R_EOB128, R_EOB256, R_EOB512, R_EOB1024,
+    R_EOB_EXTRA,     // u16 [5][2][9][3]
+    R_BASE_EOB,      // u16 [5][2][4][4]
+    R_BASE,          // u16 [5][2][42][5]
+    R_BR,            // u16 [4][2][21][5]
+    R_DC_SIGN,       // u16 [2][3][3]
+    R_TXTYPE2,       // u16 [4][13][6]
+    R_SM_WEIGHTS,    // i32 [68] (concatenated sizes 4,8,16,32,64)
+    R_DR,            // i32 dr_intra_derivative (indexed by angle)
+    R_COUNT,
+};
+
+// intra_frame.py INTRA_MODE_CTX (intra mode -> context class)
+constexpr int INTRA_MODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+constexpr int MODE_ANGLE[13] = {0, 90, 180, 45, 135, 113, 157, 203, 67,
+                                0, 0, 0, 0};
+
+struct Ptrs {
+    uint16_t *c[18];
+    const int32_t *sm;
+    const int32_t *dr;
+};
+
+inline const int32_t *sm_weights(const Ptrs &p, int n) {
+    // intra_np.py:52 offsets for sizes 4,8,16,32,64
+    int off = n == 4 ? 0 : n == 8 ? 4 : n == 16 ? 12 : n == 32 ? 28 : 60;
+    return p.sm + off;
+}
+
+// numpy pairwise summation (exact replica so the float rate sums in the
+// tx-type RD match the python path bit-for-bit)
+double np_pairwise_sum(const double *a, int n) {
+    if (n < 8) {
+        double r = 0.0;
+        for (int i = 0; i < n; i++) r += a[i];
+        return r;
+    }
+    if (n <= 128) {
+        double r[8] = {a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7]};
+        int i;
+        for (i = 8; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; j++) r[j] += a[i + j];
+        double res = ((r[0] + r[1]) + (r[2] + r[3])) +
+                     ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) res += a[i];
+        return res;
+    }
+    int n2 = n / 2;
+    n2 -= n2 % 8;
+    return np_pairwise_sum(a, n2) + np_pairwise_sum(a + n2, n - n2);
+}
+
+// spec 7.11.2 edge build (intra_np.py:56); above[0]/left[0] = top-left
+void build_edges(const int32_t *rec, int stride, int x, int y, int w, int h,
+                 bool have_above, bool have_left, int bd, int max_x, int max_y,
+                 int64_t *above, int64_t *left) {
+    const int base = 1 << (bd - 1);
+    const int n = w + h;
+    if (have_above) {
+        const int32_t *row = rec + (int64_t)(y - 1) * stride;
+        for (int i = 0; i < w; i++)
+            above[1 + i] = row[x + i < max_x ? x + i : max_x];
+        for (int i = w; i < n; i++) above[1 + i] = above[w];
+    } else {
+        int64_t v = have_left ? rec[(int64_t)y * stride + x - 1] : base - 1;
+        for (int i = 1; i <= n; i++) above[i] = v;
+    }
+    if (have_left) {
+        for (int i = 0; i < h; i++) {
+            int yy = y + i < max_y ? y + i : max_y;
+            left[1 + i] = rec[(int64_t)yy * stride + x - 1];
+        }
+        for (int i = h; i < n; i++) left[1 + i] = left[h];
+    } else {
+        int64_t v = have_above ? rec[(int64_t)(y - 1) * stride + x] : base + 1;
+        for (int i = 1; i <= n; i++) left[i] = v;
+    }
+    int64_t tl;
+    if (have_above && have_left) tl = rec[(int64_t)(y - 1) * stride + x - 1];
+    else if (have_above) tl = rec[(int64_t)(y - 1) * stride + x];
+    else if (have_left) tl = rec[(int64_t)y * stride + x - 1];
+    else tl = base;
+    above[0] = left[0] = tl;
+}
+
+// intra_np.py:119 predict() for the encoder's candidate set: DC/V/H,
+// PAETH, SMOOTH family, zone-2 directionals (D113/D135/D157), delta 0.
+void predict(const Ptrs &p, int mode, const int64_t *above, const int64_t *left,
+             int w, int h, bool have_above, bool have_left, int bd,
+             int32_t *out) {
+    const int64_t *A = above + 1;
+    const int64_t *L = left + 1;
+    const int64_t tl = above[0];
+    const int base = 1 << (bd - 1);
+
+    switch (mode) {
+    case DC_PRED: {
+        int64_t avg;
+        if (have_above && have_left) {
+            int64_t s = 0;
+            for (int i = 0; i < w; i++) s += A[i];
+            for (int i = 0; i < h; i++) s += L[i];
+            avg = (s + ((w + h) >> 1)) / (w + h);
+        } else if (have_above) {
+            int64_t s = 0;
+            for (int i = 0; i < w; i++) s += A[i];
+            avg = (s + (w >> 1)) >> __builtin_ctz(w);
+        } else if (have_left) {
+            int64_t s = 0;
+            for (int i = 0; i < h; i++) s += L[i];
+            avg = (s + (h >> 1)) >> __builtin_ctz(h);
+        } else {
+            avg = base;
+        }
+        for (int i = 0; i < w * h; i++) out[i] = (int32_t)avg;
+        return;
+    }
+    case V_PRED:
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) out[r * w + c] = (int32_t)A[c];
+        return;
+    case H_PRED:
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) out[r * w + c] = (int32_t)L[r];
+        return;
+    case PAETH:
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int64_t b = A[c] + L[r] - tl;
+                int64_t pa = llabs(b - A[c]), pl = llabs(b - L[r]),
+                        ptl = llabs(b - tl);
+                out[r * w + c] = (int32_t)((pl <= pa && pl <= ptl)
+                                               ? L[r]
+                                               : (pa <= ptl ? A[c] : tl));
+            }
+        return;
+    case SMOOTH_PRED: case SMOOTH_V: case SMOOTH_H: {
+        const int32_t *wx = sm_weights(p, w);
+        const int32_t *wy = sm_weights(p, h);
+        int64_t below = L[h - 1], right = A[w - 1];
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int64_t v;
+                if (mode == SMOOTH_PRED)
+                    v = ((int64_t)wy[r] * A[c] + (256 - wy[r]) * below +
+                         (int64_t)wx[c] * L[r] + (256 - wx[c]) * right + 256) >> 9;
+                else if (mode == SMOOTH_V)
+                    v = ((int64_t)wy[r] * A[c] + (256 - wy[r]) * below + 128) >> 8;
+                else
+                    v = ((int64_t)wx[c] * L[r] + (256 - wx[c]) * right + 128) >> 8;
+                out[r * w + c] = (int32_t)v;
+            }
+        return;
+    }
+    default: {  // zone-2 directional, 90 < angle < 180 (intra_np.py:208)
+        int angle = MODE_ANGLE[mode];
+        int dx = p.dr[180 - angle];
+        int dy = p.dr[angle - 90];
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int xpos = (c << 6) - (r + 1) * dx;
+                int bx = xpos >> 6;
+                if (bx >= -1) {
+                    int sh = (xpos >> 1) & 0x1F;
+                    out[r * w + c] = (int32_t)((above[1 + bx] * (32 - sh) +
+                                                above[2 + bx] * sh + 16) >> 5);
+                } else {
+                    int ypos = (r << 6) - (c + 1) * dy;
+                    int by = ypos >> 6;
+                    int sh = (ypos >> 1) & 0x1F;
+                    out[r * w + c] = (int32_t)((left[1 + by] * (32 - sh) +
+                                                left[2 + by] * sh + 16) >> 5);
+                }
+            }
+        return;
+    }
+    }
+}
+
+// entropy/coeffs.py:31 get_txsize_entropy_ctx (leaf tx dims are <= 32 here)
+inline int tx_size_ctx(int w, int h) {
+    auto lg = [](int d) { return d >= 32 ? 3 : d >= 16 ? 2 : d >= 8 ? 1 : 0; };
+    return (lg(w) + lg(h) + 1) >> 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one intra leaf block (luma y_mode + DC chroma): the full
+// _block() fast path of IntraFrameEncoder (intra_frame.py:767).
+// pctx: 12 pointers — per plane {above_cul, left_cul, above_dc, left_dc}
+// int32 arrays in 4-sample units (SB-padded like the python ones).
+// Returns skip | (tx_flag << 1)  (tx_flag: 0 DCT_DCT, 1 ADST_ADST).
+int encode_intra_block(
+    MsacEnc *enc, const uint64_t *reg,
+    const int32_t *src_y, const int32_t *src_u, const int32_t *src_v,
+    int32_t *rec_y, int32_t *rec_u, int32_t *rec_v,
+    int stride_y, int stride_c,
+    int x, int y, int bw, int bh,
+    int have_above, int have_left,
+    int max_x_y, int max_y_y, int max_x_c, int max_y_c,
+    int y_mode, int dc_q, int ac_q, int bd,
+    int tx_search, int q_nonzero, double lam,
+    const double *fy_v, const double *fy_h, double fy_s,
+    const double *fya_v, const double *fya_h, double fya_s,
+    const double *fc_v, const double *fc_h, double fc_s,
+    const int32_t *scan_y, const int32_t *scan_c,
+    int32_t *above_mode, int32_t *left_mode,
+    int32_t *above_skip, int32_t *left_skip,
+    const uint64_t *pctx,
+    int mi_cols, int mi_rows, int adapt)
+{
+    Ptrs P;
+    for (int i = 0; i < 18; i++) P.c[i] = (uint16_t *)reg[i];
+    P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
+    P.dr = (const int32_t *)reg[R_DR];
+
+    const int cx = x >> 1, cy = y >> 1, cw = bw >> 1, ch = bh >> 1;
+    const int mc = x / 4, mr = y / 4;
+    const bool ha = have_above != 0, hl = have_left != 0;
+
+    int64_t above[132], left[132];
+    static thread_local int32_t pred_y[32 * 32], pred_u[16 * 16], pred_v[16 * 16];
+    static thread_local int32_t res[32 * 32];
+    static thread_local int32_t lv_y[32 * 32], dq_y[32 * 32];
+    static thread_local int32_t lv_u[16 * 16], dq_u[16 * 16];
+    static thread_local int32_t lv_v[16 * 16], dq_v[16 * 16];
+    static thread_local int32_t lv_t[32 * 32], dq_t[32 * 32], inv_t[32 * 32];
+    static thread_local double lbuf[32 * 32];
+
+    // ---- luma predict + transform (+ DCT-vs-ADST RD, intra_frame.py:853) ----
+    build_edges(rec_y, stride_y, x, y, bw, bh, ha, hl, bd, max_x_y, max_y_y,
+                above, left);
+    predict(P, y_mode, above, left, bw, bh, ha, hl, bd, pred_y);
+    for (int r = 0; r < bh; r++)
+        for (int c = 0; c < bw; c++)
+            res[r * bw + c] =
+                src_y[(int64_t)(y + r) * stride_y + x + c] - pred_y[r * bw + c];
+    const int shift_y = (bw * bh > 256 ? 1 : 0) + (bw * bh > 1024 ? 1 : 0);
+    int tt = 0;
+    fdct_quant(res, bw, bh, fy_v, fy_h, fy_s, dc_q, ac_q, shift_y, 13, bd,
+               lv_y, dq_y);
+    if (tx_search && (bw > bh ? bw : bh) <= 16 && q_nonzero) {
+        double best = -1.0;
+        for (int cand = 0; cand < 2; cand++) {
+            const int32_t *lv = lv_y, *dq = dq_y;
+            if (cand) {
+                fdct_quant(res, bw, bh, fya_v, fya_h, fya_s, dc_q, ac_q,
+                           shift_y, 13, bd, lv_t, dq_t);
+                lv = lv_t;
+                dq = dq_t;
+            }
+            inv_txfm(dq, bw, bh, cand ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
+            double dist = 0.0;
+            int nz = 0;
+            for (int i = 0; i < bw * bh; i++) {
+                double d = (double)res[i] - inv_t[i];
+                dist += d * d;
+                int a = lv[i] < 0 ? -lv[i] : lv[i];
+                nz += a != 0;
+                lbuf[i] = log2(1.0 + (double)a);
+            }
+            double rate = 1.45 * nz + 0.95 * np_pairwise_sum(lbuf, bw * bh);
+            double cost = dist + lam * rate;
+            if (best < 0.0 || cost < best) {
+                best = cost;
+                tt = cand;
+            }
+        }
+        if (tt) {
+            memcpy(lv_y, lv_t, sizeof(int32_t) * bw * bh);
+            memcpy(dq_y, dq_t, sizeof(int32_t) * bw * bh);
+        }
+    }
+
+    // ---- chroma DC ----
+    build_edges(rec_u, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
+                above, left);
+    predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_u);
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++)
+            res[r * cw + c] =
+                src_u[(int64_t)(cy + r) * stride_c + cx + c] - pred_u[r * cw + c];
+    fdct_quant(res, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u);
+    build_edges(rec_v, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
+                above, left);
+    predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_v);
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++)
+            res[r * cw + c] =
+                src_v[(int64_t)(cy + r) * stride_c + cx + c] - pred_v[r * cw + c];
+    fdct_quant(res, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v);
+
+    bool any = false;
+    for (int i = 0; i < bw * bh && !any; i++) any = lv_y[i] != 0;
+    for (int i = 0; i < cw * ch && !any; i++) any = lv_u[i] != 0;
+    for (int i = 0; i < cw * ch && !any; i++) any = lv_v[i] != 0;
+    const int skip = any ? 0 : 1;
+
+    // ---- mode symbols (intra_frame.py:790) ----
+    int skip_ctx = above_skip[mc] + left_skip[mr];
+    msac_symbol(enc, P.c[R_SKIP] + skip_ctx * 3, 2, skip, adapt);
+
+    int actx = ha ? INTRA_MODE_CTX[above_mode[mc]] : 0;
+    int lctx = hl ? INTRA_MODE_CTX[left_mode[mr]] : 0;
+    msac_symbol(enc, P.c[R_KF_Y] + (actx * 5 + lctx) * 14, 13, y_mode, adapt);
+    if ((bw < bh ? bw : bh) >= 8 && y_mode >= V_PRED && y_mode <= D67)
+        msac_symbol(enc, P.c[R_ANGLE] + (y_mode - V_PRED) * 8, 7, 3, adapt);
+    int cfl_allowed = (bw > bh ? bw : bh) <= 32 ? 1 : 0;
+    msac_symbol(enc, P.c[R_UV] + ((int64_t)cfl_allowed * 13 + y_mode) * 15,
+                cfl_allowed ? 14 : 13, DC_PRED, adapt);
+
+    // ---- residual coding (intra_frame.py:887 _residual) ----
+    const int eob_area[7] = {16, 32, 64, 128, 256, 512, 1024};
+    auto residual = [&](int plane, int px, int py, int tw, int th,
+                        const int32_t *lv, const int32_t *scan) {
+        const int ptype = plane ? 1 : 0;
+        const int txs = tx_size_ctx(tw, th);
+        int32_t *a_cul = (int32_t *)pctx[plane * 4 + 0];
+        int32_t *l_cul = (int32_t *)pctx[plane * 4 + 1];
+        int32_t *a_dc = (int32_t *)pctx[plane * 4 + 2];
+        int32_t *l_dc = (int32_t *)pctx[plane * 4 + 3];
+        int tctx = 0;
+        if (plane) {
+            bool aa = false, la = false;
+            for (int i = px / 4; i < (px + tw) / 4; i++) aa |= a_cul[i] != 0;
+            for (int i = py / 4; i < (py + th) / 4; i++) la |= l_cul[i] != 0;
+            tctx = 7 + (aa ? 1 : 0) + (la ? 1 : 0);
+        }
+        int pos = 0, neg = 0;
+        for (int i = px / 4; i < (px + tw) / 4; i++) {
+            pos += a_dc[i] == 2;
+            neg += a_dc[i] == 1;
+        }
+        for (int i = py / 4; i < (py + th) / 4; i++) {
+            pos += l_dc[i] == 2;
+            neg += l_dc[i] == 1;
+        }
+        const int s = pos - neg;
+        const int dctx = s == 0 ? 0 : (s > 0 ? 2 : 1);
+        uint16_t *tx_row = nullptr;
+        int tx_sym = 1, tx_ns = 0;
+        if (plane == 0 && (tw > th ? tw : th) <= 16 && q_nonzero) {
+            int mn = tw < th ? tw : th;
+            int txsqr = mn >= 16 ? 2 : (mn >= 8 ? 1 : 0);
+            tx_row = P.c[R_TXTYPE2] + ((int64_t)txsqr * 13 + y_mode) * 6;
+            // set-2 symbol order: IDTX, DCT_DCT, ADST_ADST, ...
+            tx_sym = tt ? 2 : 1;
+            tx_ns = 5;
+        }
+        int ei = 0;
+        while (eob_area[ei] < tw * th) ei++;
+        const int eob_ns = 5 + ei;
+        uint16_t *eob_row =
+            P.c[R_EOB16 + ei] + (int64_t)ptype * 2 * (eob_ns + 1);
+        const int txs_br = txs < 3 ? txs : 3;
+        int ret = msac_encode_txb(
+            enc, lv, tw, th, scan, ptype, 0, tctx, dctx,
+            P.c[R_TXB_SKIP] + ((int64_t)txs * 13 + tctx) * 3,
+            eob_row, eob_ns,
+            P.c[R_EOB_EXTRA] + ((int64_t)txs * 2 + ptype) * 9 * 3,
+            P.c[R_BASE_EOB] + ((int64_t)txs * 2 + ptype) * 4 * 4,
+            P.c[R_BASE] + ((int64_t)txs * 2 + ptype) * 42 * 5,
+            P.c[R_BR] + ((int64_t)txs_br * 2 + ptype) * 21 * 5,
+            P.c[R_DC_SIGN] + ((int64_t)ptype * 3 + dctx) * 3,
+            adapt, tx_sym, tx_row, tx_ns);
+        const int cul = (ret >> 8) & 0xFF, dc_cat = ret & 0xFF;
+        const int sub = plane ? 1 : 0;
+        const int maxc = ((mi_cols * 4) >> sub) / 4;
+        const int maxr = ((mi_rows * 4) >> sub) / 4;
+        const int c1 = (px + tw) / 4 < maxc ? (px + tw) / 4 : maxc;
+        const int r1 = (py + th) / 4 < maxr ? (py + th) / 4 : maxr;
+        for (int i = px / 4; i < c1; i++) { a_cul[i] = cul; a_dc[i] = dc_cat; }
+        for (int i = py / 4; i < r1; i++) { l_cul[i] = cul; l_dc[i] = dc_cat; }
+    };
+    auto zero_ctx = [&](int plane, int px, int py, int tw, int th) {
+        const int sub = plane ? 1 : 0;
+        int32_t *a_cul = (int32_t *)pctx[plane * 4 + 0];
+        int32_t *l_cul = (int32_t *)pctx[plane * 4 + 1];
+        int32_t *a_dc = (int32_t *)pctx[plane * 4 + 2];
+        int32_t *l_dc = (int32_t *)pctx[plane * 4 + 3];
+        const int maxc = ((mi_cols * 4) >> sub) / 4;
+        const int maxr = ((mi_rows * 4) >> sub) / 4;
+        const int c1 = (px + tw) / 4 < maxc ? (px + tw) / 4 : maxc;
+        const int r1 = (py + th) / 4 < maxr ? (py + th) / 4 : maxr;
+        for (int i = px / 4; i < c1; i++) { a_cul[i] = 0; a_dc[i] = 0; }
+        for (int i = py / 4; i < r1; i++) { l_cul[i] = 0; l_dc[i] = 0; }
+    };
+
+    if (!skip) {
+        residual(0, x, y, bw, bh, lv_y, scan_y);
+        residual(1, cx, cy, cw, ch, lv_u, scan_c);
+        residual(2, cx, cy, cw, ch, lv_v, scan_c);
+    } else {
+        zero_ctx(0, x, y, bw, bh);
+        zero_ctx(1, cx, cy, cw, ch);
+        zero_ctx(2, cx, cy, cw, ch);
+        memset(dq_y, 0, sizeof(int32_t) * bw * bh);
+        memset(dq_u, 0, sizeof(int32_t) * cw * ch);
+        memset(dq_v, 0, sizeof(int32_t) * cw * ch);
+    }
+
+    // ---- reconstruct ----
+    const int maxval = (1 << bd) - 1;
+    inv_txfm(dq_y, bw, bh, tt ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
+    for (int r = 0; r < bh; r++)
+        for (int c = 0; c < bw; c++) {
+            int v = pred_y[r * bw + c] + inv_t[r * bw + c];
+            rec_y[(int64_t)(y + r) * stride_y + x + c] =
+                v < 0 ? 0 : (v > maxval ? maxval : v);
+        }
+    inv_txfm(dq_u, cw, ch, TX_DCT_DCT, bd, inv_t);
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++) {
+            int v = pred_u[r * cw + c] + inv_t[r * cw + c];
+            rec_u[(int64_t)(cy + r) * stride_c + cx + c] =
+                v < 0 ? 0 : (v > maxval ? maxval : v);
+        }
+    inv_txfm(dq_v, cw, ch, TX_DCT_DCT, bd, inv_t);
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++) {
+            int v = pred_v[r * cw + c] + inv_t[r * cw + c];
+            rec_v[(int64_t)(cy + r) * stride_c + cx + c] =
+                v < 0 ? 0 : (v > maxval ? maxval : v);
+        }
+
+    // ---- neighbor state ----
+    const int c1 = mc + bw / 4 < mi_cols ? mc + bw / 4 : mi_cols;
+    const int r1 = mr + bh / 4 < mi_rows ? mr + bh / 4 : mi_rows;
+    for (int i = mc; i < c1; i++) { above_mode[i] = y_mode; above_skip[i] = skip; }
+    for (int i = mr; i < r1; i++) { left_mode[i] = y_mode; left_skip[i] = skip; }
+
+    return skip | (tt << 1);
+}
+
+}  // extern "C"

@@ -18,7 +18,10 @@ _SO = _NATIVE_DIR / "libmsac.so"
 
 
 def _load():
-    if not _SO.exists() or _SO.stat().st_mtime < (_NATIVE_DIR / "msac.cc").stat().st_mtime:
+    srcs = ("msac.cc", "transforms.cc", "block_intra.cc")
+    newest = max((_NATIVE_DIR / s).stat().st_mtime for s in srcs
+                 if (_NATIVE_DIR / s).exists())
+    if not _SO.exists() or _SO.stat().st_mtime < newest:
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
     lib = ctypes.CDLL(str(_SO))
     lib.msac_new.restype = ctypes.c_void_p

@@ -1,0 +1,171 @@
+"""ctypes binding to the native per-block intra coder (native/block_intra.cc).
+
+One call encodes a whole leaf block — edge build, prediction, fused
+fdct+quant, DCT-vs-ADST RD, symbol coding, reconstruction and neighbor
+context updates — sharing the live MSAC handle and the python encoder's
+numpy arrays.  Byte-identical to IntraFrameEncoder's python block path
+(tests/test_native_block.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from rav1e_tpu.ec.native import _lib, NativeMsacEncoder
+from rav1e_tpu.ops import intra_np as ip
+from rav1e_tpu.ops import transforms_np as tf
+
+# registry slot order — must match native/block_intra.cc enum
+_REG_CDF_ATTRS = (
+    "kf_y_mode", "angle_delta", "uv_mode", "skip", "txb_skip",
+    "eob_pt_16", "eob_pt_32", "eob_pt_64", "eob_pt_128", "eob_pt_256",
+    "eob_pt_512", "eob_pt_1024",
+    "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
+    "intra_tx_type_set2",
+)
+
+_SM_I32 = np.ascontiguousarray(ip._SM_W, np.int32)
+_DR_I32 = np.ascontiguousarray(ip._DR, np.int32)
+
+# modes the native predictor implements (the encoder's full candidate set)
+NATIVE_MODES = frozenset((
+    ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.D135_PRED, ip.D113_PRED,
+    ip.D157_PRED, ip.SMOOTH_PRED, ip.SMOOTH_V_PRED, ip.SMOOTH_H_PRED,
+    ip.PAETH_PRED,
+))
+
+_vp = ctypes.c_void_p
+_ci = ctypes.c_int
+_configured = False
+
+
+def _configure():
+    global _configured
+    if _configured:
+        return
+    _lib.encode_intra_block.argtypes = [
+        _vp, _vp,                      # enc, registry
+        _vp, _vp, _vp, _vp, _vp, _vp,  # src y/u/v, rec y/u/v
+        _ci, _ci,                      # strides
+        _ci, _ci, _ci, _ci,            # x y bw bh
+        _ci, _ci,                      # have above/left
+        _ci, _ci, _ci, _ci,            # max_x/y luma, chroma
+        _ci, _ci, _ci, _ci,            # y_mode, dc_q, ac_q, bd
+        _ci, _ci, ctypes.c_double,     # tx_search, q_nonzero, lam
+        _vp, _vp, ctypes.c_double,     # luma DCT mats + scale
+        _vp, _vp, ctypes.c_double,     # luma ADST mats + scale
+        _vp, _vp, ctypes.c_double,     # chroma DCT mats + scale
+        _vp, _vp,                      # scans
+        _vp, _vp, _vp, _vp,            # above/left mode/skip
+        _vp,                           # pctx pointer array
+        _ci, _ci, _ci,                 # mi_cols, mi_rows, adapt
+    ]
+    _lib.encode_intra_block.restype = ctypes.c_int
+    _configured = True
+
+
+_MAT_CACHE: dict = {}
+
+
+def _mats(tx_type: int, w: int, h: int):
+    key = (tx_type, w, h)
+    m = _MAT_CACHE.get(key)
+    if m is None:
+        Fv, FhT, scale = tf._fwd_mats(tx_type, w, h)
+        m = (np.ascontiguousarray(Fv, np.float64),
+             np.ascontiguousarray(FhT, np.float64), float(scale))
+        _MAT_CACHE[key] = m
+    return m
+
+
+class NativeBlockCoder:
+    """Per-frame binding: resolves the frame encoder's cdf/plane/context
+    arrays into raw pointers once per (frame, tile) and drives
+    encode_intra_block."""
+
+    def __init__(self, fe):
+        _configure()
+        self.fe = fe
+        self._cdf_obj = None
+        self._reg = None
+        self._keep = None
+        self._scan_cache: dict = {}
+        # pctx pointer array: per plane above_cul/left_cul/above_dc/left_dc
+        ptrs = []
+        for ctx in fe.pctx:
+            for a in (ctx.above_cul, ctx.left_cul, ctx.above_dc, ctx.left_dc):
+                assert a.dtype == np.int32 and a.flags.c_contiguous
+                ptrs.append(a.ctypes.data)
+        self._pctx = np.array(ptrs, dtype=np.uint64)
+        self._max_x_y = fe.mi_cols * 4 - 1
+        self._max_y_y = fe.mi_rows * 4 - 1
+        self._max_x_c = (fe.mi_cols * 4 >> 1) - 1
+        self._max_y_c = (fe.mi_rows * 4 >> 1) - 1
+
+    def _refresh_registry(self) -> None:
+        cdf = self.fe.cdf
+        keep = []
+        ptrs = []
+        for name in _REG_CDF_ATTRS:
+            a = getattr(cdf, name)
+            assert a.dtype == np.uint16 and a.flags.c_contiguous
+            keep.append(a)
+            ptrs.append(a.ctypes.data)
+        ptrs.append(_SM_I32.ctypes.data)
+        ptrs.append(_DR_I32.ctypes.data)
+        self._reg = np.array(ptrs, dtype=np.uint64)
+        self._keep = keep
+        self._cdf_obj = cdf
+
+    def _scan(self, w: int, h: int) -> np.ndarray:
+        s = self._scan_cache.get((w, h))
+        if s is None:
+            from rav1e_tpu.models.intra_frame import scan_for
+
+            s = np.ascontiguousarray(scan_for(w, h), np.int32)
+            self._scan_cache[(w, h)] = s
+        return s
+
+    def encode_block(self, x: int, y: int, bw: int, bh: int, y_mode: int,
+                     have_above: bool, have_left: bool) -> tuple:
+        """Encode one leaf block; returns (skip, tx_type)."""
+        fe = self.fe
+        if fe.cdf is not self._cdf_obj:
+            self._refresh_registry()
+        fy = _mats(tf.DCT_DCT, bw, bh)
+        fya = _mats(tf.ADST_ADST, bw, bh) if max(bw, bh) <= 16 else fy
+        fc = _mats(tf.DCT_DCT, bw >> 1, bh >> 1)
+        ret = _lib.encode_intra_block(
+            fe.enc._e, self._reg.ctypes.data,
+            fe.src[0].ctypes.data, fe.src[1].ctypes.data, fe.src[2].ctypes.data,
+            fe.rec[0].ctypes.data, fe.rec[1].ctypes.data, fe.rec[2].ctypes.data,
+            fe.src[0].shape[1], fe.src[1].shape[1],
+            x, y, bw, bh,
+            1 if have_above else 0, 1 if have_left else 0,
+            self._max_x_y, self._max_y_y, self._max_x_c, self._max_y_c,
+            y_mode, fe.dc_q, fe.ac_q, fe.bd,
+            1 if fe.tx_type_search else 0, 1 if fe.q > 0 else 0, fe.lam,
+            fy[0].ctypes.data, fy[1].ctypes.data, fy[2],
+            fya[0].ctypes.data, fya[1].ctypes.data, fya[2],
+            fc[0].ctypes.data, fc[1].ctypes.data, fc[2],
+            self._scan(bw, bh).ctypes.data,
+            self._scan(bw >> 1, bh >> 1).ctypes.data,
+            fe.above_mode.ctypes.data, fe.left_mode.ctypes.data,
+            fe.above_skip.ctypes.data, fe.left_skip.ctypes.data,
+            self._pctx.ctypes.data,
+            fe.mi_cols, fe.mi_rows, 1 if fe.adapt else 0,
+        )
+        skip = bool(ret & 1)
+        tt = tf.ADST_ADST if (ret >> 1) else tf.DCT_DCT
+        return skip, tt
+
+
+def block_coder_for(fe):
+    """NativeBlockCoder for the frame encoder, or None if ineligible."""
+    if not getattr(fe, "use_native", False):
+        return None
+    if not hasattr(_lib, "encode_intra_block"):
+        return None
+    return NativeBlockCoder(fe)

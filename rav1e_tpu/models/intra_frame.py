@@ -190,6 +190,19 @@ class IntraFrameEncoder:
         self.db_info = DeblockInfo(self.h // 4, self.w // 4)
         self._pre_encode()
         self._pending = {}
+        # native per-block coder (C++ hot loop); keyframe leaf blocks only
+        self._nbc = None
+        if self.use_native and type(self) is IntraFrameEncoder:
+            try:
+                from rav1e_tpu.ec.native_block import block_coder_for
+
+                self._nbc = block_coder_for(self)
+            except Exception as e:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "native block coder unavailable (%s); python path", e
+                )
         data = self._encode_tiles()
         if any(self.lf_levels):
             from rav1e_tpu.ops.deblock_np import deblock_frame
@@ -260,13 +273,57 @@ class IntraFrameEncoder:
             ctx.above_dc[pc0:pc1] = 0
             ctx.left_dc[pr0:pr1] = 0
 
+    def _run_tiles_native(self, lr_emit: bool) -> list:
+        """One native encode sweep over all tiles from the current self.cdf
+        basis.  With lr_emit, read_lr symbols are written at each SB anchor
+        (the two-pass LR flow: pass A decides filters from a throwaway
+        sweep, pass B re-encodes — bit-identical block symbols since CDF
+        evolution per table is unchanged — with LR params interleaved)."""
+        from rav1e_tpu.ec.native import NativeMsacEncoder
+
+        tiles = self._tile_grid()
+        frame_cdf = self.cdf
+        datas = []
+        for idx, (sc0, sr0, sc1, sr1) in enumerate(tiles):
+            self.tx0, self.ty0 = sc0 * 64, sr0 * 64
+            self.tx1 = min(sc1 * 64, self.coded_w)
+            self.ty1 = min(sr1 * 64, self.coded_h)
+            if len(tiles) > 1:
+                self.cdf = frame_cdf.copy()
+            else:
+                self.cdf = frame_cdf
+            # always reset neighbor contexts: pass B must start from the
+            # same fresh state pass A had (single-tile included)
+            self._reset_tile_contexts()
+            self.enc = NativeMsacEncoder()
+            if lr_emit:
+                self._lr_ref = [[3, -7, 15], [3, -7, 15]]
+            for sy in range(self.ty0, self.ty1, 64):
+                for sx in range(self.tx0, self.tx1, 64):
+                    if lr_emit:
+                        self._lr_write(self.enc, sy // 64, sx // 64)
+                    self._partition(sx, sy, 64)
+            datas.append(self.enc.done())
+            if idx == 0:
+                self.cdf_saved = self.cdf  # context_update_tile_id == 0
+        self.cdf = self.cdf_saved
+        return datas
+
     def _encode_tiles(self):
         """Run the SB loops.  Without LR, returns the assembled tile bytes.
-        With LR, symbol streams are captured by RecordingEncoders (rav1e's
-        WriterRecorder analog) and emission is deferred to _emit_tiles_lr."""
+        With LR, either the native two-pass flow (pass A here, pass B in
+        _emit_tiles_lr) or symbol capture by RecordingEncoders (rav1e's
+        WriterRecorder analog) with emission deferred to _emit_tiles_lr."""
         tiles = self._tile_grid()
         frame_cdf = self.cdf
         self._frame_init_cdf = frame_cdf
+        self._lrf_native = (
+            self.lrf and self._nbc is not None and self._rd_maps is not None
+        )
+        if self._lrf_native:
+            self.cdf = frame_cdf.copy()  # throwaway basis for pass A
+            self._run_tiles_native(lr_emit=False)
+            return None  # bytes come from pass B (_emit_tiles_lr)
         tile_datas = []
         self._tile_recorders = []
         for idx, (sc0, sr0, sc1, sr1) in enumerate(tiles):
@@ -402,6 +459,19 @@ class IntraFrameEncoder:
         recorded ops hold row views into _frame_init_cdf's arrays, so tile
         independence is achieved by restoring those arrays IN PLACE before
         each tile's replay (preserving object identity)."""
+        if getattr(self, "_lrf_native", False):
+            filtered = [p.copy() for p in self.rec]
+            self.cdf = self._frame_init_cdf
+            tile_datas = self._run_tiles_native(lr_emit=True)
+            self.rec = filtered  # pass B rebuilt pre-filter recon; keep filtered
+            if len(tile_datas) == 1:
+                return tile_datas[0]
+            out = b""
+            for i, td in enumerate(tile_datas):
+                if i < len(tile_datas) - 1:
+                    out += (len(td) - 1).to_bytes(4, "little")
+                out += td
+            return out
         frame_cdf = self._frame_init_cdf
         tile_datas = []
         multi = len(self._tile_recorders) > 1
@@ -770,6 +840,17 @@ class IntraFrameEncoder:
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
         cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
         uv_mode = ip.DC_PRED
+
+        if self._nbc is not None and not self._pending and hasattr(self.enc, "_e"):
+            from rav1e_tpu.ec.native_block import NATIVE_MODES
+
+            y_mode = self._choose_mode(x, y, bw, bh)
+            if y_mode in NATIVE_MODES:
+                skip, _ = self._nbc.encode_block(
+                    x, y, bw, bh, y_mode,
+                    self._have_above(y), self._have_left(x))
+                self.db_info.set_block(x, y, bw, bh, skip)
+                return
 
         info = self._pending.pop((x, y), None)
         if info is not None and info["planes"][0][0].shape == (bh, bw):
