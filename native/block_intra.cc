@@ -260,7 +260,7 @@ int encode_intra_block(
     int32_t *above_mode, int32_t *left_mode,
     int32_t *above_skip, int32_t *left_skip,
     const uint64_t *pctx,
-    int mi_cols, int mi_rows, int adapt)
+    int mi_cols, int mi_rows, int adapt, int recon_only)
 {
     Ptrs P;
     for (int i = 0; i < 18; i++) P.c[i] = (uint16_t *)reg[i];
@@ -349,6 +349,18 @@ int encode_intra_block(
     for (int i = 0; i < cw * ch && !any; i++) any = lv_v[i] != 0;
     const int skip = any ? 0 : 1;
 
+    if (recon_only) {
+        // throwaway decision sweep (pass A of the two-pass LR flow):
+        // decisions + recon only, no symbols / context updates
+        if (skip) {
+            memset(dq_y, 0, sizeof(int32_t) * bw * bh);
+            memset(dq_u, 0, sizeof(int32_t) * cw * ch);
+            memset(dq_v, 0, sizeof(int32_t) * cw * ch);
+        }
+        goto reconstruct;
+    }
+
+    {
     // ---- mode symbols (intra_frame.py:790) ----
     int skip_ctx = above_skip[mc] + left_skip[mr];
     msac_symbol(enc, P.c[R_SKIP] + skip_ctx * 3, 2, skip, adapt);
@@ -451,7 +463,9 @@ int encode_intra_block(
         memset(dq_u, 0, sizeof(int32_t) * cw * ch);
         memset(dq_v, 0, sizeof(int32_t) * cw * ch);
     }
+    }
 
+reconstruct:;
     // ---- reconstruct ----
     const int maxval = (1 << bd) - 1;
     inv_txfm(dq_y, bw, bh, tt ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
@@ -477,10 +491,12 @@ int encode_intra_block(
         }
 
     // ---- neighbor state ----
-    const int c1 = mc + bw / 4 < mi_cols ? mc + bw / 4 : mi_cols;
-    const int r1 = mr + bh / 4 < mi_rows ? mr + bh / 4 : mi_rows;
-    for (int i = mc; i < c1; i++) { above_mode[i] = y_mode; above_skip[i] = skip; }
-    for (int i = mr; i < r1; i++) { left_mode[i] = y_mode; left_skip[i] = skip; }
+    if (!recon_only) {
+        const int c1 = mc + bw / 4 < mi_cols ? mc + bw / 4 : mi_cols;
+        const int r1 = mr + bh / 4 < mi_rows ? mr + bh / 4 : mi_rows;
+        for (int i = mc; i < c1; i++) { above_mode[i] = y_mode; above_skip[i] = skip; }
+        for (int i = mr; i < r1; i++) { left_mode[i] = y_mode; left_skip[i] = skip; }
+    }
 
     return skip | (tt << 1);
 }

@@ -565,23 +565,32 @@ extern "C" void fdct_quant(const int32_t *resid, int w, int h,
                            const double *Fv, const double *FhT, double scale,
                            int dc_q, int ac_q, int shift, int bias_num,
                            int bd, int32_t *levels_out, int32_t *dq_out) {
-    // tmp = Fv (h x h) @ resid (h x w)
-    std::vector<double> tmp((size_t)h * w);
+    // tmp = Fv (h x h) @ resid (h x w).  ikj loop order: the inner j loop
+    // is contiguous (auto-vectorizes); per-element accumulation order over
+    // k is unchanged, so results are bit-identical to the naive form.
+    std::vector<double> tmp((size_t)h * w), row2((size_t)w);
     for (int i = 0; i < h; i++) {
         const double *frow = Fv + (size_t)i * h;
-        for (int j = 0; j < w; j++) {
-            double acc = 0;
-            for (int k = 0; k < h; k++) acc += frow[k] * resid[(size_t)k * w + j];
-            tmp[(size_t)i * w + j] = acc;
+        double *trow = &tmp[(size_t)i * w];
+        for (int j = 0; j < w; j++) trow[j] = 0.0;
+        for (int k = 0; k < h; k++) {
+            const double f = frow[k];
+            const int32_t *rrow = resid + (size_t)k * w;
+            for (int j = 0; j < w; j++) trow[j] += f * rrow[j];
         }
     }
     const int64_t lim = 1ll << (bd + 7);
     for (int i = 0; i < h; i++) {
+        const double *trow = &tmp[(size_t)i * w];
+        double *out = row2.data();
+        for (int j = 0; j < w; j++) out[j] = 0.0;
+        for (int k = 0; k < w; k++) {
+            const double t = trow[k];
+            const double *fr = FhT + (size_t)k * w;
+            for (int j = 0; j < w; j++) out[j] += t * fr[j];
+        }
         for (int j = 0; j < w; j++) {
-            double acc = 0;
-            const double *trow = &tmp[(size_t)i * w];
-            for (int k = 0; k < w; k++) acc += trow[k] * FhT[(size_t)k * w + j];
-            double cf = acc * scale;
+            double cf = out[j] * scale;
             int64_t c = (int64_t)std::nearbyint(cf);  // round-half-even, matches np.round
             // beyond-32 coefficients are zeroed by the caller convention
             int64_t q = (i == 0 && j == 0) ? dc_q : ac_q;

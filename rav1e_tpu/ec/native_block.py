@@ -60,7 +60,7 @@ def _configure():
         _vp, _vp,                      # scans
         _vp, _vp, _vp, _vp,            # above/left mode/skip
         _vp,                           # pctx pointer array
-        _ci, _ci, _ci,                 # mi_cols, mi_rows, adapt
+        _ci, _ci, _ci, _ci,            # mi_cols, mi_rows, adapt, recon_only
     ]
     _lib.encode_intra_block.restype = ctypes.c_int
     _configured = True
@@ -129,7 +129,8 @@ class NativeBlockCoder:
         return s
 
     def encode_block(self, x: int, y: int, bw: int, bh: int, y_mode: int,
-                     have_above: bool, have_left: bool) -> tuple:
+                     have_above: bool, have_left: bool,
+                     recon_only: bool = False) -> tuple:
         """Encode one leaf block; returns (skip, tx_type)."""
         fe = self.fe
         if fe.cdf is not self._cdf_obj:
@@ -156,6 +157,7 @@ class NativeBlockCoder:
             fe.above_skip.ctypes.data, fe.left_skip.ctypes.data,
             self._pctx.ctypes.data,
             fe.mi_cols, fe.mi_rows, 1 if fe.adapt else 0,
+            1 if recon_only else 0,
         )
         skip = bool(ret & 1)
         tt = tf.ADST_ADST if (ret >> 1) else tf.DCT_DCT

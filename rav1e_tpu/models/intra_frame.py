@@ -190,6 +190,7 @@ class IntraFrameEncoder:
         self.db_info = DeblockInfo(self.h // 4, self.w // 4)
         self._pre_encode()
         self._pending = {}
+        self._recon_only = False
         # native per-block coder (C++ hot loop); keyframe leaf blocks only
         self._nbc = None
         if self.use_native and type(self) is IntraFrameEncoder:
@@ -322,7 +323,11 @@ class IntraFrameEncoder:
         )
         if self._lrf_native:
             self.cdf = frame_cdf.copy()  # throwaway basis for pass A
-            self._run_tiles_native(lr_emit=False)
+            self._recon_only = True  # native blocks skip symbols/contexts
+            try:
+                self._run_tiles_native(lr_emit=False)
+            finally:
+                self._recon_only = False
             return None  # bytes come from pass B (_emit_tiles_lr)
         tile_datas = []
         self._tile_recorders = []
@@ -397,8 +402,10 @@ class IntraFrameEncoder:
                 for uc in range(len(cols)):
                     self._lr_params[(ur, uc)] = None
             return
-        restored = lr.wiener_filter_frame(cdef_p, db_p, vt, ht, 64, self.bd,
-                                          self.out_w, self.out_h)
+        from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
+
+        restored = wiener_filter_frame_device(cdef_p, db_p, vt, ht, 64,
+                                              self.bd, self.out_w, self.out_h)
         for ur, (y0, y1) in enumerate(rows):
             for uc, (x0, x1) in enumerate(cols):
                 src = self.src[0][y0:y1, x0:x1].astype(np.int64)
@@ -848,7 +855,8 @@ class IntraFrameEncoder:
             if y_mode in NATIVE_MODES:
                 skip, _ = self._nbc.encode_block(
                     x, y, bw, bh, y_mode,
-                    self._have_above(y), self._have_left(x))
+                    self._have_above(y), self._have_left(x),
+                    recon_only=self._recon_only)
                 self.db_info.set_block(x, y, bw, bh, skip)
                 return
 

@@ -42,6 +42,27 @@ def test_lr_partial_units():
     run_clip(blurry_content(200, 136, 2, seed=7), q=170)
 
 
+@pytest.mark.parametrize("bd,dims", [(8, (200, 136)), (10, (96, 120))])
+def test_device_wiener_matches_numpy(bd, dims):
+    """The jitted device Wiener frame filter must be bit-exact vs the
+    numpy oracle (integer arithmetic, stripe gather rule included)."""
+    from rav1e_tpu.ops import lrf_np as lr
+    from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
+
+    w, h = dims
+    rng = np.random.default_rng(bd)
+    mx = (1 << bd) - 1
+    ph = (h + 63) & ~63
+    pw = (w + 63) & ~63
+    cdef_p = rng.integers(0, mx + 1, (ph, pw)).astype(np.int32)
+    db_p = np.clip(cdef_p + rng.integers(-6, 7, (ph, pw)), 0, mx)
+    for vt, ht in (((1, -3, 15), (2, -5, 20)), ((0, 0, 0), (3, -7, 15)),
+                   ((-5, -23, -17), (10, 8, 46))):
+        ref = lr.wiener_filter_frame(cdef_p, db_p, vt, ht, 64, bd, w, h)
+        dev = wiener_filter_frame_device(cdef_p, db_p, vt, ht, 64, bd, w, h)
+        np.testing.assert_array_equal(ref, dev)
+
+
 def test_lr_improves_psnr():
     from rav1e_tpu.models.intra_frame import IntraFrameEncoder
 
