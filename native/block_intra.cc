@@ -12,6 +12,7 @@
 #include <cstring>
 #include <cmath>
 #include <cstdlib>
+#include <vector>
 
 struct MsacEnc;  // opaque (msac.cc)
 
@@ -234,133 +235,22 @@ inline int tx_size_ctx(int w, int h) {
     return (lg(w) + lg(h) + 1) >> 1;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Encode one intra leaf block (luma y_mode + DC chroma): the full
-// _block() fast path of IntraFrameEncoder (intra_frame.py:767).
-// pctx: 12 pointers — per plane {above_cul, left_cul, above_dc, left_dc}
-// int32 arrays in 4-sample units (SB-padded like the python ones).
-// Returns skip | (tx_flag << 1)  (tx_flag: 0 DCT_DCT, 1 ADST_ADST).
-int encode_intra_block(
-    MsacEnc *enc, const uint64_t *reg,
-    const int32_t *src_y, const int32_t *src_u, const int32_t *src_v,
-    int32_t *rec_y, int32_t *rec_u, int32_t *rec_v,
-    int stride_y, int stride_c,
-    int x, int y, int bw, int bh,
-    int have_above, int have_left,
-    int max_x_y, int max_y_y, int max_x_c, int max_y_c,
-    int y_mode, int dc_q, int ac_q, int bd,
-    int tx_search, int q_nonzero, double lam,
-    const double *fy_v, const double *fy_h, double fy_s,
-    const double *fya_v, const double *fya_h, double fya_s,
-    const double *fc_v, const double *fc_h, double fc_s,
+// All the symbol coding + context updates for one decided block: skip,
+// modes, residual txbs, neighbor state.  Shared by the normal encode path
+// and the cached pass-B replay (two-pass LR flow).
+int code_block_symbols(
+    MsacEnc *enc, const Ptrs &P,
+    int x, int y, int bw, int bh, int y_mode, int skip, int tt,
+    const int32_t *lv_y, const int32_t *lv_u, const int32_t *lv_v,
     const int32_t *scan_y, const int32_t *scan_c,
+    bool ha, bool hl,
     int32_t *above_mode, int32_t *left_mode,
     int32_t *above_skip, int32_t *left_skip,
-    const uint64_t *pctx,
-    int mi_cols, int mi_rows, int adapt, int recon_only)
+    const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero)
 {
-    Ptrs P;
-    for (int i = 0; i < 18; i++) P.c[i] = (uint16_t *)reg[i];
-    P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
-    P.dr = (const int32_t *)reg[R_DR];
-
     const int cx = x >> 1, cy = y >> 1, cw = bw >> 1, ch = bh >> 1;
     const int mc = x / 4, mr = y / 4;
-    const bool ha = have_above != 0, hl = have_left != 0;
 
-    int64_t above[132], left[132];
-    static thread_local int32_t pred_y[32 * 32], pred_u[16 * 16], pred_v[16 * 16];
-    static thread_local int32_t res[32 * 32];
-    static thread_local int32_t lv_y[32 * 32], dq_y[32 * 32];
-    static thread_local int32_t lv_u[16 * 16], dq_u[16 * 16];
-    static thread_local int32_t lv_v[16 * 16], dq_v[16 * 16];
-    static thread_local int32_t lv_t[32 * 32], dq_t[32 * 32], inv_t[32 * 32];
-    static thread_local double lbuf[32 * 32];
-
-    // ---- luma predict + transform (+ DCT-vs-ADST RD, intra_frame.py:853) ----
-    build_edges(rec_y, stride_y, x, y, bw, bh, ha, hl, bd, max_x_y, max_y_y,
-                above, left);
-    predict(P, y_mode, above, left, bw, bh, ha, hl, bd, pred_y);
-    for (int r = 0; r < bh; r++)
-        for (int c = 0; c < bw; c++)
-            res[r * bw + c] =
-                src_y[(int64_t)(y + r) * stride_y + x + c] - pred_y[r * bw + c];
-    const int shift_y = (bw * bh > 256 ? 1 : 0) + (bw * bh > 1024 ? 1 : 0);
-    int tt = 0;
-    fdct_quant(res, bw, bh, fy_v, fy_h, fy_s, dc_q, ac_q, shift_y, 13, bd,
-               lv_y, dq_y);
-    if (tx_search && (bw > bh ? bw : bh) <= 16 && q_nonzero) {
-        double best = -1.0;
-        for (int cand = 0; cand < 2; cand++) {
-            const int32_t *lv = lv_y, *dq = dq_y;
-            if (cand) {
-                fdct_quant(res, bw, bh, fya_v, fya_h, fya_s, dc_q, ac_q,
-                           shift_y, 13, bd, lv_t, dq_t);
-                lv = lv_t;
-                dq = dq_t;
-            }
-            inv_txfm(dq, bw, bh, cand ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
-            double dist = 0.0;
-            int nz = 0;
-            for (int i = 0; i < bw * bh; i++) {
-                double d = (double)res[i] - inv_t[i];
-                dist += d * d;
-                int a = lv[i] < 0 ? -lv[i] : lv[i];
-                nz += a != 0;
-                lbuf[i] = log2(1.0 + (double)a);
-            }
-            double rate = 1.45 * nz + 0.95 * np_pairwise_sum(lbuf, bw * bh);
-            double cost = dist + lam * rate;
-            if (best < 0.0 || cost < best) {
-                best = cost;
-                tt = cand;
-            }
-        }
-        if (tt) {
-            memcpy(lv_y, lv_t, sizeof(int32_t) * bw * bh);
-            memcpy(dq_y, dq_t, sizeof(int32_t) * bw * bh);
-        }
-    }
-
-    // ---- chroma DC ----
-    build_edges(rec_u, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
-                above, left);
-    predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_u);
-    for (int r = 0; r < ch; r++)
-        for (int c = 0; c < cw; c++)
-            res[r * cw + c] =
-                src_u[(int64_t)(cy + r) * stride_c + cx + c] - pred_u[r * cw + c];
-    fdct_quant(res, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u);
-    build_edges(rec_v, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
-                above, left);
-    predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_v);
-    for (int r = 0; r < ch; r++)
-        for (int c = 0; c < cw; c++)
-            res[r * cw + c] =
-                src_v[(int64_t)(cy + r) * stride_c + cx + c] - pred_v[r * cw + c];
-    fdct_quant(res, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v);
-
-    bool any = false;
-    for (int i = 0; i < bw * bh && !any; i++) any = lv_y[i] != 0;
-    for (int i = 0; i < cw * ch && !any; i++) any = lv_u[i] != 0;
-    for (int i = 0; i < cw * ch && !any; i++) any = lv_v[i] != 0;
-    const int skip = any ? 0 : 1;
-
-    if (recon_only) {
-        // throwaway decision sweep (pass A of the two-pass LR flow):
-        // decisions + recon only, no symbols / context updates
-        if (skip) {
-            memset(dq_y, 0, sizeof(int32_t) * bw * bh);
-            memset(dq_u, 0, sizeof(int32_t) * cw * ch);
-            memset(dq_v, 0, sizeof(int32_t) * cw * ch);
-        }
-        goto reconstruct;
-    }
-
-    {
     // ---- mode symbols (intra_frame.py:790) ----
     int skip_ctx = above_skip[mc] + left_skip[mr];
     msac_symbol(enc, P.c[R_SKIP] + skip_ctx * 3, 2, skip, adapt);
@@ -459,13 +349,172 @@ int encode_intra_block(
         zero_ctx(0, x, y, bw, bh);
         zero_ctx(1, cx, cy, cw, ch);
         zero_ctx(2, cx, cy, cw, ch);
-        memset(dq_y, 0, sizeof(int32_t) * bw * bh);
-        memset(dq_u, 0, sizeof(int32_t) * cw * ch);
-        memset(dq_v, 0, sizeof(int32_t) * cw * ch);
-    }
     }
 
-reconstruct:;
+    // ---- neighbor state ----
+    const int c1 = mc + bw / 4 < mi_cols ? mc + bw / 4 : mi_cols;
+    const int r1 = mr + bh / 4 < mi_rows ? mr + bh / 4 : mi_rows;
+    for (int i = mc; i < c1; i++) { above_mode[i] = y_mode; above_skip[i] = skip; }
+    for (int i = mr; i < r1; i++) { left_mode[i] = y_mode; left_skip[i] = skip; }
+    return skip | (tt << 1);
+}
+
+// -- block cache: pass A stores decisions + levels, pass B replays symbols
+// without repeating prediction/transform/reconstruction (the rav1e
+// WriterRecorder idea, moved down to the decision layer).
+struct BlockCache {
+    std::vector<int32_t> buf;
+    size_t cursor = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode one intra leaf block (luma y_mode + DC chroma): the full
+// _block() fast path of IntraFrameEncoder (intra_frame.py:767).
+// pctx: 12 pointers — per plane {above_cul, left_cul, above_dc, left_dc}
+// int32 arrays in 4-sample units (SB-padded like the python ones).
+// Returns skip | (tx_flag << 1)  (tx_flag: 0 DCT_DCT, 1 ADST_ADST).
+int encode_intra_block(
+    MsacEnc *enc, const uint64_t *reg,
+    const int32_t *src_y, const int32_t *src_u, const int32_t *src_v,
+    int32_t *rec_y, int32_t *rec_u, int32_t *rec_v,
+    int stride_y, int stride_c,
+    int x, int y, int bw, int bh,
+    int have_above, int have_left,
+    int max_x_y, int max_y_y, int max_x_c, int max_y_c,
+    int y_mode, int dc_q, int ac_q, int bd,
+    int tx_search, int q_nonzero, double lam,
+    const double *fy_v, const double *fy_h, double fy_s,
+    const double *fya_v, const double *fya_h, double fya_s,
+    const double *fc_v, const double *fc_h, double fc_s,
+    const int32_t *scan_y, const int32_t *scan_c,
+    int32_t *above_mode, int32_t *left_mode,
+    int32_t *above_skip, int32_t *left_skip,
+    const uint64_t *pctx,
+    int mi_cols, int mi_rows, int adapt, int recon_only, void *cache_vp)
+{
+    Ptrs P;
+    for (int i = 0; i < 18; i++) P.c[i] = (uint16_t *)reg[i];
+    P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
+    P.dr = (const int32_t *)reg[R_DR];
+
+    const int cx = x >> 1, cy = y >> 1, cw = bw >> 1, ch = bh >> 1;
+    const int mc = x / 4, mr = y / 4;
+    const bool ha = have_above != 0, hl = have_left != 0;
+
+    int64_t above[132], left[132];
+    static thread_local int32_t pred_y[32 * 32], pred_u[16 * 16], pred_v[16 * 16];
+    static thread_local int32_t res[32 * 32];
+    static thread_local int32_t lv_y[32 * 32], dq_y[32 * 32];
+    static thread_local int32_t lv_u[16 * 16], dq_u[16 * 16];
+    static thread_local int32_t lv_v[16 * 16], dq_v[16 * 16];
+    static thread_local int32_t lv_t[32 * 32], dq_t[32 * 32], inv_t[32 * 32];
+    static thread_local double lbuf[32 * 32];
+
+    // ---- luma predict + transform (+ DCT-vs-ADST RD, intra_frame.py:853) ----
+    build_edges(rec_y, stride_y, x, y, bw, bh, ha, hl, bd, max_x_y, max_y_y,
+                above, left);
+    predict(P, y_mode, above, left, bw, bh, ha, hl, bd, pred_y);
+    for (int r = 0; r < bh; r++)
+        for (int c = 0; c < bw; c++)
+            res[r * bw + c] =
+                src_y[(int64_t)(y + r) * stride_y + x + c] - pred_y[r * bw + c];
+    const int shift_y = (bw * bh > 256 ? 1 : 0) + (bw * bh > 1024 ? 1 : 0);
+    int tt = 0;
+    fdct_quant(res, bw, bh, fy_v, fy_h, fy_s, dc_q, ac_q, shift_y, 13, bd,
+               lv_y, dq_y);
+    if (tx_search && (bw > bh ? bw : bh) <= 16 && q_nonzero) {
+        double best = -1.0;
+        for (int cand = 0; cand < 2; cand++) {
+            const int32_t *lv = lv_y, *dq = dq_y;
+            if (cand) {
+                fdct_quant(res, bw, bh, fya_v, fya_h, fya_s, dc_q, ac_q,
+                           shift_y, 13, bd, lv_t, dq_t);
+                lv = lv_t;
+                dq = dq_t;
+            }
+            inv_txfm(dq, bw, bh, cand ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
+            double dist = 0.0;
+            int nz = 0;
+            for (int i = 0; i < bw * bh; i++) {
+                double d = (double)res[i] - inv_t[i];
+                dist += d * d;
+                int a = lv[i] < 0 ? -lv[i] : lv[i];
+                nz += a != 0;
+                lbuf[i] = log2(1.0 + (double)a);
+            }
+            double rate = 1.45 * nz + 0.95 * np_pairwise_sum(lbuf, bw * bh);
+            double cost = dist + lam * rate;
+            if (best < 0.0 || cost < best) {
+                best = cost;
+                tt = cand;
+            }
+        }
+        if (tt) {
+            memcpy(lv_y, lv_t, sizeof(int32_t) * bw * bh);
+            memcpy(dq_y, dq_t, sizeof(int32_t) * bw * bh);
+        }
+    }
+
+    // ---- chroma DC ----
+    build_edges(rec_u, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
+                above, left);
+    predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_u);
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++)
+            res[r * cw + c] =
+                src_u[(int64_t)(cy + r) * stride_c + cx + c] - pred_u[r * cw + c];
+    fdct_quant(res, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u);
+    build_edges(rec_v, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
+                above, left);
+    predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_v);
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++)
+            res[r * cw + c] =
+                src_v[(int64_t)(cy + r) * stride_c + cx + c] - pred_v[r * cw + c];
+    fdct_quant(res, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v);
+
+    bool any = false;
+    for (int i = 0; i < bw * bh && !any; i++) any = lv_y[i] != 0;
+    for (int i = 0; i < cw * ch && !any; i++) any = lv_u[i] != 0;
+    for (int i = 0; i < cw * ch && !any; i++) any = lv_v[i] != 0;
+    const int skip = any ? 0 : 1;
+
+    if (recon_only) {
+        // throwaway decision sweep (pass A of the two-pass LR flow):
+        // decisions + recon only, no symbols / context updates.  With a
+        // cache, the levels + decisions are stored so pass B can replay
+        // the symbols without repeating prediction/transform work.
+        if (cache_vp) {
+            BlockCache *bc = (BlockCache *)cache_vp;
+            int32_t hdr[8] = {x, y, bw, bh, y_mode, skip, tt,
+                              (have_above << 1) | have_left};
+            bc->buf.insert(bc->buf.end(), hdr, hdr + 8);
+            if (!skip) {
+                bc->buf.insert(bc->buf.end(), lv_y, lv_y + bw * bh);
+                bc->buf.insert(bc->buf.end(), lv_u, lv_u + cw * ch);
+                bc->buf.insert(bc->buf.end(), lv_v, lv_v + cw * ch);
+            }
+        }
+        if (skip) {
+            memset(dq_y, 0, sizeof(int32_t) * bw * bh);
+            memset(dq_u, 0, sizeof(int32_t) * cw * ch);
+            memset(dq_v, 0, sizeof(int32_t) * cw * ch);
+        }
+    } else {
+        code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt,
+                           lv_y, lv_u, lv_v, scan_y, scan_c, ha, hl,
+                           above_mode, left_mode, above_skip, left_skip,
+                           pctx, mi_cols, mi_rows, adapt, q_nonzero);
+        if (skip) {
+            memset(dq_y, 0, sizeof(int32_t) * bw * bh);
+            memset(dq_u, 0, sizeof(int32_t) * cw * ch);
+            memset(dq_v, 0, sizeof(int32_t) * cw * ch);
+        }
+    }
+
     // ---- reconstruct ----
     const int maxval = (1 << bd) - 1;
     inv_txfm(dq_y, bw, bh, tt ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
@@ -499,6 +548,58 @@ reconstruct:;
     }
 
     return skip | (tt << 1);
+}
+
+void *block_cache_new(void) { return new BlockCache(); }
+void block_cache_free(void *c) { delete (BlockCache *)c; }
+void block_cache_reset(void *c) {
+    BlockCache *bc = (BlockCache *)c;
+    bc->buf.clear();
+    bc->cursor = 0;
+}
+void block_cache_rewind(void *c) { ((BlockCache *)c)->cursor = 0; }
+
+// 1 if the next cached record is block (x, y, bw, bh)
+int cached_block_peek(void *c, int x, int y, int bw, int bh) {
+    BlockCache *bc = (BlockCache *)c;
+    if (bc->cursor + 8 > bc->buf.size()) return 0;
+    const int32_t *h = &bc->buf[bc->cursor];
+    return h[0] == x && h[1] == y && h[2] == bw && h[3] == bh;
+}
+
+// Replay the next cached block's symbols (pass B of the two-pass LR flow).
+// Returns skip | (tt << 1), or -1 if the cursor record does not match.
+int encode_cached_block(
+    void *c, MsacEnc *enc, const uint64_t *reg,
+    int x, int y, int bw, int bh,
+    const int32_t *scan_y, const int32_t *scan_c,
+    int32_t *above_mode, int32_t *left_mode,
+    int32_t *above_skip, int32_t *left_skip,
+    const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero)
+{
+    BlockCache *bc = (BlockCache *)c;
+    if (bc->cursor + 8 > bc->buf.size()) return -1;
+    const int32_t *h = &bc->buf[bc->cursor];
+    if (h[0] != x || h[1] != y || h[2] != bw || h[3] != bh) return -1;
+    const int y_mode = h[4], skip = h[5], tt = h[6], hal = h[7];
+    bc->cursor += 8;
+    const int cw = bw >> 1, ch = bh >> 1;
+    const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
+    if (!skip) {
+        lv_y = &bc->buf[bc->cursor];
+        lv_u = lv_y + bw * bh;
+        lv_v = lv_u + cw * ch;
+        bc->cursor += (size_t)bw * bh + 2 * (size_t)cw * ch;
+    }
+    Ptrs P;
+    for (int i = 0; i < 18; i++) P.c[i] = (uint16_t *)reg[i];
+    P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
+    P.dr = (const int32_t *)reg[R_DR];
+    return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt,
+                              lv_y, lv_u, lv_v, scan_y, scan_c,
+                              (hal >> 1) != 0, (hal & 1) != 0,
+                              above_mode, left_mode, above_skip, left_skip,
+                              pctx, mi_cols, mi_rows, adapt, q_nonzero);
 }
 
 }  // extern "C"

@@ -61,8 +61,20 @@ def _configure():
         _vp, _vp, _vp, _vp,            # above/left mode/skip
         _vp,                           # pctx pointer array
         _ci, _ci, _ci, _ci,            # mi_cols, mi_rows, adapt, recon_only
+        _vp,                           # block cache (pass-A store) or NULL
     ]
     _lib.encode_intra_block.restype = ctypes.c_int
+    _lib.block_cache_new.restype = _vp
+    _lib.block_cache_free.argtypes = [_vp]
+    _lib.block_cache_reset.argtypes = [_vp]
+    _lib.block_cache_rewind.argtypes = [_vp]
+    _lib.cached_block_peek.argtypes = [_vp, _ci, _ci, _ci, _ci]
+    _lib.cached_block_peek.restype = ctypes.c_int
+    _lib.encode_cached_block.argtypes = [
+        _vp, _vp, _vp, _ci, _ci, _ci, _ci,
+        _vp, _vp, _vp, _vp, _vp, _vp, _vp, _ci, _ci, _ci, _ci,
+    ]
+    _lib.encode_cached_block.restype = ctypes.c_int
     _configured = True
 
 
@@ -103,6 +115,7 @@ class NativeBlockCoder:
         self._max_y_y = fe.mi_rows * 4 - 1
         self._max_x_c = (fe.mi_cols * 4 >> 1) - 1
         self._max_y_c = (fe.mi_rows * 4 >> 1) - 1
+        self._cache = None
 
     def _refresh_registry(self) -> None:
         cdf = self.fe.cdf
@@ -127,6 +140,48 @@ class NativeBlockCoder:
             s = np.ascontiguousarray(scan_for(w, h), np.int32)
             self._scan_cache[(w, h)] = s
         return s
+
+    def cache_start(self) -> None:
+        """Arm the pass-A store: recon_only blocks append decisions+levels."""
+        if self._cache is None:
+            self._cache = _lib.block_cache_new()
+        _lib.block_cache_reset(self._cache)
+
+    def cache_rewind(self) -> None:
+        _lib.block_cache_rewind(self._cache)
+
+    def cache_peek(self, x: int, y: int, bw: int, bh: int) -> bool:
+        return bool(self._cache) and bool(
+            _lib.cached_block_peek(self._cache, x, y, bw, bh))
+
+    def replay_block(self, x: int, y: int, bw: int, bh: int) -> tuple:
+        """Code the next cached block's symbols (pass B)."""
+        fe = self.fe
+        if fe.cdf is not self._cdf_obj:
+            self._refresh_registry()
+        ret = _lib.encode_cached_block(
+            self._cache, fe.enc._e, self._reg.ctypes.data,
+            x, y, bw, bh,
+            self._scan(bw, bh).ctypes.data,
+            self._scan(bw >> 1, bh >> 1).ctypes.data,
+            fe.above_mode.ctypes.data, fe.left_mode.ctypes.data,
+            fe.above_skip.ctypes.data, fe.left_skip.ctypes.data,
+            self._pctx.ctypes.data,
+            fe.mi_cols, fe.mi_rows, 1 if fe.adapt else 0,
+            1 if fe.q > 0 else 0,
+        )
+        if ret < 0:
+            raise RuntimeError("block cache desync at (%d,%d,%dx%d)" % (x, y, bw, bh))
+        import rav1e_tpu.ops.transforms_np as _tf
+
+        return bool(ret & 1), (_tf.ADST_ADST if (ret >> 1) else _tf.DCT_DCT)
+
+    def __del__(self):
+        try:
+            if self._cache:
+                _lib.block_cache_free(self._cache)
+        except Exception:
+            pass
 
     def encode_block(self, x: int, y: int, bw: int, bh: int, y_mode: int,
                      have_above: bool, have_left: bool,
@@ -158,6 +213,7 @@ class NativeBlockCoder:
             self._pctx.ctypes.data,
             fe.mi_cols, fe.mi_rows, 1 if fe.adapt else 0,
             1 if recon_only else 0,
+            self._cache if recon_only else None,
         )
         skip = bool(ret & 1)
         tt = tf.ADST_ADST if (ret >> 1) else tf.DCT_DCT

@@ -191,6 +191,7 @@ class IntraFrameEncoder:
         self._pre_encode()
         self._pending = {}
         self._recon_only = False
+        self._lr_replay = False
         # native per-block coder (C++ hot loop); keyframe leaf blocks only
         self._nbc = None
         if self.use_native and type(self) is IntraFrameEncoder:
@@ -214,15 +215,26 @@ class IntraFrameEncoder:
             # LR stripe boundaries read the pre-CDEF (deblocked) rows
             self._deblock_copy = [p.copy() for p in self.rec]
         self.cdef_strengths = None
+        self._dev_db = self._dev_cdef = None
         if self.cdef_damping:
-            self.cdef_strengths = self._cdef_search()
-            y_s, uv_s = self.cdef_strengths
-            from rav1e_tpu.ops.cdef_jax import cdef_frame_device as cdef_frame
+            res = None
+            if self.device_modes and self.coded_w * self.coded_h >= 640 * 480:
+                from rav1e_tpu.ops.cdef_jax import cdef_search_apply_device
 
-            cdef_frame(self.rec, self.db_info.skip,
-                       y_s >> 2, [0, 1, 2, 4][y_s & 3],
-                       uv_s >> 2, [0, 1, 2, 4][uv_s & 3],
-                       self.cdef_damping, self.bd, self.coded_w, self.coded_h)
+                res = cdef_search_apply_device(
+                    self.rec, self.src, self.db_info.skip, self.cdef_damping,
+                    self.bd, self.coded_w, self.coded_h)
+            if res is not None:
+                self.cdef_strengths, (self._dev_db, self._dev_cdef) = res
+            else:
+                self.cdef_strengths = self._cdef_search()
+                y_s, uv_s = self.cdef_strengths
+                from rav1e_tpu.ops.cdef_jax import cdef_frame_device as cdef_frame
+
+                cdef_frame(self.rec, self.db_info.skip,
+                           y_s >> 2, [0, 1, 2, 4][y_s & 3],
+                           uv_s >> 2, [0, 1, 2, 4][uv_s & 3],
+                           self.cdef_damping, self.bd, self.coded_w, self.coded_h)
         if self.lrf:
             self._lr_decide()
             data = self._emit_tiles_lr()
@@ -324,10 +336,14 @@ class IntraFrameEncoder:
         if self._lrf_native:
             self.cdf = frame_cdf.copy()  # throwaway basis for pass A
             self._recon_only = True  # native blocks skip symbols/contexts
+            self._nbc.cache_start()  # store decisions+levels for pass B
             try:
                 self._run_tiles_native(lr_emit=False)
             finally:
                 self._recon_only = False
+            # pre-filter recon snapshot: pass B python-path blocks (if any)
+            # predict from this state, not the filtered frame
+            self._prefilter_rec = [p.copy() for p in self.rec]
             return None  # bytes come from pass B (_emit_tiles_lr)
         tile_datas = []
         self._tile_recorders = []
@@ -404,8 +420,10 @@ class IntraFrameEncoder:
             return
         from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
 
-        restored = wiener_filter_frame_device(cdef_p, db_p, vt, ht, 64,
-                                              self.bd, self.out_w, self.out_h)
+        restored = wiener_filter_frame_device(
+            cdef_p, db_p, vt, ht, 64, self.bd, self.out_w, self.out_h,
+            dev_cdef=getattr(self, "_dev_cdef", None),
+            dev_db=getattr(self, "_dev_db", None))
         for ur, (y0, y1) in enumerate(rows):
             for uc, (x0, x1) in enumerate(cols):
                 src = self.src[0][y0:y1, x0:x1].astype(np.int64)
@@ -468,9 +486,15 @@ class IntraFrameEncoder:
         each tile's replay (preserving object identity)."""
         if getattr(self, "_lrf_native", False):
             filtered = [p.copy() for p in self.rec]
+            self.rec = self._prefilter_rec
             self.cdf = self._frame_init_cdf
-            tile_datas = self._run_tiles_native(lr_emit=True)
-            self.rec = filtered  # pass B rebuilt pre-filter recon; keep filtered
+            self._nbc.cache_rewind()
+            self._lr_replay = True
+            try:
+                tile_datas = self._run_tiles_native(lr_emit=True)
+            finally:
+                self._lr_replay = False
+            self.rec = filtered  # cached replay skips recon; restore filtered
             if len(tile_datas) == 1:
                 return tile_datas[0]
             out = b""
@@ -849,6 +873,12 @@ class IntraFrameEncoder:
         uv_mode = ip.DC_PRED
 
         if self._nbc is not None and not self._pending and hasattr(self.enc, "_e"):
+            if self._lr_replay and self._nbc.cache_peek(x, y, bw, bh):
+                # pass B of the two-pass LR flow: symbols from the pass-A
+                # cache, no prediction/transform/reconstruction repeat
+                skip, _ = self._nbc.replay_block(x, y, bw, bh)
+                self.db_info.set_block(x, y, bw, bh, skip)
+                return
             from rav1e_tpu.ec.native_block import NATIVE_MODES
 
             y_mode = self._choose_mode(x, y, bw, bh)

@@ -194,3 +194,104 @@ def cdef_frame_device(rec, skip, y_pri, y_sec, uv_pri, uv_sec, damping, bd,
     rec[0][:coded_h, :coded_w] = np.asarray(y)
     rec[1][: coded_h >> 1, : coded_w >> 1] = np.asarray(u)
     rec[2][: coded_h >> 1, : coded_w >> 1] = np.asarray(v)
+
+
+# -- fused search + apply ----------------------------------------------------
+#
+# Reference analog: rdo_loop_decision's CDEF strength search (src/rdo.rs) —
+# there a sampled host loop; here every candidate strength filters the WHOLE
+# frame on device in one graph and the frame SSE vs source picks the winner.
+# Skip blocks are unfiltered for every candidate (constant SSE offset), so
+# the argmin is unaffected by including them.
+
+Y_CANDIDATES = tuple((pri, sec) for pri in (0, 1, 2, 4) for sec in (0, 2))
+UV_CANDIDATES = ((0, 0), (1, 0), (2, 0))
+
+
+def _make_search_kernel(bd: int, coded_w: int, coded_h: int):
+    jax = _get_jax()
+    jnp = jax.numpy
+
+    @partial(jax.jit, static_argnames=("damping",))
+    def kernel(y, u, v, sy, su, sv, skip, damping):
+        h, w = coded_h, coded_w
+        nby, nbx = h // 8, w // 8
+        dirs, var = _find_dir_all_jnp(jnp, y, bd, h, w)
+        s4 = skip[: nby * 2, : nbx * 2].reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3)
+        active = ~s4.reshape(nby, nbx, 4).all(axis=2)
+        scale = bd - 8
+
+        def sse(out, src):
+            d = out.astype(jnp.float32) - src.astype(jnp.float32)
+            return (d * d).sum()
+
+        y_outs, y_sses = [], []
+        for pri, sec in Y_CANDIDATES:
+            pri_map = _adjust_vec_jnp(jnp, pri << scale, var)
+            out = _filter_plane_jnp(jnp, y, dirs, pri_map, sec << scale,
+                                    damping, bd, w, h, active, 0)
+            y_outs.append(out.astype(jnp.uint16))
+            y_sses.append(sse(out, sy))
+        y_best = jnp.argmin(jnp.stack(y_sses))
+        y_out = jnp.stack(y_outs)[y_best]
+
+        uv_outs, uv_sses = [], []
+        for pri, sec in UV_CANDIDATES:
+            uv_map = jnp.full(dirs.shape, pri << scale, jnp.int32)
+            uo = _filter_plane_jnp(jnp, u, dirs, uv_map, sec << scale,
+                                   damping - 1, bd, w >> 1, h >> 1, active, 1)
+            vo = _filter_plane_jnp(jnp, v, dirs, uv_map, sec << scale,
+                                   damping - 1, bd, w >> 1, h >> 1, active, 1)
+            uv_outs.append((uo.astype(jnp.uint16), vo.astype(jnp.uint16)))
+            uv_sses.append(sse(uo, su) + sse(vo, sv))
+        uv_best = jnp.argmin(jnp.stack(uv_sses))
+        u_out = jnp.stack([o[0] for o in uv_outs])[uv_best]
+        v_out = jnp.stack([o[1] for o in uv_outs])[uv_best]
+        return y_best, uv_best, y_out, u_out, v_out
+
+    return kernel
+
+
+_SEARCH_KERNELS: dict = {}
+
+
+def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h):
+    """Search strengths over the whole frame and apply the winner, in one
+    device call.  Mutates rec in place; returns ((y_code, uv_code),
+    (dev_db_y, dev_cdef_y)) — the device-resident deblocked and filtered
+    luma planes, for chaining into the Wiener device pass.  Returns None on
+    device failure (caller falls back to the sampled host search)."""
+    try:
+        key = (bd, coded_w, coded_h)
+        k = _SEARCH_KERNELS.get(key)
+        if k is None:
+            k = _make_search_kernel(*key)
+            _SEARCH_KERNELS[key] = k
+        import jax.numpy as jnp
+
+        db_y = jnp.asarray(rec[0][:coded_h, :coded_w].astype(np.uint16))
+        yb, uvb, y, u, v = k(
+            db_y,
+            rec[1][: coded_h >> 1, : coded_w >> 1].astype(np.uint16),
+            rec[2][: coded_h >> 1, : coded_w >> 1].astype(np.uint16),
+            src[0][:coded_h, :coded_w].astype(np.uint16),
+            src[1][: coded_h >> 1, : coded_w >> 1].astype(np.uint16),
+            src[2][: coded_h >> 1, : coded_w >> 1].astype(np.uint16),
+            np.asarray(skip, bool),
+            damping=damping,
+        )
+    except Exception as e:
+        import logging
+
+        logging.getLogger("rav1e_tpu").warning(
+            "device CDEF search unavailable (%s); host fallback", e
+        )
+        return None
+    y_pri, y_sec = Y_CANDIDATES[int(yb)]
+    uv_pri, uv_sec = UV_CANDIDATES[int(uvb)]
+    y_code = (y_pri << 2) | (3 if y_sec == 4 else y_sec)
+    uv_code = (uv_pri << 2) | uv_sec
+    rec[0][:coded_h, :coded_w] = np.asarray(y)
+    rec[1][: coded_h >> 1, : coded_w >> 1] = np.asarray(u)
+    rec[2][: coded_h >> 1, : coded_w >> 1] = np.asarray(v)
+    return (y_code, uv_code), (db_y, y)

@@ -76,8 +76,11 @@ def _jitted(bd: int, w: int, h: int):
 
 def wiener_filter_frame_device(cdef_p, deblock_p, vtaps3, htaps3,
                                stripe_size: int, bd: int,
-                               frame_w: int, frame_h: int) -> np.ndarray:
-    """Drop-in for lrf_np.wiener_filter_frame (bit-exact, parity-tested)."""
+                               frame_w: int, frame_h: int,
+                               dev_cdef=None, dev_db=None) -> np.ndarray:
+    """Drop-in for lrf_np.wiener_filter_frame (bit-exact, parity-tested).
+    dev_cdef/dev_db: optional device-resident uint16 planes (from the CDEF
+    device pass) to skip the host->device upload."""
     try:
         import jax.numpy as jnp
 
@@ -86,9 +89,11 @@ def wiener_filter_frame_device(cdef_p, deblock_p, vtaps3, htaps3,
         hf = lr.wiener_7tap(htaps3).astype(np.int32)
         fn = _jitted(bd, frame_w, frame_h)
         # uint16 transfers (4x less tunnel traffic than int32)
-        out = fn(jnp.asarray(cdef_p[:frame_h].astype(np.uint16)),
-                 jnp.asarray(deblock_p[:frame_h].astype(np.uint16)),
-                 jnp.asarray(ridx), jnp.asarray(use_db),
+        cd = (dev_cdef[:frame_h] if dev_cdef is not None
+              else jnp.asarray(cdef_p[:frame_h].astype(np.uint16)))
+        db = (dev_db[:frame_h] if dev_db is not None
+              else jnp.asarray(deblock_p[:frame_h].astype(np.uint16)))
+        out = fn(cd, db, jnp.asarray(ridx), jnp.asarray(use_db),
                  jnp.asarray(vf), jnp.asarray(hf))
         return np.asarray(out).astype(np.int64)
     except Exception as e:  # pragma: no cover - device fallback
