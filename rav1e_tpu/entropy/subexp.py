@@ -72,24 +72,30 @@ def read_subexp(dec, num_syms: int, k: int) -> int:
 
 
 def _recenter(r: int, target: int) -> int:
-    """Forward of the spec's inverse_recenter."""
+    """Forward of the spec's inverse_recenter (values >= ref code even)."""
     if target > 2 * r:
         return target
     if target >= r:
-        return 2 * (target - r) - 1 if target > r else 0
-    return 2 * (r - target)
+        return 2 * (target - r)
+    return 2 * (r - target) - 1
 
 
 def _inverse_recenter(r: int, v: int) -> int:
+    """Spec 5.9.27 inverse_recenter: even offsets land at/above the ref.
+    The branch below must be (r << 1) <= mx to mirror the decoder exactly:
+    with the previous odd-above convention and a strict < branch the two
+    bugs cancelled for every Wiener tap range (2r == mx there) but not for
+    the SGRPROJ xqd[1] range (2r = 126 < mx = 128), found by probing
+    libdav1d with known coded values."""
     if v > 2 * r:
         return v
     if v & 1:
-        return r + ((v + 1) >> 1)
-    return r - (v >> 1)
+        return r - ((v + 1) >> 1)
+    return r + (v >> 1)
 
 
 def write_unsigned_subexp_with_ref(enc, v: int, mx: int, k: int, r: int) -> None:
-    if (r << 1) < mx:
+    if (r << 1) <= mx:
         write_subexp(enc, mx, k, _recenter(r, v))
     else:
         write_subexp(enc, mx, k, _recenter(mx - 1 - r, mx - 1 - v))
@@ -97,7 +103,7 @@ def write_unsigned_subexp_with_ref(enc, v: int, mx: int, k: int, r: int) -> None
 
 def read_unsigned_subexp_with_ref(dec, mx: int, k: int, r: int) -> int:
     v = read_subexp(dec, mx, k)
-    if (r << 1) < mx:
+    if (r << 1) <= mx:
         return _inverse_recenter(r, v)
     return mx - 1 - _inverse_recenter(mx - 1 - r, v)
 

@@ -116,6 +116,7 @@ class IntraFrameEncoder:
         self.lam = 0.06 * (self.ac_q / 8.0) ** 2
         self.rdo_partition = speed <= 8
         self.tx_type_search = speed <= 7  # reference: rdo_tx_decision preset
+        self.sgr_search = speed <= 5  # reference: sgr_complexity preset
         self._scratch = None
         # device (TPU) mode analysis: batched evaluation of all candidate
         # modes for all blocks in one jit pass; auto-on for larger frames
@@ -311,6 +312,7 @@ class IntraFrameEncoder:
             self.enc = NativeMsacEncoder()
             if lr_emit:
                 self._lr_ref = [[3, -7, 15], [3, -7, 15]]
+                self._sgr_ref = [-32, 31]
             for sy in range(self.ty0, self.ty1, 64):
                 for sx in range(self.tx0, self.tx1, 64):
                     if lr_emit:
@@ -393,16 +395,22 @@ class IntraFrameEncoder:
 
     LR_UNIT = 64  # luma restoration unit size (lr_unit_shift = 0)
 
-    def _lr_decide(self) -> None:
-        """Wiener decision: one frame-level tap set (solved over the luma
-        plane), each unit toggles it on/off by SSE.
+    # SGR parameter sets tried per unit (encoder choice; kept small on the
+    # host path — reference analog: sgr_complexity Reduced)
+    SGR_CANDIDATE_SETS = (4, 11)
 
-        All coded units share the taps so every unit after the first codes
-        its coefficients equal to the running reference (v == ref subexp
-        path).  TODO(next round): per-unit taps need the decoder's exact
-        non-default-ref subexp recentering, which resisted black-box
+    def _lr_decide(self) -> None:
+        """Per-unit restoration decision (SWITCHABLE): none vs Wiener
+        (one frame-level tap set, solved over the luma plane) vs SGRPROJ
+        (per-unit projection weights over candidate parameter sets).
+
+        Wiener units share the frame taps so every unit after the first
+        codes its coefficients equal to the running reference (v == ref
+        subexp path).  TODO(next round): per-unit taps need the decoder's
+        exact non-default-ref subexp recentering, which resisted black-box
         identification against libdav1d (see tools/notes in git history)."""
         from rav1e_tpu.ops import lrf_np as lr
+        from rav1e_tpu.ops import sgr_np as sg
 
         self._lr_params = {}
         rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
@@ -413,29 +421,55 @@ class IntraFrameEncoder:
         vt, ht = lr.solve_wiener(
             cdef_p[: self.out_h, : self.out_w].astype(np.float64), src_f
         )
-        if vt == (0, 0, 0) and ht == (0, 0, 0):
-            for ur in range(len(rows)):
-                for uc in range(len(cols)):
-                    self._lr_params[(ur, uc)] = None
-            return
-        from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
+        restored = None
+        if vt != (0, 0, 0) or ht != (0, 0, 0):
+            from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
 
-        restored = wiener_filter_frame_device(
-            cdef_p, db_p, vt, ht, 64, self.bd, self.out_w, self.out_h,
-            dev_cdef=getattr(self, "_dev_cdef", None),
-            dev_db=getattr(self, "_dev_db", None))
+            restored = wiener_filter_frame_device(
+                cdef_p, db_p, vt, ht, 64, self.bd, self.out_w, self.out_h,
+                dev_cdef=getattr(self, "_dev_cdef", None),
+                dev_db=getattr(self, "_dev_db", None))
+        # guided-pass outputs for the SGR candidate sets (whole frame; the
+        # per-unit choice is only the set + projection weights)
+        sgr_flt = {}
+        if self.sgr_search:
+            for si in self.SGR_CANDIDATE_SETS:
+                sgr_flt[si] = sg.sgr_flt_frame(cdef_p, db_p, si, self.bd,
+                                               self.out_w, self.out_h)
         for ur, (y0, y1) in enumerate(rows):
             for uc, (x0, x1) in enumerate(cols):
                 src = self.src[0][y0:y1, x0:x1].astype(np.int64)
                 base = cdef_p[y0:y1, x0:x1].astype(np.int64)
-                sse0 = int(((base - src) ** 2).sum())
-                out = restored[y0:y1, x0:x1]
-                sse1 = int(((out - src) ** 2).sum())
-                # tap rate ~30 bits for the first unit, ~7 after
-                if sse1 + self.lam * 12 < sse0:
-                    self._lr_params[(ur, uc)] = (vt, ht, out)
-                else:
-                    self._lr_params[(ur, uc)] = None
+                best = int(((base - src) ** 2).sum())
+                choice = None
+                if restored is not None:
+                    out = restored[y0:y1, x0:x1]
+                    sse1 = int(((out - src) ** 2).sum()) + self.lam * 12
+                    if sse1 < best:
+                        best = sse1
+                        choice = ("wiener", vt, ht, out)
+                if self.sgr_search:
+                    # per-unit Wiener taps (thorough mode)
+                    uvt, uht = lr.solve_wiener(base.astype(np.float64),
+                                               src.astype(np.float64))
+                    if (uvt, uht) != ((0, 0, 0), (0, 0, 0)) and (uvt, uht) != (vt, ht):
+                        out = lr.wiener_filter_unit(
+                            cdef_p, db_p, x0, y0, x1, y1, uvt, uht, 64,
+                            self.bd, self.out_w, self.out_h)
+                        ss = int(((out - src) ** 2).sum()) + self.lam * 30
+                        if ss < best:
+                            best = ss
+                            choice = ("wiener", uvt, uht, out)
+                for si, (f0, f1) in sgr_flt.items():
+                    f0u = f0[y0:y1, x0:x1] if f0 is not None else None
+                    f1u = f1[y0:y1, x0:x1] if f1 is not None else None
+                    xqd = sg.solve_xqd(base, src, f0u, f1u, si)
+                    out = sg.sgr_apply(base, f0u, f1u, xqd, si, self.bd)
+                    ss = int(((out - src) ** 2).sum()) + self.lam * 18
+                    if ss < best:
+                        best = ss
+                        choice = ("sgr", si, tuple(xqd), out)
+                self._lr_params[(ur, uc)] = choice
 
     def _lr_apply(self) -> None:
         from rav1e_tpu.ops import lrf_np as lr
@@ -447,13 +481,15 @@ class IntraFrameEncoder:
                 continue
             y0, y1 = rows[ur]
             x0, x1 = cols[uc]
-            self.rec[0][y0:y1, x0:x1] = p[2]
+            self.rec[0][y0:y1, x0:x1] = p[3]
 
     def _lr_write(self, enc, sb_row: int, sb_col: int) -> None:
-        """read_lr for one superblock (spec 5.11.57), luma WIENER frame
-        restoration type; plane 1/2 are RESTORE_NONE (no symbols)."""
+        """read_lr for one superblock (spec 5.11.57), luma SWITCHABLE frame
+        restoration type (none / wiener / sgrproj per unit); plane 1/2 are
+        RESTORE_NONE (no symbols)."""
         from rav1e_tpu.entropy import subexp as se
         from rav1e_tpu.ops import lrf_np as lr
+        from rav1e_tpu.ops import sgr_np as sg
 
         unit = self.LR_UNIT
         n_rows = lr.count_units(unit, self.out_h)
@@ -466,18 +502,35 @@ class IntraFrameEncoder:
         for ur in range(ur0, ur1):
             for uc in range(uc0, uc1):
                 p = self._lr_params.get((ur, uc))
-                use = p is not None
-                enc.symbol_adapt(1 if use else 0, self.cdf.wiener_restore[0])
-                if not use:
-                    continue
-                vt, ht, _ = p
-                for pass_i, taps in ((0, vt), (1, ht)):
-                    for i in range(3):
-                        se.write_signed_subexp_with_ref(
-                            enc, int(taps[i]), lr.WIENER_TAPS_MIN[i],
-                            lr.WIENER_TAPS_MAX[i] + 1, lr.WIENER_TAPS_K[i],
-                            int(self._lr_ref[pass_i][i]))
-                        self._lr_ref[pass_i][i] = int(taps[i])
+                kind = p[0] if p is not None else "none"
+                sym = {"none": 0, "wiener": 1, "sgr": 2}[kind]
+                enc.symbol_adapt(sym, self.cdf.switchable_restore[0])
+                if kind == "wiener":
+                    _, vt, ht, _ = p
+                    for pass_i, taps in ((0, vt), (1, ht)):
+                        for i in range(3):
+                            se.write_signed_subexp_with_ref(
+                                enc, int(taps[i]), lr.WIENER_TAPS_MIN[i],
+                                lr.WIENER_TAPS_MAX[i] + 1, lr.WIENER_TAPS_K[i],
+                                int(self._lr_ref[pass_i][i]))
+                            self._lr_ref[pass_i][i] = int(taps[i])
+                elif kind == "sgr":
+                    _, si, xqd, _ = p
+                    enc.literal(si, 4)
+                    r0, r1 = sg.sgr_radii(si)
+                    for i, radius in ((0, r0), (1, r1)):
+                        if radius:
+                            se.write_signed_subexp_with_ref(
+                                enc, int(xqd[i]), sg.XQD_MIN[i],
+                                sg.XQD_MAX[i] + 1, sg.SGRPROJ_PRJ_SUBEXP_K,
+                                int(self._sgr_ref[i]))
+                            self._sgr_ref[i] = int(xqd[i])
+                        else:
+                            # not coded; the decoder derives the value
+                            # (0, or clip(128 - xqd0) for i == 1) and updates
+                            # its reference with it — solve_xqd stores the
+                            # same derived values in xqd
+                            self._sgr_ref[i] = int(xqd[i])
 
     def _emit_tiles_lr(self) -> bytes:
         """Replay recorded tiles with read_lr symbols at SB anchors.  The
@@ -520,6 +573,7 @@ class IntraFrameEncoder:
                 enc = MsacEncoder()
             self._lr_ref = [list(lr_default) for lr_default in
                             ((3, -7, 15), (3, -7, 15))]
+            self._sgr_ref = [-32, 31]
             rec.replay(enc, self.cdf, lr_insert=self._lr_write)
             tile_datas.append(enc.done())
             if idx == 0:

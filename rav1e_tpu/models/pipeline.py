@@ -118,7 +118,7 @@ class FrameEncoder:
             fp.cdef_y_strengths = (fe.cdef_strengths[0],)
             fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
         if fe.lrf:
-            fp.frame_restoration_type = (2, 0, 0)  # WIENER luma, none chroma
+            fp.frame_restoration_type = (1, 0, 0)  # SWITCHABLE luma, none chroma
             fp.lr_unit_shift = 0
         out = temporal_delimiter()
         out += write_sequence_header_obu(self.seq)
@@ -210,7 +210,7 @@ class FrameEncoder:
             fp.cdef_y_strengths = (fe.cdef_strengths[0],)
             fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
         if fe.lrf:
-            fp.frame_restoration_type = (2, 0, 0)
+            fp.frame_restoration_type = (1, 0, 0)
             fp.lr_unit_shift = 0
         out = temporal_delimiter()
         out += write_frame_obu(self.seq, fp, tile)

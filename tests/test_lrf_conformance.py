@@ -76,3 +76,85 @@ def test_lr_improves_psnr():
         _, rec = fe.encode([p.copy() for p in planes])
         res[lrf] = np.mean((rec[0].astype(float) - planes[0]) ** 2)
     assert res[True] <= res[False] * 1.0005, res
+
+
+# -- SGRPROJ / switchable restoration ----------------------------------------
+
+def test_sgr_forced_sets_conform():
+    """Force SGRPROJ with representative parameter sets (dual-pass,
+    3x3-only, 5x5-only) and extreme xqd values; every stream must decode
+    bit-exactly (validates the guided filter integer pipeline, the
+    decode_xq projection mapping and the subexp recentering)."""
+    import numpy as np
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+    from rav1e_tpu.ops import lrf_np as lr
+    from rav1e_tpu.ops import sgr_np as sg
+    from tests.test_inter_conformance import run_clip
+
+    def make(si, xqd):
+        def forced(self):
+            self._lr_params = {}
+            rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
+            cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
+            cdef_p = self.rec[0]
+            db_p = self._deblock_copy[0]
+            f0, f1 = sg.sgr_flt_frame(cdef_p, db_p, si, self.bd,
+                                      self.out_w, self.out_h)
+            for ur, (y0, y1) in enumerate(rows):
+                for uc, (x0, x1) in enumerate(cols):
+                    base = cdef_p[y0:y1, x0:x1].astype(np.int64)
+                    f0u = f0[y0:y1, x0:x1] if f0 is not None else None
+                    f1u = f1[y0:y1, x0:x1] if f1 is not None else None
+                    out = sg.sgr_apply(base, f0u, f1u, xqd, si, self.bd)
+                    self._lr_params[(ur, uc)] = ("sgr", si, xqd, out)
+        return forced
+
+    orig = IntraFrameEncoder._lr_decide
+    try:
+        for si, xqd in ((4, (10, 20)), (10, (0, -32)), (14, (25, 103)),
+                        (0, (-96, 95))):
+            IntraFrameEncoder._lr_decide = make(si, xqd)
+            run_clip(blurry_content(192, 128, 1, seed=3), q=140)
+    finally:
+        IntraFrameEncoder._lr_decide = orig
+
+
+def test_lr_speed5_full_search_conforms():
+    """Speed 5: per-unit Wiener taps + SGR set search, mixed unit types;
+    end-to-end dav1d conformance."""
+    from rav1e_tpu.api.config import EncoderConfig, SpeedSettings
+
+    run_clip(blurry_content(320, 240, 2, seed=9), q=150,
+             speed_settings=SpeedSettings.from_preset(5))
+
+
+def test_per_unit_wiener_taps_conform():
+    """Distinct Wiener taps per unit (subexp tap deltas vs evolving refs)."""
+    import numpy as np
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+    from rav1e_tpu.ops import lrf_np as lr
+
+    def forced(self):
+        self._lr_params = {}
+        rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
+        cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
+        cdef_p = self.rec[0]
+        db_p = self._deblock_copy[0]
+        taps = [((1, -3, 15), (2, -5, 20)), ((-2, 6, 30), (0, -10, 8)),
+                ((5, -20, 40), (-5, 8, 25)), ((0, 0, 0), (3, -7, 15))]
+        i = 0
+        for ur, (y0, y1) in enumerate(rows):
+            for uc, (x0, x1) in enumerate(cols):
+                vt, ht = taps[i % len(taps)]
+                i += 1
+                out = lr.wiener_filter_unit(cdef_p, db_p, x0, y0, x1, y1,
+                                            vt, ht, 64, self.bd,
+                                            self.out_w, self.out_h)
+                self._lr_params[(ur, uc)] = ("wiener", vt, ht, out)
+
+    orig = IntraFrameEncoder._lr_decide
+    try:
+        IntraFrameEncoder._lr_decide = forced
+        run_clip(blurry_content(192, 128, 1, seed=3), q=140)
+    finally:
+        IntraFrameEncoder._lr_decide = orig
