@@ -57,10 +57,14 @@ enum {
     R_BR,            // u16 [4][2][21][5]
     R_DC_SIGN,       // u16 [2][3][3]
     R_TXTYPE2,       // u16 [4][13][6]
+    R_CFL_SIGN,      // u16 [1][9]
+    R_CFL_ALPHA,     // u16 [6][17]
     R_SM_WEIGHTS,    // i32 [68] (concatenated sizes 4,8,16,32,64)
     R_DR,            // i32 dr_intra_derivative (indexed by angle)
     R_COUNT,
 };
+constexpr int N_CDF = 20;  // u16 tables in the registry (before SM/DR)
+constexpr int UV_CFL_SYM = 13;
 
 // intra_frame.py INTRA_MODE_CTX (intra mode -> context class)
 constexpr int INTRA_MODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
@@ -68,7 +72,7 @@ constexpr int MODE_ANGLE[13] = {0, 90, 180, 45, 135, 113, 157, 203, 67,
                                 0, 0, 0, 0};
 
 struct Ptrs {
-    uint16_t *c[18];
+    uint16_t *c[N_CDF];
     const int32_t *sm;
     const int32_t *dr;
 };
@@ -241,6 +245,7 @@ inline int tx_size_ctx(int w, int h) {
 int code_block_symbols(
     MsacEnc *enc, const Ptrs &P,
     int x, int y, int bw, int bh, int y_mode, int skip, int tt,
+    int au, int av,
     const int32_t *lv_y, const int32_t *lv_u, const int32_t *lv_v,
     const int32_t *scan_y, const int32_t *scan_c,
     bool ha, bool hl,
@@ -261,8 +266,22 @@ int code_block_symbols(
     if ((bw < bh ? bw : bh) >= 8 && y_mode >= V_PRED && y_mode <= D67)
         msac_symbol(enc, P.c[R_ANGLE] + (y_mode - V_PRED) * 8, 7, 3, adapt);
     int cfl_allowed = (bw > bh ? bw : bh) <= 32 ? 1 : 0;
+    const int uv_cfl = (au || av) ? 1 : 0;
     msac_symbol(enc, P.c[R_UV] + ((int64_t)cfl_allowed * 13 + y_mode) * 15,
-                cfl_allowed ? 14 : 13, DC_PRED, adapt);
+                cfl_allowed ? 14 : 13, uv_cfl ? UV_CFL_SYM : DC_PRED, adapt);
+    if (uv_cfl) {
+        int su = au == 0 ? 0 : (au < 0 ? 1 : 2);
+        int sv = av == 0 ? 0 : (av < 0 ? 1 : 2);
+        msac_symbol(enc, P.c[R_CFL_SIGN], 8, su * 3 + sv - 1, adapt);
+        if (su)
+            msac_symbol(enc,
+                        P.c[R_CFL_ALPHA] + ((int64_t)((su == 2) ? 3 : 0) + sv) * 17,
+                        16, (au < 0 ? -au : au) - 1, adapt);
+        if (sv)
+            msac_symbol(enc,
+                        P.c[R_CFL_ALPHA] + ((int64_t)((sv == 2) ? 3 : 0) + su) * 17,
+                        16, (av < 0 ? -av : av) - 1, adapt);
+    }
 
     // ---- residual coding (intra_frame.py:887 _residual) ----
     const int eob_area[7] = {16, 32, 64, 128, 256, 512, 1024};
@@ -393,10 +412,11 @@ int encode_intra_block(
     int32_t *above_mode, int32_t *left_mode,
     int32_t *above_skip, int32_t *left_skip,
     const uint64_t *pctx,
-    int mi_cols, int mi_rows, int adapt, int recon_only, void *cache_vp)
+    int mi_cols, int mi_rows, int adapt, int recon_only, void *cache_vp,
+    int cfl)
 {
     Ptrs P;
-    for (int i = 0; i < 18; i++) P.c[i] = (uint16_t *)reg[i];
+    for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
     P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
     P.dr = (const int32_t *)reg[R_DR];
 
@@ -458,23 +478,155 @@ int encode_intra_block(
         }
     }
 
+    // ---- luma reconstruct (before chroma: CFL reads it; all-zero levels
+    // imply all-zero dequant, so the later skip path matches) ----
+    const int maxval = (1 << bd) - 1;
+    inv_txfm(dq_y, bw, bh, tt ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
+    for (int r = 0; r < bh; r++)
+        for (int c = 0; c < bw; c++) {
+            int v = pred_y[r * bw + c] + inv_t[r * bw + c];
+            rec_y[(int64_t)(y + r) * stride_y + x + c] =
+                v < 0 ? 0 : (v > maxval ? maxval : v);
+        }
+
     // ---- chroma DC ----
+    static thread_local int32_t res_u[16 * 16], res_v[16 * 16];
     build_edges(rec_u, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
                 above, left);
     predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_u);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++)
-            res[r * cw + c] =
+            res_u[r * cw + c] =
                 src_u[(int64_t)(cy + r) * stride_c + cx + c] - pred_u[r * cw + c];
-    fdct_quant(res, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u);
+    fdct_quant(res_u, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u);
     build_edges(rec_v, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
                 above, left);
     predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_v);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++)
-            res[r * cw + c] =
+            res_v[r * cw + c] =
                 src_v[(int64_t)(cy + r) * stride_c + cx + c] - pred_v[r * cw + c];
-    fdct_quant(res, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v);
+    fdct_quant(res_v, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v);
+
+    // ---- CFL decision (intra_frame.py _decide_chroma mirror) ----
+    int au = 0, av = 0;
+    if (cfl && q_nonzero && (bw > bh ? bw : bh) <= 32) {
+        static thread_local int32_t acb[16 * 16];
+        static thread_local int32_t pc_u[16 * 16], lc_u[16 * 16], qc_u[16 * 16];
+        static thread_local int32_t pc_v[16 * 16], lc_v[16 * 16], qc_v[16 * 16];
+        static thread_local int32_t res_c[16 * 16];
+        int64_t acsum = 0;
+        for (int r = 0; r < ch; r++)
+            for (int c = 0; c < cw; c++) {
+                const int32_t *p0 = rec_y + (int64_t)(y + 2 * r) * stride_y + x + 2 * c;
+                int64_t s = (int64_t)p0[0] + p0[1] + p0[stride_y] + p0[stride_y + 1];
+                int64_t L = s << 1;
+                acb[r * cw + c] = (int32_t)L;
+                acsum += L;
+            }
+        const int log2sz = __builtin_ctz(cw * ch);
+        const int64_t avg = (acsum + (1ll << (log2sz - 1))) >> log2sz;
+        int64_t a_den = 0;
+        for (int i = 0; i < cw * ch; i++) {
+            acb[i] -= (int32_t)avg;
+            a_den += (int64_t)acb[i] * acb[i];
+        }
+        auto plane_cost = [&](const int32_t *resid, const int32_t *lv,
+                              const int32_t *dq) {
+            inv_txfm(dq, cw, ch, TX_DCT_DCT, bd, inv_t);
+            double dist = 0.0;
+            int nz = 0;
+            for (int i = 0; i < cw * ch; i++) {
+                double d = (double)resid[i] - inv_t[i];
+                dist += d * d;
+                int a = lv[i] < 0 ? -lv[i] : lv[i];
+                nz += a != 0;
+                lbuf[i] = log2(1.0 + (double)a);
+            }
+            double rate = 1.45 * nz + 0.95 * np_pairwise_sum(lbuf, cw * ch);
+            return dist + lam * rate;
+        };
+        auto sym_bits = [](const uint16_t *row, int s) {
+            int fl = s == 0 ? 32768 : row[s - 1];
+            int d = fl - row[s];
+            if (d < 1) d = 1;
+            return -log2((double)d / 32768.0);
+        };
+        double cost_dc = 0.0, cost_cfl = 0.0;
+        int alphas[2] = {0, 0};
+        const int32_t *resids[2] = {res_u, res_v};
+        const int32_t *preds[2] = {pred_u, pred_v};
+        const int32_t *lvs[2] = {lv_u, lv_v};
+        const int32_t *dqs[2] = {dq_u, dq_v};
+        const int32_t *srcs_base[2] = {src_u, src_v};
+        int32_t *cand_p[2] = {pc_u, pc_v};
+        int32_t *cand_l[2] = {lc_u, lc_v};
+        int32_t *cand_q[2] = {qc_u, qc_v};
+        for (int pi = 0; pi < 2; pi++) {
+            int alpha = 0;
+            if (a_den) {
+                int64_t num = 0;
+                for (int i = 0; i < cw * ch; i++)
+                    num += (int64_t)resids[pi][i] * acb[i];
+                double af = nearbyint(64.0 * (double)num / (double)a_den);
+                if (af < -16.0) af = -16.0;
+                if (af > 16.0) af = 16.0;
+                alpha = (int)af;
+            }
+            double c_dc = plane_cost(resids[pi], lvs[pi], dqs[pi]);
+            cost_dc += c_dc;
+            if (alpha == 0) {
+                cost_cfl += c_dc;
+                continue;
+            }
+            for (int i = 0; i < cw * ch; i++) {
+                int64_t prod = (int64_t)alpha * acb[i];
+                int64_t sc = prod > 0 ? ((prod + 32) >> 6)
+                             : prod < 0 ? -((-prod + 32) >> 6) : 0;
+                int64_t v = preds[pi][i] + sc;
+                cand_p[pi][i] = (int32_t)(v < 0 ? 0 : (v > maxval ? maxval : v));
+            }
+            const int32_t *sp = srcs_base[pi];
+            for (int r = 0; r < ch; r++)
+                for (int c = 0; c < cw; c++)
+                    res_c[r * cw + c] = sp[(int64_t)(cy + r) * stride_c + cx + c]
+                                        - cand_p[pi][r * cw + c];
+            fdct_quant(res_c, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd,
+                       cand_l[pi], cand_q[pi]);
+            cost_cfl += plane_cost(res_c, cand_l[pi], cand_q[pi]);
+            alphas[pi] = alpha;
+        }
+        if (alphas[0] || alphas[1]) {
+            const uint16_t *uv_row = P.c[R_UV] + ((int64_t)1 * 13 + y_mode) * 15;
+            int su = alphas[0] == 0 ? 0 : (alphas[0] < 0 ? 1 : 2);
+            int sv = alphas[1] == 0 ? 0 : (alphas[1] < 0 ? 1 : 2);
+            double rate_dc = sym_bits(uv_row, DC_PRED);
+            double rate_cfl = sym_bits(uv_row, UV_CFL_SYM);
+            rate_cfl += sym_bits(P.c[R_CFL_SIGN], su * 3 + sv - 1);
+            if (su)
+                rate_cfl += sym_bits(
+                    P.c[R_CFL_ALPHA] + ((int64_t)((su == 2) ? 3 : 0) + sv) * 17,
+                    (alphas[0] < 0 ? -alphas[0] : alphas[0]) - 1);
+            if (sv)
+                rate_cfl += sym_bits(
+                    P.c[R_CFL_ALPHA] + ((int64_t)((sv == 2) ? 3 : 0) + su) * 17,
+                    (alphas[1] < 0 ? -alphas[1] : alphas[1]) - 1);
+            if (cost_cfl + lam * rate_cfl < cost_dc + lam * rate_dc) {
+                au = alphas[0];
+                av = alphas[1];
+                if (au) {
+                    memcpy(pred_u, pc_u, sizeof(int32_t) * cw * ch);
+                    memcpy(lv_u, lc_u, sizeof(int32_t) * cw * ch);
+                    memcpy(dq_u, qc_u, sizeof(int32_t) * cw * ch);
+                }
+                if (av) {
+                    memcpy(pred_v, pc_v, sizeof(int32_t) * cw * ch);
+                    memcpy(lv_v, lc_v, sizeof(int32_t) * cw * ch);
+                    memcpy(dq_v, qc_v, sizeof(int32_t) * cw * ch);
+                }
+            }
+        }
+    }
 
     bool any = false;
     for (int i = 0; i < bw * bh && !any; i++) any = lv_y[i] != 0;
@@ -489,9 +641,9 @@ int encode_intra_block(
         // the symbols without repeating prediction/transform work.
         if (cache_vp) {
             BlockCache *bc = (BlockCache *)cache_vp;
-            int32_t hdr[8] = {x, y, bw, bh, y_mode, skip, tt,
-                              (have_above << 1) | have_left};
-            bc->buf.insert(bc->buf.end(), hdr, hdr + 8);
+            int32_t hdr[10] = {x, y, bw, bh, y_mode, skip, tt,
+                               (have_above << 1) | have_left, au, av};
+            bc->buf.insert(bc->buf.end(), hdr, hdr + 10);
             if (!skip) {
                 bc->buf.insert(bc->buf.end(), lv_y, lv_y + bw * bh);
                 bc->buf.insert(bc->buf.end(), lv_u, lv_u + cw * ch);
@@ -504,26 +656,17 @@ int encode_intra_block(
             memset(dq_v, 0, sizeof(int32_t) * cw * ch);
         }
     } else {
-        code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt,
+        code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
                            lv_y, lv_u, lv_v, scan_y, scan_c, ha, hl,
                            above_mode, left_mode, above_skip, left_skip,
                            pctx, mi_cols, mi_rows, adapt, q_nonzero);
         if (skip) {
-            memset(dq_y, 0, sizeof(int32_t) * bw * bh);
             memset(dq_u, 0, sizeof(int32_t) * cw * ch);
             memset(dq_v, 0, sizeof(int32_t) * cw * ch);
         }
     }
 
-    // ---- reconstruct ----
-    const int maxval = (1 << bd) - 1;
-    inv_txfm(dq_y, bw, bh, tt ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
-    for (int r = 0; r < bh; r++)
-        for (int c = 0; c < bw; c++) {
-            int v = pred_y[r * bw + c] + inv_t[r * bw + c];
-            rec_y[(int64_t)(y + r) * stride_y + x + c] =
-                v < 0 ? 0 : (v > maxval ? maxval : v);
-        }
+    // ---- chroma reconstruct ----
     inv_txfm(dq_u, cw, ch, TX_DCT_DCT, bd, inv_t);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++) {
@@ -538,14 +681,6 @@ int encode_intra_block(
             rec_v[(int64_t)(cy + r) * stride_c + cx + c] =
                 v < 0 ? 0 : (v > maxval ? maxval : v);
         }
-
-    // ---- neighbor state ----
-    if (!recon_only) {
-        const int c1 = mc + bw / 4 < mi_cols ? mc + bw / 4 : mi_cols;
-        const int r1 = mr + bh / 4 < mi_rows ? mr + bh / 4 : mi_rows;
-        for (int i = mc; i < c1; i++) { above_mode[i] = y_mode; above_skip[i] = skip; }
-        for (int i = mr; i < r1; i++) { left_mode[i] = y_mode; left_skip[i] = skip; }
-    }
 
     return skip | (tt << 1);
 }
@@ -562,7 +697,7 @@ void block_cache_rewind(void *c) { ((BlockCache *)c)->cursor = 0; }
 // 1 if the next cached record is block (x, y, bw, bh)
 int cached_block_peek(void *c, int x, int y, int bw, int bh) {
     BlockCache *bc = (BlockCache *)c;
-    if (bc->cursor + 8 > bc->buf.size()) return 0;
+    if (bc->cursor + 10 > bc->buf.size()) return 0;
     const int32_t *h = &bc->buf[bc->cursor];
     return h[0] == x && h[1] == y && h[2] == bw && h[3] == bh;
 }
@@ -578,11 +713,12 @@ int encode_cached_block(
     const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero)
 {
     BlockCache *bc = (BlockCache *)c;
-    if (bc->cursor + 8 > bc->buf.size()) return -1;
+    if (bc->cursor + 10 > bc->buf.size()) return -1;
     const int32_t *h = &bc->buf[bc->cursor];
     if (h[0] != x || h[1] != y || h[2] != bw || h[3] != bh) return -1;
     const int y_mode = h[4], skip = h[5], tt = h[6], hal = h[7];
-    bc->cursor += 8;
+    const int au = h[8], av = h[9];
+    bc->cursor += 10;
     const int cw = bw >> 1, ch = bh >> 1;
     const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
     if (!skip) {
@@ -592,10 +728,10 @@ int encode_cached_block(
         bc->cursor += (size_t)bw * bh + 2 * (size_t)cw * ch;
     }
     Ptrs P;
-    for (int i = 0; i < 18; i++) P.c[i] = (uint16_t *)reg[i];
+    for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
     P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
     P.dr = (const int32_t *)reg[R_DR];
-    return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt,
+    return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
                               lv_y, lv_u, lv_v, scan_y, scan_c,
                               (hal >> 1) != 0, (hal & 1) != 0,
                               above_mode, left_mode, above_skip, left_skip,

@@ -23,7 +23,7 @@ _REG_CDF_ATTRS = (
     "eob_pt_16", "eob_pt_32", "eob_pt_64", "eob_pt_128", "eob_pt_256",
     "eob_pt_512", "eob_pt_1024",
     "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
-    "intra_tx_type_set2",
+    "intra_tx_type_set2", "cfl_sign", "cfl_alpha",
 )
 
 _SM_I32 = np.ascontiguousarray(ip._SM_W, np.int32)
@@ -62,6 +62,7 @@ def _configure():
         _vp,                           # pctx pointer array
         _ci, _ci, _ci, _ci,            # mi_cols, mi_rows, adapt, recon_only
         _vp,                           # block cache (pass-A store) or NULL
+        _ci,                           # cfl search enabled
     ]
     _lib.encode_intra_block.restype = ctypes.c_int
     _lib.block_cache_new.restype = _vp
@@ -214,6 +215,7 @@ class NativeBlockCoder:
             fe.mi_cols, fe.mi_rows, 1 if fe.adapt else 0,
             1 if recon_only else 0,
             self._cache if recon_only else None,
+            1 if fe.cfl_search else 0,
         )
         skip = bool(ret & 1)
         tt = tf.ADST_ADST if (ret >> 1) else tf.DCT_DCT

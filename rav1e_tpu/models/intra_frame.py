@@ -42,6 +42,8 @@ PARTITION_SPLIT = 3
 # Intra_Mode_Context (spec): mode -> neighbor context bucket
 INTRA_MODE_CTX = (0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0)
 
+UV_CFL = 13  # UV_CFL_PRED uv-mode symbol (spec 5.11.42)
+
 _SKIP_CONTEXTS = ((1, 2, 2, 2, 3), (1, 4, 4, 4, 5), (1, 4, 4, 4, 5),
                   (1, 4, 4, 4, 5), (1, 4, 4, 4, 6))
 
@@ -117,6 +119,8 @@ class IntraFrameEncoder:
         self.rdo_partition = speed <= 8
         self.tx_type_search = speed <= 7  # reference: rdo_tx_decision preset
         self.sgr_search = speed <= 5  # reference: sgr_complexity preset
+        # CFL chroma prediction (reference: ComplexKeyframes prediction set)
+        self.cfl_search = speed <= 5
         self._scratch = None
         # device (TPU) mode analysis: batched evaluation of all candidate
         # modes for all blocks in one jit pass; auto-on for larger frames
@@ -811,8 +815,12 @@ class IntraFrameEncoder:
         y_mode = self._choose_mode(x, y, bw, bh)
         pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
         cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
-        pred_u, lv_u, dq_u, _ = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
-        pred_v, lv_v, dq_v, _ = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
+        # luma recon before chroma (CFL reads it); trial writes are
+        # restored by the caller either way
+        self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
+        uv_mode, cfl_alphas, cu, cv = self._decide_chroma(x, y, bw, bh, y_mode)
+        pred_u, lv_u, dq_u = cu
+        pred_v, lv_v, dq_v = cv
         skip = not (lv_y.any() or lv_u.any() or lv_v.any())
         rate = 1.0  # skip flag ~1 bit
         above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if self._have_above(y) else 0
@@ -821,7 +829,8 @@ class IntraFrameEncoder:
         if min(bw, bh) >= 8 and y_mode in ip.DIRECTIONAL_MODES:
             rate += self._sym_bits(self.cdf.angle_delta[y_mode - ip.V_PRED], 3)
         cfl_allowed = 1 if max(bw, bh) <= 32 else 0
-        rate += self._sym_bits(self.cdf.uv_mode[cfl_allowed][y_mode], ip.DC_PRED)
+        rate += self._sym_bits(self.cdf.uv_mode[cfl_allowed][y_mode],
+                               13 if uv_mode == UV_CFL else uv_mode)
         if not skip:
             rate += self._trial_rate_txb(0, x, y, bw, bh, lv_y, y_mode)
             rate += self._trial_rate_txb(1, cx, cy, cw, ch, lv_u, y_mode)
@@ -842,6 +851,8 @@ class IntraFrameEncoder:
             "mode": y_mode,
             "skip": skip,
             "tt_y": tt_y,
+            "uv_mode": uv_mode,
+            "cfl_alphas": cfl_alphas,
             "planes": ((pred_y, lv_y, dq_set[0]), (pred_u, lv_u, dq_set[1]), (pred_v, lv_v, dq_set[2])),
         }
         return dist, rate, info
@@ -925,8 +936,11 @@ class IntraFrameEncoder:
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
         cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
         uv_mode = ip.DC_PRED
+        cfl_alphas = (0, 0)
 
-        if self._nbc is not None and not self._pending and hasattr(self.enc, "_e"):
+        use_native_block = (self._nbc is not None and not self._pending
+                            and hasattr(self.enc, "_e"))
+        if use_native_block:
             if self._lr_replay and self._nbc.cache_peek(x, y, bw, bh):
                 # pass B of the two-pass LR flow: symbols from the pass-A
                 # cache, no prediction/transform/reconstruction repeat
@@ -950,12 +964,19 @@ class IntraFrameEncoder:
             (pred_y, lv_y, dq_y), (pred_u, lv_u, dq_u), (pred_v, lv_v, dq_v) = info["planes"]
             skip = info["skip"]
             tt_y = info.get("tt_y", tf.DCT_DCT)
+            uv_mode = info.get("uv_mode", ip.DC_PRED)
+            cfl_alphas = info.get("cfl_alphas", (0, 0))
         else:
             y_mode = self._choose_mode(x, y, bw, bh)
             # transform + quantize first (skip flag needs the answer)
             pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
-            pred_u, lv_u, dq_u, _ = self._code_plane_tx(1, cx, cy, cw, ch, uv_mode)
-            pred_v, lv_v, dq_v, _ = self._code_plane_tx(2, cx, cy, cw, ch, uv_mode)
+            # reconstruct luma now: CFL reads it.  (All-zero levels imply
+            # all-zero dequant, so the later skip path reconstructs the
+            # same samples.)
+            self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
+            uv_mode, cfl_alphas, cu, cv = self._decide_chroma(x, y, bw, bh, y_mode)
+            pred_u, lv_u, dq_u = cu
+            pred_v, lv_v, dq_v = cv
             skip = not (lv_y.any() or lv_u.any() or lv_v.any())
 
         self.db_info.set_block(x, y, bw, bh, skip)
@@ -972,12 +993,25 @@ class IntraFrameEncoder:
         if min(bw, bh) >= 8 and y_mode in ip.DIRECTIONAL_MODES:
             sym(0 + 3, self.cdf.angle_delta[y_mode - ip.V_PRED])
 
-        # uv mode: cfl allowed for blocks <= 32x32
+        # uv mode: cfl allowed for blocks <= 32x32; CFL codes symbol 13
+        # followed by the joint sign + per-plane alpha indices
         cfl_allowed = 1 if max(bw, bh) <= 32 else 0
         uv_cdf = self.cdf.uv_mode[cfl_allowed][y_mode]
         nsyms = 14 if cfl_allowed else 13
-        sym(uv_mode, uv_cdf[: nsyms + 1])
-        if min(bw, bh) >= 8 and uv_mode in ip.DIRECTIONAL_MODES:
+        uv_sym = 13 if uv_mode == UV_CFL else uv_mode
+        sym(uv_sym, uv_cdf[: nsyms + 1])
+        if uv_mode == UV_CFL:
+            au, av = cfl_alphas
+            su = 0 if au == 0 else (1 if au < 0 else 2)
+            sv = 0 if av == 0 else (1 if av < 0 else 2)
+            sym(su * 3 + sv - 1, self.cdf.cfl_sign[0])
+            if su:
+                sym(abs(au) - 1,
+                    self.cdf.cfl_alpha[(1 if su == 2 else 0) * 3 + sv])
+            if sv:
+                sym(abs(av) - 1,
+                    self.cdf.cfl_alpha[(1 if sv == 2 else 0) * 3 + su])
+        elif min(bw, bh) >= 8 and uv_mode in ip.DIRECTIONAL_MODES:
             sym(0 + 3, self.cdf.angle_delta[uv_mode - ip.V_PRED])
 
         # --- residual ---
@@ -1008,6 +1042,73 @@ class IntraFrameEncoder:
         self.left_mode[mr:r1] = y_mode
         self.above_skip[mc:c1] = 1 if skip else 0
         self.left_skip[mr:r1] = 1 if skip else 0
+
+    def _plane_rd_cost(self, resid, lv, dq) -> float:
+        """dist + lam*rate for one coded plane txb (the same coarse model
+        as the luma tx-type search; mirrored exactly in the C block path)."""
+        rec = tf.inverse_transform_native(dq, tf.DCT_DCT, self.bd)
+        d = resid.astype(np.int64) - rec
+        dist = float((d * d).sum())
+        alv = np.abs(lv)
+        rate = 1.45 * int((alv > 0).sum()) + 0.95 * float(np.log2(1.0 + alv).sum())
+        return dist + self.lam * rate
+
+    def _decide_chroma(self, x: int, y: int, bw: int, bh: int, y_mode: int):
+        """Chroma mode decision: DC vs CFL (chroma-from-luma, spec 7.11.5).
+        Returns (uv_mode, (alpha_u, alpha_v), (pred,lv,dq) for U and V).
+        Reads the block's already-reconstructed luma."""
+        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
+        pu = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
+        pv = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
+        du, dv = pu[:3], pv[:3]
+        if not (self.cfl_search and self.q > 0 and max(bw, bh) <= 32):
+            return ip.DC_PRED, (0, 0), du, dv
+        ac = ip.cfl_ac_420(self.rec[0][y : y + bh, x : x + bw])
+        a_den = int((ac.astype(np.int64) ** 2).sum())
+        alphas = [0, 0]
+        cost_dc = 0.0
+        cost_cfl = 0.0
+        cands = [du, dv]
+        for i, (plane, dcand) in enumerate(((1, du), (2, dv))):
+            pred_dc, lv_dc, dq_dc = dcand
+            src = self.src[plane][cy : cy + ch, cx : cx + cw]
+            resid0 = (src - pred_dc).astype(np.int32)
+            alpha = 0
+            if a_den:
+                alpha = int(np.clip(np.round(
+                    64.0 * float((resid0.astype(np.int64) * ac).sum()) / a_den),
+                    -16, 16))
+            c_dc = self._plane_rd_cost(resid0, lv_dc, dq_dc)
+            cost_dc += c_dc
+            if alpha == 0:
+                cost_cfl += c_dc
+                continue
+            pred_cfl = ip.cfl_predict(pred_dc, ac, alpha, self.bd)
+            resid_c = (src - pred_cfl).astype(np.int32)
+            lv_c, dq_c = tf.fdct_quant_native(resid_c, tf.DCT_DCT, self.dc_q,
+                                              self.ac_q, self.bd)
+            cost_cfl += self._plane_rd_cost(resid_c, lv_c, dq_c)
+            alphas[i] = alpha
+            cands[i] = (pred_cfl, lv_c, dq_c)
+        if alphas == [0, 0]:
+            return ip.DC_PRED, (0, 0), du, dv
+        # mode-level symbol rate (uv mode + sign + alpha indices)
+        uv_row = self.cdf.uv_mode[1][y_mode]
+        au, av = alphas
+        su = 0 if au == 0 else (1 if au < 0 else 2)
+        sv = 0 if av == 0 else (1 if av < 0 else 2)
+        rate_dc = self._sym_bits(uv_row, ip.DC_PRED)
+        rate_cfl = self._sym_bits(uv_row, UV_CFL)
+        rate_cfl += self._sym_bits(self.cdf.cfl_sign[0], su * 3 + sv - 1)
+        if su:
+            rate_cfl += self._sym_bits(
+                self.cdf.cfl_alpha[(1 if su == 2 else 0) * 3 + sv], abs(au) - 1)
+        if sv:
+            rate_cfl += self._sym_bits(
+                self.cdf.cfl_alpha[(1 if sv == 2 else 0) * 3 + su], abs(av) - 1)
+        if cost_cfl + self.lam * rate_cfl < cost_dc + self.lam * rate_dc:
+            return UV_CFL, (au, av), cands[0], cands[1]
+        return ip.DC_PRED, (0, 0), du, dv
 
     def _code_plane_tx(self, plane: int, px: int, py: int, tw: int, th: int, mode: int):
         """Predict + forward transform + quantize one tx block.

@@ -239,7 +239,21 @@ def _dr_predict(A, L, tl, w, h, p_angle, bit_depth):
 
 
 def cfl_predict(dc_pred: np.ndarray, luma_ac: np.ndarray, alpha: int, bit_depth: int = 8) -> np.ndarray:
-    """CFL: chroma = dc + alpha * luma_ac (spec 7.11.5)."""
-    scaled = np.sign(alpha) * ((np.abs(alpha * luma_ac.astype(np.int64)) + 32) >> 6)
+    """CFL: chroma = dc + Round2Signed(alpha * luma_ac, 6) (spec 7.11.5).
+    The sign belongs to the full product (alpha * ac), not alpha alone."""
+    prod = alpha * luma_ac.astype(np.int64)
+    scaled = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
     v = dc_pred.astype(np.int64) + scaled
     return np.clip(v, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def cfl_ac_420(luma: np.ndarray) -> np.ndarray:
+    """CflAcValues for 4:2:0 (spec 7.11.5.2): 2x2 luma sums << 1, minus
+    the rounded block average.  luma: the block's reconstructed samples."""
+    s = (luma[0::2, 0::2].astype(np.int64) + luma[0::2, 1::2]
+         + luma[1::2, 0::2] + luma[1::2, 1::2])
+    L = s << 1
+    n = L.size
+    log2sz = n.bit_length() - 1
+    avg = (int(L.sum()) + (1 << (log2sz - 1))) >> log2sz
+    return (L - avg).astype(np.int32)

@@ -20,8 +20,9 @@ def _planes(w, h, seed, bd=8):
     return [a.astype(np.int32) for a in (y, u, v)]
 
 
-def _encode(planes, w, h, q, bd=8, native_block=True, **kw):
+def _encode(planes, w, h, q, bd=8, native_block=True, rdo=True, **kw):
     enc = IntraFrameEncoder(w, h, q, bit_depth=bd, device_modes=False, **kw)
+    enc.rdo_partition = rdo
     if native_block:
         data, recon = enc.encode([p.copy() for p in planes])
         return data, recon, enc
@@ -108,3 +109,63 @@ def test_lr_two_pass_matches_recorder():
     assert d1 == d2
     for p1, p2 in zip(r1, r2):
         np.testing.assert_array_equal(p1, p2)
+
+
+def _cfl_planes(w, h, seed=11):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(128 + 90*np.sin(xx/13.0)*np.cos(yy/17.0)
+                + rng.integers(-8, 8, (h, w)), 0, 255).astype(np.int32)
+    u = np.clip(60 + (y[::2, ::2] - 128)//2 + 60, 0, 255).astype(np.int32)
+    v = np.clip(200 - (y[::2, ::2] - 128)//3, 0, 255).astype(np.int32)
+    return [y, u, v]
+
+
+def test_parity_cfl_speed5():
+    """CFL decision + symbols must be byte-identical between the C fast
+    path and the python oracle."""
+    w, h = 128, 96
+    planes = _cfl_planes(w, h)
+    # rdo off: fresh-block path so the C coder actually runs CFL
+    d1, r1, e1 = _encode(planes, w, h, 100, native_block=True, speed=5, rdo=False)
+    d2, r2, e2 = _encode(planes, w, h, 100, native_block=False, speed=5, rdo=False)
+    assert e1._nbc is not None
+    assert d1 == d2
+    for p1, p2 in zip(r1, r2):
+        np.testing.assert_array_equal(p1, p2)
+
+
+def test_cfl_conformance_and_gain():
+    """CFL streams decode bit-exactly through dav1d and reduce chroma
+    error on luma-correlated content."""
+    from tests.test_conformance import encode_decode
+
+    y, u, v = _cfl_planes(128, 96)
+    # encode_decode uses default speed; run a CFL encoder directly instead
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder, UV_CFL
+    from rav1e_tpu.obu.headers import (FrameParams, Sequence,
+                                       temporal_delimiter, write_frame_obu,
+                                       write_sequence_header_obu)
+    from rav1e_tpu.utils import dav1d_oracle
+
+    cfl_used = {"n": 0}
+    orig = IntraFrameEncoder._decide_chroma
+    def probe(self, *a):
+        r = orig(self, *a)
+        if r[0] == UV_CFL:
+            cfl_used["n"] += 1
+        return r
+    IntraFrameEncoder._decide_chroma = probe
+    try:
+        fe = IntraFrameEncoder(128, 96, q_idx=100, speed=5, device_modes=False)
+        tile, recon = fe.encode([y.copy(), u.copy(), v.copy()])
+    finally:
+        IntraFrameEncoder._decide_chroma = orig
+    assert cfl_used["n"] > 0, "CFL never chosen on correlated content"
+    seq = Sequence(width=128, height=96)
+    fp = FrameParams(base_q_idx=100, disable_cdf_update=False)
+    data = (temporal_delimiter() + write_sequence_header_obu(seq)
+            + write_frame_obu(seq, fp, tile))
+    dec, _ = dav1d_oracle.Dav1dDecoder().decode_packet(data)
+    for dp, rp in zip(dec, recon):
+        np.testing.assert_array_equal(dp.astype(np.int32), rp)
