@@ -106,27 +106,30 @@ double np_pairwise_sum(const double *a, int n) {
     return np_pairwise_sum(a, n2) + np_pairwise_sum(a + n2, n - n2);
 }
 
-// spec 7.11.2 edge build (intra_np.py:56); above[0]/left[0] = top-left
+// spec 7.11.2 edge build (intra_np.py:56); above[0]/left[0] = top-left.
+// n_tr/n_bl: valid pixels beyond the block edge (0 if unavailable).
 void build_edges(const int32_t *rec, int stride, int x, int y, int w, int h,
                  bool have_above, bool have_left, int bd, int max_x, int max_y,
-                 int64_t *above, int64_t *left) {
+                 int64_t *above, int64_t *left, int n_tr = 0, int n_bl = 0) {
     const int base = 1 << (bd - 1);
     const int n = w + h;
     if (have_above) {
         const int32_t *row = rec + (int64_t)(y - 1) * stride;
-        for (int i = 0; i < w; i++)
+        const int avail = w + (n_tr < h ? n_tr : h);
+        for (int i = 0; i < avail; i++)
             above[1 + i] = row[x + i < max_x ? x + i : max_x];
-        for (int i = w; i < n; i++) above[1 + i] = above[w];
+        for (int i = avail; i < n; i++) above[1 + i] = above[avail];
     } else {
         int64_t v = have_left ? rec[(int64_t)y * stride + x - 1] : base - 1;
         for (int i = 1; i <= n; i++) above[i] = v;
     }
     if (have_left) {
-        for (int i = 0; i < h; i++) {
+        const int avail = h + (n_bl < w ? n_bl : w);
+        for (int i = 0; i < avail; i++) {
             int yy = y + i < max_y ? y + i : max_y;
             left[1 + i] = rec[(int64_t)yy * stride + x - 1];
         }
-        for (int i = h; i < n; i++) left[1 + i] = left[h];
+        for (int i = avail; i < n; i++) left[1 + i] = left[avail];
     } else {
         int64_t v = have_above ? rec[(int64_t)(y - 1) * stride + x] : base + 1;
         for (int i = 1; i <= n; i++) left[i] = v;
@@ -139,11 +142,21 @@ void build_edges(const int32_t *rec, int stride, int x, int y, int w, int h,
     above[0] = left[0] = tl;
 }
 
-// intra_np.py:119 predict() for the encoder's candidate set: DC/V/H,
-// PAETH, SMOOTH family, zone-2 directionals (D113/D135/D157), delta 0.
-void predict(const Ptrs &p, int mode, const int64_t *above, const int64_t *left,
+void dr_predict_angle(const Ptrs &p, int p_angle, const int64_t *above,
+                      const int64_t *left, int w, int h, int32_t *out);
+
+// intra_np.py:119 predict(): DC/V/H, PAETH, SMOOTH family and all
+// directional modes with angle deltas (via dr_predict_angle).
+void predict(const Ptrs &p, int mode, int angle_delta,
+             const int64_t *above, const int64_t *left,
              int w, int h, bool have_above, bool have_left, int bd,
              int32_t *out) {
+    if (mode >= V_PRED && mode <= D67 &&
+        !((mode == V_PRED || mode == H_PRED) && angle_delta == 0)) {
+        dr_predict_angle(p, MODE_ANGLE[mode] + angle_delta * 3, above, left,
+                         w, h, out);
+        return;
+    }
     const int64_t *A = above + 1;
     const int64_t *L = left + 1;
     const int64_t tl = above[0];
@@ -208,10 +221,38 @@ void predict(const Ptrs &p, int mode, const int64_t *above, const int64_t *left,
             }
         return;
     }
-    default: {  // zone-2 directional, 90 < angle < 180 (intra_np.py:208)
-        int angle = MODE_ANGLE[mode];
-        int dx = p.dr[180 - angle];
-        int dy = p.dr[angle - 90];
+    default:  // unreachable: directional modes dispatched above
+        return;
+    }
+}
+
+// directional prediction for any p_angle (intra_np.py _dr_predict):
+// zone 1 (< 90), zone 2 (90..180), zone 3 (> 180); no edge filter /
+// upsampling (enable_intra_edge_filter is signalled off)
+void dr_predict_angle(const Ptrs &p, int p_angle, const int64_t *above,
+                      const int64_t *left, int w, int h, int32_t *out) {
+    const int64_t *A = above + 1;
+    const int64_t *L = left + 1;
+    if (p_angle < 90) {
+        int dx = p.dr[p_angle];
+        int max_base_x = w + h - 1;
+        for (int r = 0; r < h; r++) {
+            int xpos = (r + 1) * dx;
+            int base_x = xpos >> 6;
+            int sh = (xpos >> 1) & 0x1F;
+            for (int c = 0; c < w; c++) {
+                int b = base_x + c;
+                out[r * w + c] = (int32_t)(b >= max_base_x
+                    ? A[max_base_x]
+                    : (A[b] * (32 - sh) + A[b + 1] * sh + 16) >> 5);
+            }
+        }
+    } else if (p_angle == 90) {
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) out[r * w + c] = (int32_t)A[c];
+    } else if (p_angle < 180) {
+        int dx = p.dr[180 - p_angle];
+        int dy = p.dr[p_angle - 90];
         for (int r = 0; r < h; r++)
             for (int c = 0; c < w; c++) {
                 int xpos = (c << 6) - (r + 1) * dx;
@@ -228,8 +269,23 @@ void predict(const Ptrs &p, int mode, const int64_t *above, const int64_t *left,
                                                 left[2 + by] * sh + 16) >> 5);
                 }
             }
-        return;
-    }
+    } else if (p_angle == 180) {
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) out[r * w + c] = (int32_t)L[r];
+    } else {
+        int dy = p.dr[270 - p_angle];
+        int max_base_y = w + h - 1;
+        for (int c = 0; c < w; c++) {
+            int ypos = (c + 1) * dy;
+            int base_y = ypos >> 6;
+            int sh = (ypos >> 1) & 0x1F;
+            for (int r = 0; r < h; r++) {
+                int b = base_y + r;
+                out[r * w + c] = (int32_t)(b >= max_base_y
+                    ? L[max_base_y]
+                    : (L[b] * (32 - sh) + L[b + 1] * sh + 16) >> 5);
+            }
+        }
     }
 }
 
@@ -245,7 +301,7 @@ inline int tx_size_ctx(int w, int h) {
 int code_block_symbols(
     MsacEnc *enc, const Ptrs &P,
     int x, int y, int bw, int bh, int y_mode, int skip, int tt,
-    int au, int av,
+    int au, int av, int y_delta,
     const int32_t *lv_y, const int32_t *lv_u, const int32_t *lv_v,
     const int32_t *scan_y, const int32_t *scan_c,
     bool ha, bool hl,
@@ -264,7 +320,8 @@ int code_block_symbols(
     int lctx = hl ? INTRA_MODE_CTX[left_mode[mr]] : 0;
     msac_symbol(enc, P.c[R_KF_Y] + (actx * 5 + lctx) * 14, 13, y_mode, adapt);
     if ((bw < bh ? bw : bh) >= 8 && y_mode >= V_PRED && y_mode <= D67)
-        msac_symbol(enc, P.c[R_ANGLE] + (y_mode - V_PRED) * 8, 7, 3, adapt);
+        msac_symbol(enc, P.c[R_ANGLE] + (y_mode - V_PRED) * 8, 7,
+                    y_delta + 3, adapt);
     int cfl_allowed = (bw > bh ? bw : bh) <= 32 ? 1 : 0;
     const int uv_cfl = (au || av) ? 1 : 0;
     msac_symbol(enc, P.c[R_UV] + ((int64_t)cfl_allowed * 13 + y_mode) * 15,
@@ -413,7 +470,8 @@ int encode_intra_block(
     int32_t *above_skip, int32_t *left_skip,
     const uint64_t *pctx,
     int mi_cols, int mi_rows, int adapt, int recon_only, void *cache_vp,
-    int cfl)
+    int cfl, uint8_t *mi_coded, int mi_stride,
+    int tx0, int ty0, int tx1, int ty1, int fine_dir)
 {
     Ptrs P;
     for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
@@ -434,9 +492,38 @@ int encode_intra_block(
     static thread_local double lbuf[32 * 32];
 
     // ---- luma predict + transform (+ DCT-vs-ADST RD, intra_frame.py:853) ----
+    const bool y_dir = y_mode >= V_PRED && y_mode <= D67;
+    int n_tr = 0, n_bl = 0;
+    if (y_dir) {  // intra_frame.py _edge_avail (decoder blockDecoded analog)
+        if (y > ty0 && x + bw < tx1 &&
+            mi_coded[(int64_t)((y - 1) / 4) * mi_stride + (x + bw) / 4])
+            n_tr = bh;
+        if (x > tx0 && y + bh < ty1 &&
+            mi_coded[(int64_t)((y + bh) / 4) * mi_stride + (x - 1) / 4])
+            n_bl = bw;
+    }
     build_edges(rec_y, stride_y, x, y, bw, bh, ha, hl, bd, max_x_y, max_y_y,
-                above, left);
-    predict(P, y_mode, above, left, bw, bh, ha, hl, bd, pred_y);
+                above, left, n_tr, n_bl);
+    int y_delta = 0;
+    if (fine_dir && y_dir && (bw < bh ? bw : bh) >= 8) {
+        // intra_frame.py _choose_delta: SAD over spec-exact edges
+        int64_t best_cost = -1;
+        for (int d = -3; d <= 3; d++) {
+            predict(P, y_mode, d, above, left, bw, bh, ha, hl, bd, pred_y);
+            int64_t cost = 0;
+            for (int r = 0; r < bh; r++)
+                for (int c = 0; c < bw; c++) {
+                    int64_t df = src_y[(int64_t)(y + r) * stride_y + x + c]
+                                 - pred_y[r * bw + c];
+                    cost += df < 0 ? -df : df;
+                }
+            if (best_cost < 0 || cost < best_cost) {
+                best_cost = cost;
+                y_delta = d;
+            }
+        }
+    }
+    predict(P, y_mode, y_delta, above, left, bw, bh, ha, hl, bd, pred_y);
     for (int r = 0; r < bh; r++)
         for (int c = 0; c < bw; c++)
             res[r * bw + c] =
@@ -493,7 +580,7 @@ int encode_intra_block(
     static thread_local int32_t res_u[16 * 16], res_v[16 * 16];
     build_edges(rec_u, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
                 above, left);
-    predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_u);
+    predict(P, DC_PRED, 0, above, left, cw, ch, ha, hl, bd, pred_u);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++)
             res_u[r * cw + c] =
@@ -501,7 +588,7 @@ int encode_intra_block(
     fdct_quant(res_u, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u);
     build_edges(rec_v, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
                 above, left);
-    predict(P, DC_PRED, above, left, cw, ch, ha, hl, bd, pred_v);
+    predict(P, DC_PRED, 0, above, left, cw, ch, ha, hl, bd, pred_v);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++)
             res_v[r * cw + c] =
@@ -641,9 +728,9 @@ int encode_intra_block(
         // the symbols without repeating prediction/transform work.
         if (cache_vp) {
             BlockCache *bc = (BlockCache *)cache_vp;
-            int32_t hdr[10] = {x, y, bw, bh, y_mode, skip, tt,
-                               (have_above << 1) | have_left, au, av};
-            bc->buf.insert(bc->buf.end(), hdr, hdr + 10);
+            int32_t hdr[11] = {x, y, bw, bh, y_mode, skip, tt,
+                               (have_above << 1) | have_left, au, av, y_delta};
+            bc->buf.insert(bc->buf.end(), hdr, hdr + 11);
             if (!skip) {
                 bc->buf.insert(bc->buf.end(), lv_y, lv_y + bw * bh);
                 bc->buf.insert(bc->buf.end(), lv_u, lv_u + cw * ch);
@@ -657,7 +744,7 @@ int encode_intra_block(
         }
     } else {
         code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
-                           lv_y, lv_u, lv_v, scan_y, scan_c, ha, hl,
+                           y_delta, lv_y, lv_u, lv_v, scan_y, scan_c, ha, hl,
                            above_mode, left_mode, above_skip, left_skip,
                            pctx, mi_cols, mi_rows, adapt, q_nonzero);
         if (skip) {
@@ -665,6 +752,11 @@ int encode_intra_block(
             memset(dq_v, 0, sizeof(int32_t) * cw * ch);
         }
     }
+
+    // decoder blockDecoded analog: mark this block's mi region coded
+    for (int r = mr; r < mr + bh / 4; r++)
+        for (int c2 = mc; c2 < mc + bw / 4; c2++)
+            mi_coded[(int64_t)r * mi_stride + c2] = 1;
 
     // ---- chroma reconstruct ----
     inv_txfm(dq_u, cw, ch, TX_DCT_DCT, bd, inv_t);
@@ -697,7 +789,7 @@ void block_cache_rewind(void *c) { ((BlockCache *)c)->cursor = 0; }
 // 1 if the next cached record is block (x, y, bw, bh)
 int cached_block_peek(void *c, int x, int y, int bw, int bh) {
     BlockCache *bc = (BlockCache *)c;
-    if (bc->cursor + 10 > bc->buf.size()) return 0;
+    if (bc->cursor + 11 > bc->buf.size()) return 0;
     const int32_t *h = &bc->buf[bc->cursor];
     return h[0] == x && h[1] == y && h[2] == bw && h[3] == bh;
 }
@@ -713,12 +805,12 @@ int encode_cached_block(
     const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero)
 {
     BlockCache *bc = (BlockCache *)c;
-    if (bc->cursor + 10 > bc->buf.size()) return -1;
+    if (bc->cursor + 11 > bc->buf.size()) return -1;
     const int32_t *h = &bc->buf[bc->cursor];
     if (h[0] != x || h[1] != y || h[2] != bw || h[3] != bh) return -1;
     const int y_mode = h[4], skip = h[5], tt = h[6], hal = h[7];
-    const int au = h[8], av = h[9];
-    bc->cursor += 10;
+    const int au = h[8], av = h[9], y_delta = h[10];
+    bc->cursor += 11;
     const int cw = bw >> 1, ch = bh >> 1;
     const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
     if (!skip) {
@@ -732,7 +824,7 @@ int encode_cached_block(
     P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
     P.dr = (const int32_t *)reg[R_DR];
     return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
-                              lv_y, lv_u, lv_v, scan_y, scan_c,
+                              y_delta, lv_y, lv_u, lv_v, scan_y, scan_c,
                               (hal >> 1) != 0, (hal & 1) != 0,
                               above_mode, left_mode, above_skip, left_skip,
                               pctx, mi_cols, mi_rows, adapt, q_nonzero);

@@ -31,9 +31,10 @@ _DR_I32 = np.ascontiguousarray(ip._DR, np.int32)
 
 # modes the native predictor implements (the encoder's full candidate set)
 NATIVE_MODES = frozenset((
-    ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.D135_PRED, ip.D113_PRED,
-    ip.D157_PRED, ip.SMOOTH_PRED, ip.SMOOTH_V_PRED, ip.SMOOTH_H_PRED,
-    ip.PAETH_PRED,
+    ip.DC_PRED, ip.V_PRED, ip.H_PRED,
+    ip.D45_PRED, ip.D135_PRED, ip.D113_PRED, ip.D157_PRED,
+    ip.D203_PRED, ip.D67_PRED,
+    ip.SMOOTH_PRED, ip.SMOOTH_V_PRED, ip.SMOOTH_H_PRED, ip.PAETH_PRED,
 ))
 
 _vp = ctypes.c_void_p
@@ -63,6 +64,8 @@ def _configure():
         _ci, _ci, _ci, _ci,            # mi_cols, mi_rows, adapt, recon_only
         _vp,                           # block cache (pass-A store) or NULL
         _ci,                           # cfl search enabled
+        _vp, _ci,                      # mi_coded map + stride
+        _ci, _ci, _ci, _ci, _ci,       # tile x0 y0 x1 y1, fine_dir
     ]
     _lib.encode_intra_block.restype = ctypes.c_int
     _lib.block_cache_new.restype = _vp
@@ -216,6 +219,9 @@ class NativeBlockCoder:
             1 if recon_only else 0,
             self._cache if recon_only else None,
             1 if fe.cfl_search else 0,
+            fe.mi_coded.ctypes.data, fe.mi_coded.shape[1],
+            fe.tx0, fe.ty0, fe.tx1, fe.ty1,
+            1 if fe.fine_dir else 0,
         )
         skip = bool(ret & 1)
         tt = tf.ADST_ADST if (ret >> 1) else tf.DCT_DCT

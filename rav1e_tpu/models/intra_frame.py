@@ -121,6 +121,8 @@ class IntraFrameEncoder:
         self.sgr_search = speed <= 5  # reference: sgr_complexity preset
         # CFL chroma prediction (reference: ComplexKeyframes prediction set)
         self.cfl_search = speed <= 5
+        # D45/D67/D203 + angle-delta search (reference: fine_directional_intra)
+        self.fine_dir = speed <= 7
         self._scratch = None
         # device (TPU) mode analysis: batched evaluation of all candidate
         # modes for all blocks in one jit pass; auto-on for larger frames
@@ -168,6 +170,9 @@ class IntraFrameEncoder:
         self.left_mode = np.zeros(pr, np.int32)
         self.above_skip = np.zeros(pc, np.int32)
         self.left_skip = np.zeros(pr, np.int32)
+        # decoder blockDecoded analog (luma, 4px units): gates above-right /
+        # below-left intra edge availability
+        self.mi_coded = np.zeros((pr, pc), np.uint8)
         self.pctx = [
             PlaneCtx.new(pc, pr),
             PlaneCtx.new(pc >> 1, pr >> 1),
@@ -282,6 +287,7 @@ class IntraFrameEncoder:
         self.left_mode[r0:r1] = 0
         self.above_skip[c0:c1] = 0
         self.left_skip[r0:r1] = 0
+        self.mi_coded[r0:r1, c0:c1] = 0
         for p, ctx in enumerate(self.pctx):
             sub = 0 if p == 0 else 1
             pc0, pc1 = (self.tx0 >> sub) // 4, ((self.tx1 >> sub) + 3) // 4
@@ -813,7 +819,9 @@ class IntraFrameEncoder:
         recomputation."""
         mc, mr = x // 4, y // 4
         y_mode = self._choose_mode(x, y, bw, bh)
-        pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+        y_delta = self._choose_delta(x, y, bw, bh, y_mode)
+        pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh,
+                                                       y_mode, y_delta)
         cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
         # luma recon before chroma (CFL reads it); trial writes are
         # restored by the caller either way
@@ -842,6 +850,7 @@ class IntraFrameEncoder:
         self._reconstruct(0, x, y, pred_y, dq_set[0], tx_type=tt_y)
         self._reconstruct(1, cx, cy, pred_u, dq_set[1])
         self._reconstruct(2, cx, cy, pred_v, dq_set[2])
+        self.mi_coded[mr : mr + bh // 4, mc : mc + bw // 4] = 1
         dist = 0
         for plane, (px, py, tw, th) in ((0, (x, y, bw, bh)), (1, (cx, cy, cw, ch)), (2, (cx, cy, cw, ch))):
             d = self.rec[plane][py : py + th, px : px + tw].astype(np.int64) - \
@@ -853,6 +862,7 @@ class IntraFrameEncoder:
             "tt_y": tt_y,
             "uv_mode": uv_mode,
             "cfl_alphas": cfl_alphas,
+            "y_delta": y_delta,
             "planes": ((pred_y, lv_y, dq_set[0]), (pred_u, lv_u, dq_set[1]), (pred_v, lv_v, dq_set[2])),
         }
         return dist, rate, info
@@ -860,16 +870,19 @@ class IntraFrameEncoder:
     def _rd_split_32(self, x: int, y: int, cdf_row) -> bool:
         """Try NONE(32x32) vs SPLIT(4x 16x16); pick by SSE + lambda*bits."""
         cx, cy = x >> 1, y >> 1
+        mr, mc = y // 4, x // 4
         saves = [
             self.rec[0][y : y + 32, x : x + 32].copy(),
             self.rec[1][cy : cy + 16, cx : cx + 16].copy(),
             self.rec[2][cy : cy + 16, cx : cx + 16].copy(),
+            self.mi_coded[mr : mr + 8, mc : mc + 8].copy(),
         ]
 
         def restore():
             self.rec[0][y : y + 32, x : x + 32] = saves[0]
             self.rec[1][cy : cy + 16, cx : cx + 16] = saves[1]
             self.rec[2][cy : cy + 16, cx : cx + 16] = saves[2]
+            self.mi_coded[mr : mr + 8, mc : mc + 8] = saves[3]
 
         dist_n, rate_n, info_n = self._analyze_block(x, y, 32, 32)
         rate_n += self._sym_bits(cdf_row[:11], self.P_NONE)
@@ -908,15 +921,21 @@ class IntraFrameEncoder:
         rec = self.rec[0]
         have_above = self._have_above(y)
         have_left = self._have_left(x)
+        n_tr, n_bl = self._edge_avail(x, y, bw, bh)
         above, left = ip.build_edges(rec, x, y, bw, bh, have_above, have_left, self.bd,
+                                     n_top_right=n_tr, n_bottom_left=n_bl,
                                      max_x=self.mi_cols * 4 - 1, max_y=self.mi_rows * 4 - 1)
         src = self.src[0][y : y + bh, x : x + bw]
         if self.speed >= 9:
             candidates = (ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.SMOOTH_PRED, ip.PAETH_PRED)
+        elif self.fine_dir:
+            candidates = (
+                ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.SMOOTH_PRED,
+                ip.SMOOTH_V_PRED, ip.SMOOTH_H_PRED, ip.PAETH_PRED,
+                ip.D135_PRED, ip.D113_PRED, ip.D157_PRED,
+                ip.D45_PRED, ip.D67_PRED, ip.D203_PRED,
+            )
         else:
-            # D45/D67/D203 need the top-right / bottom-left availability
-            # rules (spec have_top_right) - TODO next round; zone-2 modes
-            # only read the w+h edge pixels that are always defined
             candidates = (
                 ip.DC_PRED, ip.V_PRED, ip.H_PRED, ip.SMOOTH_PRED,
                 ip.SMOOTH_V_PRED, ip.SMOOTH_H_PRED, ip.PAETH_PRED,
@@ -929,6 +948,30 @@ class IntraFrameEncoder:
             if best_cost is None or cost < best_cost:
                 best, best_cost = mode, cost
         return best
+
+    def _choose_delta(self, x: int, y: int, bw: int, bh: int, mode: int) -> int:
+        """Angle-delta search for a directional base mode: SAD over the
+        spec-exact edges (mirrored in the C block path)."""
+        if (not self.fine_dir or mode not in ip.DIRECTIONAL_MODES
+                or min(bw, bh) < 8):
+            return 0
+        have_above = self._have_above(y)
+        have_left = self._have_left(x)
+        n_tr, n_bl = self._edge_avail(x, y, bw, bh)
+        above, left = ip.build_edges(self.rec[0], x, y, bw, bh, have_above,
+                                     have_left, self.bd,
+                                     n_top_right=n_tr, n_bottom_left=n_bl,
+                                     max_x=self.mi_cols * 4 - 1,
+                                     max_y=self.mi_rows * 4 - 1)
+        src = self.src[0][y : y + bh, x : x + bw]
+        best_d, best_cost = 0, None
+        for d in range(-3, 4):
+            pred = ip.predict(mode, above, left, bw, bh, have_above,
+                              have_left, d, self.bd)
+            cost = int(np.abs(src - pred).sum())
+            if best_cost is None or cost < best_cost:
+                best_d, best_cost = d, cost
+        return best_d
 
     def _block(self, x: int, y: int, bw: int, bh: int) -> None:
         mc, mr = x // 4, y // 4
@@ -946,6 +989,9 @@ class IntraFrameEncoder:
                 # cache, no prediction/transform/reconstruction repeat
                 skip, _ = self._nbc.replay_block(x, y, bw, bh)
                 self.db_info.set_block(x, y, bw, bh, skip)
+                # keep the blockDecoded analog in step for any python-path
+                # blocks later in pass B
+                self.mi_coded[mr : mr + n4h, mc : mc + n4w] = 1
                 return
             from rav1e_tpu.ec.native_block import NATIVE_MODES
 
@@ -966,10 +1012,13 @@ class IntraFrameEncoder:
             tt_y = info.get("tt_y", tf.DCT_DCT)
             uv_mode = info.get("uv_mode", ip.DC_PRED)
             cfl_alphas = info.get("cfl_alphas", (0, 0))
+            y_delta = info.get("y_delta", 0)
         else:
             y_mode = self._choose_mode(x, y, bw, bh)
+            y_delta = self._choose_delta(x, y, bw, bh, y_mode)
             # transform + quantize first (skip flag needs the answer)
-            pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh, y_mode)
+            pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh,
+                                                           y_mode, y_delta)
             # reconstruct luma now: CFL reads it.  (All-zero levels imply
             # all-zero dequant, so the later skip path reconstructs the
             # same samples.)
@@ -991,7 +1040,7 @@ class IntraFrameEncoder:
         # angle delta for directional modes at bsize >= 8x8 (delta always 0
         # until fine directional search lands)
         if min(bw, bh) >= 8 and y_mode in ip.DIRECTIONAL_MODES:
-            sym(0 + 3, self.cdf.angle_delta[y_mode - ip.V_PRED])
+            sym(y_delta + 3, self.cdf.angle_delta[y_mode - ip.V_PRED])
 
         # uv mode: cfl allowed for blocks <= 32x32; CFL codes symbol 13
         # followed by the joint sign + per-plane alpha indices
@@ -1042,6 +1091,7 @@ class IntraFrameEncoder:
         self.left_mode[mr:r1] = y_mode
         self.above_skip[mc:c1] = 1 if skip else 0
         self.left_skip[mr:r1] = 1 if skip else 0
+        self.mi_coded[mr : mr + n4h, mc : mc + n4w] = 1
 
     def _plane_rd_cost(self, resid, lv, dq) -> float:
         """dist + lam*rate for one coded plane txb (the same coarse model
@@ -1110,7 +1160,24 @@ class IntraFrameEncoder:
             return UV_CFL, (au, av), cands[0], cands[1]
         return ip.DC_PRED, (0, 0), du, dv
 
-    def _code_plane_tx(self, plane: int, px: int, py: int, tw: int, th: int, mode: int):
+    def _edge_avail(self, px: int, py: int, tw: int, th: int) -> tuple:
+        """(n_top_right, n_bottom_left) per the decoder's blockDecoded map
+        (spec 7.11.2 haveAboveRight / haveBelowLeft): the mi right of the
+        top-right corner / below the bottom-left corner must already be
+        coded (luma only; the map is reset per tile)."""
+        tr = 0
+        bl = 0
+        mcr = (px + tw) // 4
+        if (py > self.ty0 and px + tw < self.tx1
+                and self.mi_coded[(py - 1) // 4, mcr]):
+            tr = th
+        if (px > self.tx0 and py + th < self.ty1
+                and self.mi_coded[(py + th) // 4, (px - 1) // 4]):
+            bl = tw
+        return tr, bl
+
+    def _code_plane_tx(self, plane: int, px: int, py: int, tw: int, th: int,
+                       mode: int, angle_delta: int = 0):
         """Predict + forward transform + quantize one tx block.
         Returns (pred, levels2d(eff), dequant(full))."""
         rec = self.rec[plane]
@@ -1118,10 +1185,15 @@ class IntraFrameEncoder:
         have_above = self._have_above(py, sub)
         have_left = self._have_left(px, sub)
         sub = 0 if plane == 0 else 1
+        n_tr = n_bl = 0
+        if plane == 0 and mode in ip.DIRECTIONAL_MODES:
+            n_tr, n_bl = self._edge_avail(px, py, tw, th)
         above, left = ip.build_edges(rec, px, py, tw, th, have_above, have_left, self.bd,
+                                     n_top_right=n_tr, n_bottom_left=n_bl,
                                      max_x=(self.mi_cols * 4 >> sub) - 1,
                                      max_y=(self.mi_rows * 4 >> sub) - 1)
-        pred = ip.predict(mode, above, left, tw, th, have_above, have_left, 0, self.bd)
+        pred = ip.predict(mode, above, left, tw, th, have_above, have_left,
+                          angle_delta, self.bd)
         src = self.src[plane][py : py + th, px : px + tw]
         resid = (src - pred).astype(np.int32)
         if (plane == 0 and max(tw, th) <= 16 and self.q > 0

@@ -121,3 +121,28 @@ def test_10bit_conformance():
     assert meta[3] == 10
     for i in range(3):
         assert np.array_equal(dec[i].astype(np.int32), recon[i]), f"plane {i}"
+
+
+def test_fine_directional_conformance():
+    """D45/D67/D203 + angle deltas with decoder-exact top-right /
+    bottom-left edge availability (blockDecoded analog): streams decode
+    bit-exactly and fine search saves bits on diagonal content."""
+    rng = np.random.default_rng(7)
+    w, h = 192, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx + yy * 1.1) % 24 * 10 + rng.integers(-4, 4, (h, w))).clip(0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 136, np.uint8)
+    dec, recon, _ = encode_decode(y, u, v, q=110)
+    for dp, rp in zip(dec, recon):
+        assert np.array_equal(dp.astype(np.int32), rp)
+    # deltas must actually be coded on this content
+    fe = IntraFrameEncoder(w, h, q_idx=110, device_modes=False)
+    deltas = []
+    orig = IntraFrameEncoder._choose_delta
+    IntraFrameEncoder._choose_delta = lambda self, *a: deltas.append(orig(self, *a)) or deltas[-1]
+    try:
+        fe.encode([y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)])
+    finally:
+        IntraFrameEncoder._choose_delta = orig
+    assert any(d != 0 for d in deltas), "no nonzero angle delta chosen"
