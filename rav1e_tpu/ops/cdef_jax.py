@@ -141,14 +141,17 @@ def _make_kernel(bd: int, coded_w: int, coded_h: int):
         s4 = skip[: nby * 2, : nbx * 2].reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3)
         active = ~s4.reshape(nby, nbx, 4).all(axis=2)
         scale = bd - 8
+        # spec 7.15.3: secondary-only filtering uses direction 0 (per plane)
+        y_dirs = jnp.where(y_pri > 0, dirs, 0)
+        uv_dirs = jnp.where(uv_pri > 0, dirs, 0)
         pri_map = _adjust_vec_jnp(jnp, y_pri << scale, var)
-        y_out = _filter_plane_jnp(jnp, y, dirs, pri_map, y_sec << scale,
+        y_out = _filter_plane_jnp(jnp, y, y_dirs, pri_map, y_sec << scale,
                                   damping, bd, coded_w, coded_h, active, 0)
         uv_map = jnp.full(dirs.shape, uv_pri << scale, jnp.int32)
-        u_out = _filter_plane_jnp(jnp, u, dirs, uv_map, uv_sec << scale,
+        u_out = _filter_plane_jnp(jnp, u, uv_dirs, uv_map, uv_sec << scale,
                                   damping - 1, bd, coded_w >> 1, coded_h >> 1,
                                   active, 1)
-        v_out = _filter_plane_jnp(jnp, v, dirs, uv_map, uv_sec << scale,
+        v_out = _filter_plane_jnp(jnp, v, uv_dirs, uv_map, uv_sec << scale,
                                   damping - 1, bd, coded_w >> 1, coded_h >> 1,
                                   active, 1)
         # uint16 return (4x less tunnel traffic; values are clipped to bd)
@@ -228,7 +231,8 @@ def _make_search_kernel(bd: int, coded_w: int, coded_h: int):
         y_outs, y_sses = [], []
         for pri, sec in Y_CANDIDATES:
             pri_map = _adjust_vec_jnp(jnp, pri << scale, var)
-            out = _filter_plane_jnp(jnp, y, dirs, pri_map, sec << scale,
+            cdirs = dirs if pri else jnp.zeros_like(dirs)
+            out = _filter_plane_jnp(jnp, y, cdirs, pri_map, sec << scale,
                                     damping, bd, w, h, active, 0)
             y_outs.append(out.astype(jnp.uint16))
             y_sses.append(sse(out, sy))
@@ -238,9 +242,10 @@ def _make_search_kernel(bd: int, coded_w: int, coded_h: int):
         uv_outs, uv_sses = [], []
         for pri, sec in UV_CANDIDATES:
             uv_map = jnp.full(dirs.shape, pri << scale, jnp.int32)
-            uo = _filter_plane_jnp(jnp, u, dirs, uv_map, sec << scale,
+            cdirs = dirs if pri else jnp.zeros_like(dirs)
+            uo = _filter_plane_jnp(jnp, u, cdirs, uv_map, sec << scale,
                                    damping - 1, bd, w >> 1, h >> 1, active, 1)
-            vo = _filter_plane_jnp(jnp, v, dirs, uv_map, sec << scale,
+            vo = _filter_plane_jnp(jnp, v, cdirs, uv_map, sec << scale,
                                    damping - 1, bd, w >> 1, h >> 1, active, 1)
             uv_outs.append((uo.astype(jnp.uint16), vo.astype(jnp.uint16)))
             uv_sses.append(sse(uo, su) + sse(vo, sv))

@@ -290,14 +290,18 @@ def cdef_frame_batched(
     active = ~s4.reshape(nby, nbx, 4).all(axis=2)
 
     scale = bd - 8
+    # spec 7.15.3: secondary-only filtering uses direction 0 (per plane)
+    zdirs = np.zeros_like(dirs)
     if y_pri or y_sec:
         pri_map = _adjust_strength_vec(y_pri << scale, var)
-        _cdef_plane_batched(rec[0], dirs, pri_map, y_sec << scale, damping,
+        _cdef_plane_batched(rec[0], dirs if y_pri else zdirs, pri_map,
+                            y_sec << scale, damping,
                             bd, coded_w, coded_h, active, 0)
     if uv_pri or uv_sec:
         pri_map = np.full(dirs.shape, uv_pri << scale, np.int64)
         for p in (1, 2):
-            _cdef_plane_batched(rec[p], dirs, pri_map, uv_sec << scale,
+            _cdef_plane_batched(rec[p], dirs if uv_pri else zdirs, pri_map,
+                                uv_sec << scale,
                                 damping - 1, bd, coded_w >> 1, coded_h >> 1,
                                 active, 1)
 
@@ -341,26 +345,32 @@ def cdef_frame(
             s4 = skip[r : r + 2, c : c + 2]
             if s4.all():
                 continue
-            direction, var = find_dir_block(
-                srcs[0][pad + by : pad + by + 8, pad + bx : pad + bx + 8], bd
-            )
+            # spec 7.15.3: the direction is only derived when a primary
+            # strength is nonzero; secondary-only filtering uses dir 0
+            if y_pri or uv_pri:
+                direction, var = find_dir_block(
+                    srcs[0][pad + by : pad + by + 8, pad + bx : pad + bx + 8], bd
+                )
+            else:
+                direction, var = 0, 0
             if y_pri or y_sec:
                 pri_adj = adjust_strength(y_pri, var) if y_pri else 0
                 if pri_adj or y_sec:
                     out = cdef_filter_block(
-                        srcs[0], by, bx, 8, 8, pri_adj, y_sec, damping, direction,
-                        bd, pad,
+                        srcs[0], by, bx, 8, 8, pri_adj, y_sec, damping,
+                        direction if y_pri else 0, bd, pad,
                     )
                     rec[0][by : by + 8, bx : bx + 8] = out
             if uv_pri or uv_sec:
                 cy, cx_ = by >> 1, bx >> 1
+                uv_dir = direction if uv_pri else 0
                 out = cdef_filter_block(
                     srcs[1], cy, cx_, 4, 4, uv_pri, uv_sec, damping - 1,
-                    direction, bd, pad,
+                    uv_dir, bd, pad,
                 )
                 rec[1][cy : cy + 4, cx_ : cx_ + 4] = out
                 out = cdef_filter_block(
                     srcs[2], cy, cx_, 4, 4, uv_pri, uv_sec, damping - 1,
-                    direction, bd, pad,
+                    uv_dir, bd, pad,
                 )
                 rec[2][cy : cy + 4, cx_ : cx_ + 4] = out

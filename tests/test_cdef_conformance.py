@@ -82,3 +82,36 @@ def test_device_equals_host():
     cj.cdef_frame_device(rec2, *args)
     for p in range(3):
         assert np.array_equal(rec1[p], rec2[p]), f"plane {p}"
+
+
+def test_secondary_only_strengths_conform():
+    """Strength codes with zero primary (sec-only filtering): the spec
+    derives the direction only when a primary strength is nonzero, so
+    sec-only taps use dir 0 per plane (regression: previously real
+    directions were used, diverging from dav1d)."""
+    import numpy as np
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+    from rav1e_tpu.obu.headers import (FrameParams, Sequence,
+                                       temporal_delimiter, write_frame_obu,
+                                       write_sequence_header_obu)
+    from rav1e_tpu.utils import dav1d_oracle
+
+    rng = np.random.default_rng(4)
+    w, h = 128, 128
+    y = rng.integers(0, 255, (h, w)).astype(np.int32)
+    u = rng.integers(0, 255, (h // 2, w // 2)).astype(np.int32)
+    v = rng.integers(0, 255, (h // 2, w // 2)).astype(np.int32)
+    for ystr, uvstr in ((2, 0), (1, 0), (0, 2), (10, 2), (2, 10)):
+        fe = IntraFrameEncoder(w, h, q_idx=100, cdef_damping=4,
+                               device_modes=False)
+        fe._cdef_search = lambda ys=ystr, us=uvstr: (ys, us)
+        tile, rec = fe.encode([y.copy(), u.copy(), v.copy()])
+        seq = Sequence(width=w, height=h, enable_cdef=True)
+        fp = FrameParams(base_q_idx=100, disable_cdf_update=False,
+                         cdef_damping=4, cdef_y_strengths=(ystr,),
+                         cdef_uv_strengths=(uvstr,))
+        data = (temporal_delimiter() + write_sequence_header_obu(seq)
+                + write_frame_obu(seq, fp, tile))
+        dec, _ = dav1d_oracle.Dav1dDecoder().decode_packet(data)
+        for dp, rp in zip(dec, rec):
+            assert np.array_equal(dp.astype(np.int32), rp), (ystr, uvstr)
