@@ -10,6 +10,8 @@ superblocks, host entropy tail.
 from __future__ import annotations
 
 import enum
+
+import numpy as np
 from collections import deque
 from dataclasses import dataclass
 
@@ -249,6 +251,33 @@ class Context:
             self._tp_writer.record("inter", q, len(data) * 8)
             enc.recon_by_input[frameno] = enc.last_recon
 
+        # temporal RDO: importance grids over the group's display chain
+        # (reference analog: compute_block_importances); blocks that later
+        # frames reference heavily get scale > 1 -> lower lambda
+        imp_scales = [None] * n
+        if n >= 2 and self.enc.speed_settings.speed <= 7:
+            try:
+                from rav1e_tpu.models.lookahead import (
+                    importance_scale_map, intra_cost_estimate,
+                    propagate_importance)
+
+                lumas = [np.asarray(
+                    f.planes[0].data[: f.planes[0].h, : f.planes[0].w],
+                    np.int32) for _, f in group]
+                grids = propagate_importance(lumas)
+                for i in range(n):
+                    ic = intra_cost_estimate(lumas[i])
+                    g = grids[i]
+                    h2 = min(ic.shape[0], g.shape[0])
+                    w2 = min(ic.shape[1], g.shape[1])
+                    imp_scales[i] = importance_scale_map(
+                        g[:h2, :w2], ic[:h2, :w2], 32)
+            except Exception:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "lookahead importance unavailable", exc_info=True)
+
         alt_no, alt_frame = group[-1]
         if n == 1:
             q = q0
@@ -260,7 +289,8 @@ class Context:
         else:
             q_alt = max(1, q0 - 6)
             data = enc.encode_inter(alt_frame, q_alt, alt_no, {mvp.LAST_FRAME: base},
-                                    show_frame=False, refresh_flags=1 << alt_slot)
+                                    show_frame=False, refresh_flags=1 << alt_slot,
+                                    imp_scale=imp_scales[n - 1])
             emit(alt_no, data, False)
             record(alt_no, data, q_alt)
             mid_i = (n - 1) // 2 if n >= 3 else None
@@ -270,7 +300,8 @@ class Context:
                 data = enc.encode_inter(
                     mid_frame, q_mid, mid_no,
                     {mvp.LAST_FRAME: base, mvp.ALTREF_FRAME: alt_slot},
-                    show_frame=False, refresh_flags=1 << mid_slot)
+                    show_frame=False, refresh_flags=1 << mid_slot,
+                    imp_scale=imp_scales[mid_i])
                 emit(mid_no, data, False)
                 record(mid_no, data, q_mid)
             q_leaf = min(255, q0 + 3)
@@ -289,7 +320,8 @@ class Context:
                 else:
                     refs[mvp.LAST_FRAME] = base
                 data = enc.encode_inter(frame, q_leaf, frameno, refs,
-                                        show_frame=True, refresh_flags=0)
+                                        show_frame=True, refresh_flags=0,
+                                        imp_scale=imp_scales[i])
                 emit(frameno, data, True)
                 record(frameno, data, q_leaf)
             emit(alt_no, enc.show_existing(alt_slot), True)

@@ -206,7 +206,8 @@ class NativeBlockCoder:
             1 if have_above else 0, 1 if have_left else 0,
             self._max_x_y, self._max_y_y, self._max_x_c, self._max_y_c,
             y_mode, fe.dc_q, fe.ac_q, fe.bd,
-            1 if fe.tx_type_search else 0, 1 if fe.q > 0 else 0, fe.lam,
+            1 if fe.tx_type_search else 0, 1 if fe.q > 0 else 0,
+            fe._lam_for(x, y),
             fy[0].ctypes.data, fy[1].ctypes.data, fy[2],
             fya[0].ctypes.data, fya[1].ctypes.data, fya[2],
             fc[0].ctypes.data, fc[1].ctypes.data, fc[2],

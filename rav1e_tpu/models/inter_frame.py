@@ -43,14 +43,14 @@ class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, q_idx, refs, bit_depth=8, adapt_cdf=True,
                  speed=6, use_native=True, init_cdf=None,
                  lf_levels=(0, 0, 0, 0), lf_sharpness=0, cdef_damping=0,
-                 tile_cols_log2=0, tile_rows_log2=0):
+                 tile_cols_log2=0, tile_rows_log2=0, tune="psnr"):
         super().__init__(width, height, q_idx, bit_depth=bit_depth,
                          adapt_cdf=adapt_cdf, speed=speed, use_native=use_native,
                          device_modes=False, init_cdf=init_cdf,
                          lf_levels=lf_levels, lf_sharpness=lf_sharpness,
                          cdef_damping=cdef_damping,
                          tile_cols_log2=tile_cols_log2,
-                         tile_rows_log2=tile_rows_log2)
+                         tile_rows_log2=tile_rows_log2, tune=tune)
         if not isinstance(refs, dict):
             refs = {mvp.LAST_FRAME: refs}
         self.refs = {

@@ -86,7 +86,8 @@ class IntraFrameEncoder:
                  device_modes: bool | None = None, init_cdf=None,
                  lf_levels=(0, 0, 0, 0), lf_sharpness: int = 0,
                  cdef_damping: int = 0, tile_cols_log2: int = 0,
-                 tile_rows_log2: int = 0):
+                 tile_rows_log2: int = 0, tune: str = "psnr"):
+        self.tune = tune
         self.tile_cols_log2 = tile_cols_log2
         self.tile_rows_log2 = tile_rows_log2
         self.init_cdf = init_cdf  # primary-ref CDF inheritance (None: defaults)
@@ -123,6 +124,8 @@ class IntraFrameEncoder:
         self.cfl_search = speed <= 5
         # D45/D67/D203 + angle-delta search (reference: fine_directional_intra)
         self.fine_dir = speed <= 7
+        # deblock level search vs from-q model (reference: fast_deblock off)
+        self.lf_search = speed <= 5
         self._scratch = None
         # device (TPU) mode analysis: batched evaluation of all candidate
         # modes for all blocks in one jit pass; auto-on for larger frames
@@ -195,6 +198,26 @@ class IntraFrameEncoder:
                 )
                 self._mode_maps = None
 
+        # psychovisual tune: per-32x32 lambda from the source activity
+        # mask (reference analog: src/activity.rs DistortionScale)
+        self._lam_map = None
+        if self.tune == "psychovisual":
+            from rav1e_tpu.models.activity import lambda_map
+
+            self._lam_map = lambda_map(self.src[0], self.lam, 32)
+        # temporal-RDO importance scale from the lookahead (inter frames;
+        # reference analog: compute_block_importances -> DistortionScale)
+        imp = getattr(self, "_imp_scale", None)
+        if imp is not None:
+            base = (self._lam_map if self._lam_map is not None
+                    else np.full(imp.shape, self.lam))
+            h2 = min(base.shape[0], imp.shape[0])
+            w2 = min(base.shape[1], imp.shape[1])
+            m = np.full(base.shape, self.lam) if self._lam_map is None else base
+            m = m.copy()
+            m[:h2, :w2] = base[:h2, :w2] / imp[:h2, :w2]
+            self._lam_map = m
+
         from rav1e_tpu.ops.deblock_np import DeblockInfo
 
         self.db_info = DeblockInfo(self.h // 4, self.w // 4)
@@ -216,6 +239,8 @@ class IntraFrameEncoder:
                     "native block coder unavailable (%s); python path", e
                 )
         data = self._encode_tiles()
+        if self.lf_search and any(self.lf_levels):
+            self.lf_levels = self._deblock_search()
         if any(self.lf_levels):
             from rav1e_tpu.ops.deblock_np import deblock_frame
 
@@ -258,6 +283,37 @@ class IntraFrameEncoder:
 
     def _pre_encode(self) -> None:
         """Hook for subclasses (inter: mi-grid MV state init)."""
+
+    def _lam_for(self, x: int, y: int) -> float:
+        """Effective RD lambda at a block position (activity-scaled when
+        tune=psychovisual; shared by the python and native block paths)."""
+        if self._lam_map is None:
+            return self.lam
+        return float(self._lam_map[min(y // 32, self._lam_map.shape[0] - 1),
+                                   min(x // 32, self._lam_map.shape[1] - 1)])
+
+    def _deblock_search(self) -> tuple:
+        """Luma-SSE search for the deblock filter level around the from-q
+        model value (reference analog: deblock_filter_optimize,
+        src/deblock.rs); chroma follows the luma choice."""
+        from rav1e_tpu.ops.deblock_np import deblock_frame
+
+        base = self.lf_levels[0]
+        cands = sorted({0, max(0, base - 2), max(0, base - 1), base,
+                        min(63, base + 1), min(63, base + 2)})
+        src = self.src[0][: self.out_h, : self.out_w].astype(np.int64)
+        best = None
+        for lv in cands:
+            trial = [self.rec[0].copy(), self.rec[1], self.rec[2]]
+            if lv:
+                deblock_frame([trial[0], None, None], self.db_info,
+                              (lv, lv, 0, 0), self.lf_sharpness, self.bd,
+                              self.coded_w, self.coded_h, luma_only=True)
+            sse = int(((trial[0][: self.out_h, : self.out_w] - src) ** 2).sum())
+            if best is None or sse < best[0]:
+                best = (sse, lv)
+        lv = best[1]
+        return (lv, lv, lv, lv)
 
     # -- tiling (reference analog: src/tiling/tiler.rs) -----------------------
 
@@ -886,7 +942,7 @@ class IntraFrameEncoder:
 
         dist_n, rate_n, info_n = self._analyze_block(x, y, 32, 32)
         rate_n += self._sym_bits(cdf_row[:11], self.P_NONE)
-        cost_none = dist_n + self.lam * rate_n
+        cost_none = dist_n + self._lam_for(x, y) * rate_n
         restore()
 
         dist_s, rate_s = 0.0, self._sym_bits(cdf_row[:11], self.P_SPLIT)
@@ -896,7 +952,7 @@ class IntraFrameEncoder:
             infos[(x + dx, y + dy)] = info
             dist_s += d
             rate_s += r + 2.0  # 16-level partition NONE symbols ~2 bits
-        cost_split = dist_s + self.lam * rate_s
+        cost_split = dist_s + self._lam_for(x, y) * rate_s
         restore()
         if cost_split < cost_none:
             self._pending.update(infos)
@@ -1093,7 +1149,7 @@ class IntraFrameEncoder:
         self.left_skip[mr:r1] = 1 if skip else 0
         self.mi_coded[mr : mr + n4h, mc : mc + n4w] = 1
 
-    def _plane_rd_cost(self, resid, lv, dq) -> float:
+    def _plane_rd_cost(self, resid, lv, dq, lam=None) -> float:
         """dist + lam*rate for one coded plane txb (the same coarse model
         as the luma tx-type search; mirrored exactly in the C block path)."""
         rec = tf.inverse_transform_native(dq, tf.DCT_DCT, self.bd)
@@ -1101,12 +1157,13 @@ class IntraFrameEncoder:
         dist = float((d * d).sum())
         alv = np.abs(lv)
         rate = 1.45 * int((alv > 0).sum()) + 0.95 * float(np.log2(1.0 + alv).sum())
-        return dist + self.lam * rate
+        return dist + (self.lam if lam is None else lam) * rate
 
     def _decide_chroma(self, x: int, y: int, bw: int, bh: int, y_mode: int):
         """Chroma mode decision: DC vs CFL (chroma-from-luma, spec 7.11.5).
         Returns (uv_mode, (alpha_u, alpha_v), (pred,lv,dq) for U and V).
         Reads the block's already-reconstructed luma."""
+        blam = self._lam_for(x, y)
         cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
         pu = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
         pv = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
@@ -1128,7 +1185,7 @@ class IntraFrameEncoder:
                 alpha = int(np.clip(np.round(
                     64.0 * float((resid0.astype(np.int64) * ac).sum()) / a_den),
                     -16, 16))
-            c_dc = self._plane_rd_cost(resid0, lv_dc, dq_dc)
+            c_dc = self._plane_rd_cost(resid0, lv_dc, dq_dc, blam)
             cost_dc += c_dc
             if alpha == 0:
                 cost_cfl += c_dc
@@ -1137,7 +1194,7 @@ class IntraFrameEncoder:
             resid_c = (src - pred_cfl).astype(np.int32)
             lv_c, dq_c = tf.fdct_quant_native(resid_c, tf.DCT_DCT, self.dc_q,
                                               self.ac_q, self.bd)
-            cost_cfl += self._plane_rd_cost(resid_c, lv_c, dq_c)
+            cost_cfl += self._plane_rd_cost(resid_c, lv_c, dq_c, blam)
             alphas[i] = alpha
             cands[i] = (pred_cfl, lv_c, dq_c)
         if alphas == [0, 0]:
@@ -1156,7 +1213,7 @@ class IntraFrameEncoder:
         if sv:
             rate_cfl += self._sym_bits(
                 self.cdf.cfl_alpha[(1 if sv == 2 else 0) * 3 + su], abs(av) - 1)
-        if cost_cfl + self.lam * rate_cfl < cost_dc + self.lam * rate_dc:
+        if cost_cfl + blam * rate_cfl < cost_dc + blam * rate_dc:
             return UV_CFL, (au, av), cands[0], cands[1]
         return ip.DC_PRED, (0, 0), du, dv
 
@@ -1209,7 +1266,7 @@ class IntraFrameEncoder:
                 alv = np.abs(lv)
                 rate = 1.45 * int((alv > 0).sum()) + 0.95 * float(
                     np.log2(1.0 + alv).sum())
-                cost = dist + self.lam * rate
+                cost = dist + self._lam_for(px, py) * rate
                 if best is None or cost < best[0]:
                     best = (cost, tt, lv, dq)
             _, tt, levels, dq = best

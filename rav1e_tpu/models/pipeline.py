@@ -94,6 +94,7 @@ class FrameEncoder:
             cdef_damping=damping,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
+            tune=getattr(self.cfg, "tune", "psnr"),
         )
         fe.lrf = self.seq.enable_restoration
         planes = [p.window() for p in frame.planes]
@@ -108,7 +109,7 @@ class FrameEncoder:
             base_q_idx=q,
             disable_cdf_update=False,
             order_hint=hint,
-            loop_filter_levels=lf,
+            loop_filter_levels=fe.lf_levels,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
         )
@@ -138,7 +139,8 @@ class FrameEncoder:
         )
 
     def encode_inter(self, frame, q_idx, order_hint, ref_slots: dict,
-                     show_frame: bool, refresh_flags: int) -> bytes:
+                     show_frame: bool, refresh_flags: int,
+                     imp_scale=None) -> bytes:
         """General inter frame.  ref_slots: {ref_id: slot} for the refs the
         block search may use (1=LAST, 5=BWDREF, 7=ALTREF); LAST doubles as
         the primary ref (CDF inheritance)."""
@@ -165,8 +167,10 @@ class FrameEncoder:
             cdef_damping=damping,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
+            tune=getattr(self.cfg, "tune", "psnr"),
         )
         fe.lrf = self.seq.enable_restoration
+        fe._imp_scale = imp_scale
 
         def rel_dist(a, b):  # 7-bit order-hint wraparound compare
             return ((a - b + 64) & 127) - 64
@@ -191,7 +195,7 @@ class FrameEncoder:
             base_q_idx=q,
             disable_cdf_update=False,
             order_hint=order_hint & 0x7F,
-            loop_filter_levels=lf,
+            loop_filter_levels=fe.lf_levels,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
             refresh_frame_flags=refresh_flags,

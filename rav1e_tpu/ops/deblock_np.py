@@ -235,11 +235,13 @@ def _deblock_pass(img, limit, blimit, thresh, bd, plane_idx, w, h,
 
 
 def deblock_frame(rec, info: DeblockInfo, levels, sharpness, bd,
-                  coded_w, coded_h) -> None:
+                  coded_w, coded_h, luma_only: bool = False) -> None:
     """Filter all planes of the reconstruction in place (4:2:0)."""
     if not any(levels):
         return
     deblock_plane(rec[0], info, 0, levels, sharpness, 0, 0, bd, coded_w, coded_h)
+    if luma_only:
+        return
     cw, ch = coded_w >> 1, coded_h >> 1
     deblock_plane(rec[1], info, 1, levels, sharpness, 1, 1, bd, cw, ch)
     deblock_plane(rec[2], info, 2, levels, sharpness, 1, 1, bd, cw, ch)

@@ -146,3 +146,28 @@ def test_fine_directional_conformance():
     finally:
         IntraFrameEncoder._choose_delta = orig
     assert any(d != 0 for d in deltas), "no nonzero angle delta chosen"
+
+
+def test_psychovisual_tune_conformance():
+    """tune=psychovisual (activity-masked per-block lambda): streams stay
+    bit-exact and the lambda map actually varies across blocks."""
+    rng = np.random.default_rng(13)
+    w, h = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    # half flat, half busy -> distinct activity classes
+    y = np.where(xx < 64, 100, rng.integers(0, 255, (h, w))).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 136, np.uint8)
+    fe = IntraFrameEncoder(w, h, q_idx=100, device_modes=False,
+                           tune="psychovisual")
+    tile, recon = fe.encode([y.astype(np.int32), u.astype(np.int32),
+                             v.astype(np.int32)])
+    assert fe._lam_map is not None
+    assert fe._lam_map.max() / fe._lam_map.min() > 1.5
+    seq = Sequence(width=w, height=h)
+    fp = FrameParams(base_q_idx=100, disable_cdf_update=False)
+    data = (temporal_delimiter() + write_sequence_header_obu(seq)
+            + write_frame_obu(seq, fp, tile))
+    dec, _ = dav1d.Dav1dDecoder().decode_packet(data)
+    for dp, rp in zip(dec, recon):
+        assert np.array_equal(dp.astype(np.int32), rp)

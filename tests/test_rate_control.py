@@ -131,3 +131,24 @@ def test_error_resilient_mode():
 
     run_clip(moving_content(96, 64, 4, dx=2, dy=1), q=140,
              error_resilient=True, low_latency=True)
+
+
+def test_lookahead_importance_and_deblock_search():
+    """Temporal-RDO importances engage for pyramid groups and the
+    speed<=5 deblock level search stays conformant end-to-end."""
+    import rav1e_tpu.models.lookahead as la
+    from rav1e_tpu.api.config import SpeedSettings
+    from tests.test_inter_conformance import moving_content, run_clip
+
+    calls = {"n": 0}
+    orig = la.propagate_importance
+    def probe(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+    la.propagate_importance = probe
+    try:
+        run_clip(moving_content(128, 96, 6), q=120,
+                 speed_settings=SpeedSettings.from_preset(5))
+    finally:
+        la.propagate_importance = orig
+    assert calls["n"] >= 1
