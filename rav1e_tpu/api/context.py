@@ -74,6 +74,7 @@ class Context:
                 bit_depth=enc.bit_depth,
                 min_len=enc.min_key_frame_interval,
                 max_len=enc.max_key_frame_interval,
+                fast=enc.speed_settings.fast_scene_detection,
             )
 
     # -- API ---------------------------------------------------------------

@@ -694,6 +694,8 @@ class IntraFrameEncoder:
                 src_pad[0][pad + by : pad + by + 8, pad + bx : pad + bx + 8], self.bd
             )
 
+        damping = self.cdef_damping + (self.bd - 8)
+
         def sse_y(pri, sec):
             total = 0
             for by, bx in sample:
@@ -702,7 +704,7 @@ class IntraFrameEncoder:
                 if pa or sec:
                     out = cd.cdef_filter_block(
                         src_pad[0], by, bx, 8, 8, pa, sec << (self.bd - 8),
-                        self.cdef_damping, d, self.bd, pad)
+                        damping, d, self.bd, pad)
                 else:
                     out = src_pad[0][pad + by : pad + by + 8, pad + bx : pad + bx + 8]
                 ref = self.src[0][by : by + 8, bx : bx + 8]
@@ -719,7 +721,7 @@ class IntraFrameEncoder:
                     if pri or sec:
                         out = cd.cdef_filter_block(
                             src_pad[p], cy, cx, 4, 4, pri << (self.bd - 8),
-                            sec << (self.bd - 8), self.cdef_damping - 1, d,
+                            sec << (self.bd - 8), damping - 1, d,
                             self.bd, pad)
                     else:
                         out = src_pad[p][pad + cy : pad + cy + 4, pad + cx : pad + cx + 4]

@@ -23,7 +23,9 @@ from rav1e_tpu.obu.headers import (
 class FrameEncoder:
     def __init__(self, enc_config):
         self.cfg = enc_config
+        profile = 2 if enc_config.bit_depth == 12 else 0
         self.seq = Sequence(
+            profile=profile,
             width=enc_config.width,
             height=enc_config.height,
             bit_depth=enc_config.bit_depth,

@@ -43,7 +43,7 @@ class Sequence:
     width: int
     height: int
     bit_depth: int = 8
-    profile: int = 0  # 0: 4:2:0 8/10-bit
+    profile: int = 0  # 0: 4:2:0 8/10-bit; 2 needed for 12-bit
     still_picture: bool = False
     level_idx: int = 19  # maximum parameters; TODO compute from w*h*fps
     use_128x128_superblock: bool = False
@@ -190,8 +190,12 @@ def write_sequence_header_obu(seq: Sequence) -> bytes:
     w.f(seq.color_range, 1)
     if seq.profile == 0:
         w.f(seq.chroma_sample_position, 2)
+    elif seq.profile == 2 and seq.bit_depth == 12:
+        w.f(1, 1)  # subsampling_x (4:2:0)
+        w.f(1, 1)  # subsampling_y
+        w.f(seq.chroma_sample_position, 2)
     else:
-        raise NotImplementedError("profiles 1/2 color_config")
+        raise NotImplementedError("profile 1 / non-12-bit profile 2 color_config")
     w.f(0, 1)  # separate_uv_delta_q
     w.f(int(seq.film_grain_params_present), 1)
     w.trailing_bits()

@@ -136,6 +136,7 @@ def _make_kernel(bd: int, coded_w: int, coded_h: int):
 
     @partial(jax.jit, static_argnames=("damping",))
     def kernel(y, u, v, skip, y_pri, y_sec, uv_pri, uv_sec, damping):
+        damping = damping + bd - 8  # spec: damping scales with bit depth
         nby, nbx = coded_h // 8, coded_w // 8
         dirs, var = _find_dir_all_jnp(jnp, y, bd, coded_h, coded_w)
         s4 = skip[: nby * 2, : nbx * 2].reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3)
@@ -217,6 +218,7 @@ def _make_search_kernel(bd: int, coded_w: int, coded_h: int):
 
     @partial(jax.jit, static_argnames=("damping",))
     def kernel(y, u, v, sy, su, sv, skip, damping):
+        damping = damping + bd - 8  # spec: damping scales with bit depth
         h, w = coded_h, coded_w
         nby, nbx = h // 8, w // 8
         dirs, var = _find_dir_all_jnp(jnp, y, bd, h, w)

@@ -284,6 +284,7 @@ def cdef_frame_batched(
     against it and against libdav1d)."""
     if (y_pri | y_sec | uv_pri | uv_sec) == 0:
         return
+    damping += bd - 8  # spec 7.15.3: damping scales with bit depth
     nby, nbx = coded_h // 8, coded_w // 8
     dirs, var = find_dir_all(rec[0], bd, coded_h, coded_w)
     s4 = skip[: nby * 2, : nbx * 2].reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3)
@@ -323,6 +324,7 @@ def cdef_frame(
     copy (the spec's CdefFrame input)."""
     if (y_pri | y_sec | uv_pri | uv_sec) == 0:
         return
+    damping += bd - 8  # spec 7.15.3: damping scales with bit depth
     pad = 3
     srcs = []
     for p, plane in enumerate(rec):

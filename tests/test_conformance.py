@@ -171,3 +171,54 @@ def test_psychovisual_tune_conformance():
     dec, _ = dav1d.Dav1dDecoder().decode_packet(data)
     for dp, rp in zip(dec, recon):
         assert np.array_equal(dp.astype(np.int32), rp)
+
+
+def test_12bit_conformance():
+    """12-bit (profile 2) keyframes with all in-loop filters decode
+    bit-exactly (covers the bd-scaled CDEF damping and 12-bit transforms,
+    quantizers and Wiener rounding)."""
+    rng = np.random.default_rng(5)
+    w, h = 128, 96
+    mx = 4095
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx * 31 + yy * 17) % 3800 + rng.integers(0, 200, (h, w))).clip(0, mx).astype(np.int32)
+    u = (2048 + rng.integers(-300, 300, (h // 2, w // 2))).clip(0, mx).astype(np.int32)
+    v = (1365 + rng.integers(-300, 300, (h // 2, w // 2))).clip(0, mx).astype(np.int32)
+    fe = IntraFrameEncoder(w, h, q_idx=200, bit_depth=12, device_modes=False,
+                           lf_levels=(12,) * 4, cdef_damping=5)
+    fe.lrf = True
+    tile, rec = fe.encode([y.copy(), u.copy(), v.copy()])
+    seq = Sequence(width=w, height=h, bit_depth=12, profile=2,
+                   enable_cdef=True, enable_restoration=True)
+    fp = FrameParams(base_q_idx=200, disable_cdf_update=False,
+                     loop_filter_levels=(12,) * 4, cdef_damping=5,
+                     cdef_y_strengths=(fe.cdef_strengths[0],),
+                     cdef_uv_strengths=(fe.cdef_strengths[1],),
+                     frame_restoration_type=(1, 0, 0))
+    data = (temporal_delimiter() + write_sequence_header_obu(seq)
+            + write_frame_obu(seq, fp, tile))
+    dec, _ = dav1d.Dav1dDecoder().decode_packet(data)
+    for dp, rp in zip(dec, rec):
+        assert np.array_equal(dp.astype(np.int32), rp)
+
+
+def test_10bit_cdef_conformance():
+    """10-bit with CDEF (bd-scaled damping)."""
+    rng = np.random.default_rng(6)
+    w, h = 128, 96
+    mx = 1023
+    y = rng.integers(0, mx + 1, (h, w)).astype(np.int32)
+    u = rng.integers(0, mx + 1, (h // 2, w // 2)).astype(np.int32)
+    v = rng.integers(0, mx + 1, (h // 2, w // 2)).astype(np.int32)
+    fe = IntraFrameEncoder(w, h, q_idx=180, bit_depth=10, device_modes=False,
+                           cdef_damping=5)
+    tile, rec = fe.encode([y.copy(), u.copy(), v.copy()])
+    seq = Sequence(width=w, height=h, bit_depth=10, enable_cdef=True)
+    fp = FrameParams(base_q_idx=180, disable_cdf_update=False, cdef_damping=5,
+                     cdef_y_strengths=(fe.cdef_strengths[0],),
+                     cdef_uv_strengths=(fe.cdef_strengths[1],))
+    data = (temporal_delimiter() + write_sequence_header_obu(seq)
+            + write_frame_obu(seq, fp, tile))
+    dec, _ = dav1d.Dav1dDecoder().decode_packet(data)
+    for dp, rp in zip(dec, rec):
+        assert np.array_equal(dp.astype(np.int32), rp)

@@ -152,3 +152,24 @@ def test_lookahead_importance_and_deblock_search():
     finally:
         la.propagate_importance = orig
     assert calls["n"] >= 1
+
+
+def test_standard_scene_detection():
+    """Standard (MC inter-vs-intra cost) scene detection flags a hard cut
+    and stays quiet on continuous motion."""
+    import numpy as np
+    from rav1e_tpu.api.scenechange import SceneChangeDetector
+
+    rng = np.random.default_rng(2)
+    det = SceneChangeDetector(min_len=2, max_len=999, fast=False)
+    yy, xx = np.mgrid[0:96, 0:128]
+    cuts = []
+    for t in range(8):
+        if t < 5:
+            y = ((xx + yy + 3 * t) % 200).astype(np.uint8)  # pan
+        else:
+            y = rng.integers(0, 255, (96, 128)).astype(np.uint8)  # new scene
+        cuts.append(det.analyze(y))
+    assert cuts[0] is True        # first frame
+    assert not any(cuts[1:5])     # smooth pan: no cuts
+    assert cuts[5]                # hard cut detected
