@@ -118,6 +118,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         src = self.src[0][py : py + h, px : px + w]
         return int(np.abs(src - pred).sum())
 
+    def _satd(self, rid, px, py, w, h, mv) -> int:
+        from rav1e_tpu.ops.dist_np import satd
+
+        pred = self._mc_pred(rid, 0, px, py, w, h, mv)
+        return satd(self.src[0][py : py + h, px : px + w], pred)
+
     def _motion_search(self, rid, x, y, bw, bh, stack) -> tuple:
         """Full-pel candidates (device ME map + MV stack predictors), then
         quarter-pel refinement.  Returns (mv, sad), 1/8-pel even values."""
@@ -155,13 +161,17 @@ class InterFrameEncoder(IntraFrameEncoder):
         # diamond round per step - bounded host cost); skipped when the
         # full-pel match is already near-perfect
         if self.use_satd_subpel and best_sad > bw * bh:
+            # reference: subpel candidates ranked by SATD (src/me.rs with
+            # use_satd_subpel); re-anchor the incumbent on the same metric
+            best_cost = self._satd(rid, x, y, bw, bh, best)
             for step in (4, 2):
                 trial = best
                 for dr, dc in ((-step, 0), (step, 0), (0, -step), (0, step)):
                     mv = (trial[0] + dr, trial[1] + dc)
-                    s = self._sad(rid, x, y, bw, bh, mv)
-                    if s < best_sad:
-                        best, best_sad = mv, s
+                    s = self._satd(rid, x, y, bw, bh, mv)
+                    if s < best_cost:
+                        best, best_cost = mv, s
+            best_sad = self._sad(rid, x, y, bw, bh, best)
         return best, best_sad
 
     # -- block coding --------------------------------------------------------

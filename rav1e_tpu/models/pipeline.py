@@ -12,6 +12,7 @@ from rav1e_tpu.models.intra_frame import IntraFrameEncoder
 from rav1e_tpu.obu.headers import (
     INTER_FRAME,
     PRIMARY_REF_NONE,
+    SWITCH_FRAME,
     FrameParams,
     Sequence,
     temporal_delimiter,
@@ -74,7 +75,12 @@ class FrameEncoder:
             ftype = "key"
         if ftype == "key":
             return self.encode_key_frame(frame, q_idx), "key"
-        return self.encode_inter_frame(frame, q_idx), "inter"
+        # S-frames on the configured cadence (low-latency streams):
+        # error-resilient inter frames refreshing every slot, so a decoder
+        # can join the stream here (reference: switch_frame_interval)
+        sw = self.cfg.switch_frame_interval
+        switch = bool(sw) and self.frame_count % sw == 0
+        return self.encode_inter_frame(frame, q_idx, switch=switch), "inter"
 
     def cdef_damping_for(self, q_idx: int) -> int:
         if not self.seq.enable_cdef:
@@ -129,7 +135,8 @@ class FrameEncoder:
         self.frame_count += 1
         return out
 
-    def encode_inter_frame(self, frame, q_idx: int | None = None) -> bytes:
+    def encode_inter_frame(self, frame, q_idx: int | None = None,
+                           switch: bool = False) -> bytes:
         """Low-latency P frame: LAST = slot 0, refresh all slots."""
         return self.encode_inter(
             frame,
@@ -138,11 +145,12 @@ class FrameEncoder:
             ref_slots={1: 0},
             show_frame=True,
             refresh_flags=0xFF,
+            switch=switch,
         )
 
     def encode_inter(self, frame, q_idx, order_hint, ref_slots: dict,
                      show_frame: bool, refresh_flags: int,
-                     imp_scale=None) -> bytes:
+                     imp_scale=None, switch: bool = False) -> bytes:
         """General inter frame.  ref_slots: {ref_id: slot} for the refs the
         block search may use (1=LAST, 5=BWDREF, 7=ALTREF); LAST doubles as
         the primary ref (CDF inheritance)."""
@@ -163,7 +171,7 @@ class FrameEncoder:
             bit_depth=self.cfg.bit_depth,
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
-            init_cdf=(None if self.cfg.error_resilient
+            init_cdf=(None if (self.cfg.error_resilient or switch)
                       else self.slots[last_slot]["cdf"]),
             lf_levels=lf,
             cdef_damping=damping,
@@ -191,7 +199,7 @@ class FrameEncoder:
         for rid, s_ in ref_slots.items():
             idx[rid - 1] = s_
         fp = FrameParams(
-            frame_type=INTER_FRAME,
+            frame_type=SWITCH_FRAME if switch else INTER_FRAME,
             show_frame=show_frame,
             showable_frame=not show_frame,
             base_q_idx=q,
@@ -202,13 +210,14 @@ class FrameEncoder:
             tile_rows_log2=self.tile_rows_log2,
             refresh_frame_flags=refresh_flags,
             ref_frame_idx=tuple(idx),
-            error_resilient=self.cfg.error_resilient,
+            error_resilient=self.cfg.error_resilient or switch,
             ref_order_hints=tuple(
                 self.slots.get(i, {"hint": 0})["hint"] for i in range(8)
             ),
             # CDFs (and filter deltas) inherit from LAST = ref_frame_idx[0];
             # error-resilient frames must reset to defaults instead
-            primary_ref_frame=(PRIMARY_REF_NONE if self.cfg.error_resilient else 0),
+            primary_ref_frame=(PRIMARY_REF_NONE
+                               if (self.cfg.error_resilient or switch) else 0),
         )
         if fe.cdef_strengths is not None:
             fp.cdef_damping = damping

@@ -377,7 +377,13 @@ def write_frame_header(
 
 
 def _write_frame_size(w: BitWriter, seq: Sequence, fp: FrameParams) -> None:
-    # frame_size_override_flag == 0: sizes from sequence header
+    # SWITCH frames have frame_size_override_flag inferred 1: the size is
+    # coded explicitly with the sequence header's frame size bit widths
+    if fp.frame_type == SWITCH_FRAME:
+        width_bits = max(1, (seq.width - 1).bit_length())
+        height_bits = max(1, (seq.height - 1).bit_length())
+        w.f(seq.width - 1, width_bits)
+        w.f(seq.height - 1, height_bits)
     if seq.enable_superres:
         w.f(0, 1)  # use_superres
     w.f(0, 1)  # render_and_frame_size_different

@@ -124,3 +124,26 @@ def test_flat_inter_all_skip():
     pkts = run_clip([(y, u, v)] * 3, q=120, low_latency=True)
     assert len(pkts[1]) < 40, len(pkts[1])
     assert len(pkts[2]) < 40, len(pkts[2])
+
+
+def test_switch_frames():
+    """switch_frame_interval in low latency: every Nth inter frame is an
+    S-frame (frame_type SWITCH, error resilient, refreshes all slots) and
+    the stream decodes bit-exactly."""
+    from rav1e_tpu.obu.headers import SWITCH_FRAME
+
+    seen = []
+    import rav1e_tpu.obu.headers as hdr
+    orig = hdr.write_frame_header
+    def probe(seq, fp, **kw):
+        seen.append(fp.frame_type)
+        return orig(seq, fp, **kw)
+    hdr.write_frame_header = probe
+    import rav1e_tpu.models.pipeline as pl
+    orig2 = pl.write_frame_obu
+    try:
+        run_clip(static_content(96, 80, 7), q=120, low_latency=True,
+                 switch_frame_interval=3, min_key_frame_interval=1)
+    finally:
+        hdr.write_frame_header = orig
+    assert SWITCH_FRAME in seen, seen
