@@ -59,11 +59,12 @@ enum {
     R_TXTYPE2,       // u16 [4][13][6]
     R_CFL_SIGN,      // u16 [1][9]
     R_CFL_ALPHA,     // u16 [6][17]
+    R_SEG_ID,        // u16 [3][9]
     R_SM_WEIGHTS,    // i32 [68] (concatenated sizes 4,8,16,32,64)
     R_DR,            // i32 dr_intra_derivative (indexed by angle)
     R_COUNT,
 };
-constexpr int N_CDF = 20;  // u16 tables in the registry (before SM/DR)
+constexpr int N_CDF = 21;  // u16 tables in the registry (before SM/DR)
 constexpr int UV_CFL_SYM = 13;
 
 // intra_frame.py INTRA_MODE_CTX (intra mode -> context class)
@@ -301,7 +302,7 @@ inline int tx_size_ctx(int w, int h) {
 int code_block_symbols(
     MsacEnc *enc, const Ptrs &P,
     int x, int y, int bw, int bh, int y_mode, int skip, int tt,
-    int au, int av, int y_delta,
+    int au, int av, int y_delta, int seg_symv, int seg_ctx, int seg_nsyms,
     const int32_t *lv_y, const int32_t *lv_u, const int32_t *lv_v,
     const int32_t *scan_y, const int32_t *scan_c,
     bool ha, bool hl,
@@ -315,6 +316,11 @@ int code_block_symbols(
     // ---- mode symbols (intra_frame.py:790) ----
     int skip_ctx = above_skip[mc] + left_skip[mr];
     msac_symbol(enc, P.c[R_SKIP] + skip_ctx * 3, 2, skip, adapt);
+    // intra segment id follows skip (SegIdPreSkip == 0) and is omitted
+    // (spatially predicted) for skip blocks
+    if (seg_nsyms > 0 && !skip)
+        msac_symbol(enc, P.c[R_SEG_ID] + (int64_t)seg_ctx * 9, seg_nsyms,
+                    seg_symv, adapt);
 
     int actx = ha ? INTRA_MODE_CTX[above_mode[mc]] : 0;
     int lctx = hl ? INTRA_MODE_CTX[left_mode[mr]] : 0;
@@ -471,7 +477,8 @@ int encode_intra_block(
     const uint64_t *pctx,
     int mi_cols, int mi_rows, int adapt, int recon_only, void *cache_vp,
     int cfl, uint8_t *mi_coded, int mi_stride,
-    int tx0, int ty0, int tx1, int ty1, int fine_dir)
+    int tx0, int ty0, int tx1, int ty1, int fine_dir,
+    int seg_symv, int seg_ctx, int seg_nsyms)
 {
     Ptrs P;
     for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
@@ -728,9 +735,10 @@ int encode_intra_block(
         // the symbols without repeating prediction/transform work.
         if (cache_vp) {
             BlockCache *bc = (BlockCache *)cache_vp;
-            int32_t hdr[11] = {x, y, bw, bh, y_mode, skip, tt,
-                               (have_above << 1) | have_left, au, av, y_delta};
-            bc->buf.insert(bc->buf.end(), hdr, hdr + 11);
+            int32_t hdr[14] = {x, y, bw, bh, y_mode, skip, tt,
+                               (have_above << 1) | have_left, au, av, y_delta,
+                               seg_symv, seg_ctx, seg_nsyms};
+            bc->buf.insert(bc->buf.end(), hdr, hdr + 14);
             if (!skip) {
                 bc->buf.insert(bc->buf.end(), lv_y, lv_y + bw * bh);
                 bc->buf.insert(bc->buf.end(), lv_u, lv_u + cw * ch);
@@ -744,7 +752,8 @@ int encode_intra_block(
         }
     } else {
         code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
-                           y_delta, lv_y, lv_u, lv_v, scan_y, scan_c, ha, hl,
+                           y_delta, seg_symv, seg_ctx, seg_nsyms,
+                           lv_y, lv_u, lv_v, scan_y, scan_c, ha, hl,
                            above_mode, left_mode, above_skip, left_skip,
                            pctx, mi_cols, mi_rows, adapt, q_nonzero);
         if (skip) {
@@ -789,7 +798,7 @@ void block_cache_rewind(void *c) { ((BlockCache *)c)->cursor = 0; }
 // 1 if the next cached record is block (x, y, bw, bh)
 int cached_block_peek(void *c, int x, int y, int bw, int bh) {
     BlockCache *bc = (BlockCache *)c;
-    if (bc->cursor + 11 > bc->buf.size()) return 0;
+    if (bc->cursor + 14 > bc->buf.size()) return 0;
     const int32_t *h = &bc->buf[bc->cursor];
     return h[0] == x && h[1] == y && h[2] == bw && h[3] == bh;
 }
@@ -805,12 +814,13 @@ int encode_cached_block(
     const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero)
 {
     BlockCache *bc = (BlockCache *)c;
-    if (bc->cursor + 11 > bc->buf.size()) return -1;
+    if (bc->cursor + 14 > bc->buf.size()) return -1;
     const int32_t *h = &bc->buf[bc->cursor];
     if (h[0] != x || h[1] != y || h[2] != bw || h[3] != bh) return -1;
     const int y_mode = h[4], skip = h[5], tt = h[6], hal = h[7];
     const int au = h[8], av = h[9], y_delta = h[10];
-    bc->cursor += 11;
+    const int seg_symv = h[11], seg_ctx = h[12], seg_nsyms = h[13];
+    bc->cursor += 14;
     const int cw = bw >> 1, ch = bh >> 1;
     const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
     if (!skip) {
@@ -824,7 +834,8 @@ int encode_cached_block(
     P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
     P.dr = (const int32_t *)reg[R_DR];
     return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
-                              y_delta, lv_y, lv_u, lv_v, scan_y, scan_c,
+                              y_delta, seg_symv, seg_ctx, seg_nsyms,
+                              lv_y, lv_u, lv_v, scan_y, scan_c,
                               (hal >> 1) != 0, (hal & 1) != 0,
                               above_mode, left_mode, above_skip, left_skip,
                               pctx, mi_cols, mi_rows, adapt, q_nonzero);

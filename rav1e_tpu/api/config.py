@@ -81,6 +81,7 @@ class EncoderConfig:
     min_quantizer: int = 0
     bitrate: int = 0
     tune: str = "psychovisual"
+    segmentation_aq: bool = False  # activity-driven per-segment delta-q
     tile_cols: int = 0
     tile_rows: int = 0
     tiles: int = 0

@@ -23,7 +23,7 @@ _REG_CDF_ATTRS = (
     "eob_pt_16", "eob_pt_32", "eob_pt_64", "eob_pt_128", "eob_pt_256",
     "eob_pt_512", "eob_pt_1024",
     "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
-    "intra_tx_type_set2", "cfl_sign", "cfl_alpha",
+    "intra_tx_type_set2", "cfl_sign", "cfl_alpha", "segment_id",
 )
 
 _SM_I32 = np.ascontiguousarray(ip._SM_W, np.int32)
@@ -66,6 +66,7 @@ def _configure():
         _ci,                           # cfl search enabled
         _vp, _ci,                      # mi_coded map + stride
         _ci, _ci, _ci, _ci, _ci,       # tile x0 y0 x1 y1, fine_dir
+        _ci, _ci, _ci,                 # seg symbol value / ctx / nsyms
     ]
     _lib.encode_intra_block.restype = ctypes.c_int
     _lib.block_cache_new.restype = _vp
@@ -189,7 +190,8 @@ class NativeBlockCoder:
 
     def encode_block(self, x: int, y: int, bw: int, bh: int, y_mode: int,
                      have_above: bool, have_left: bool,
-                     recon_only: bool = False) -> tuple:
+                     recon_only: bool = False,
+                     seg: tuple = (0, 0, 0)) -> tuple:
         """Encode one leaf block; returns (skip, tx_type)."""
         fe = self.fe
         if fe.cdf is not self._cdf_obj:
@@ -223,6 +225,7 @@ class NativeBlockCoder:
             fe.mi_coded.ctypes.data, fe.mi_coded.shape[1],
             fe.tx0, fe.ty0, fe.tx1, fe.ty1,
             1 if fe.fine_dir else 0,
+            seg[0], seg[1], seg[2],
         )
         skip = bool(ret & 1)
         tt = tf.ADST_ADST if (ret >> 1) else tf.DCT_DCT

@@ -86,8 +86,11 @@ class IntraFrameEncoder:
                  device_modes: bool | None = None, init_cdf=None,
                  lf_levels=(0, 0, 0, 0), lf_sharpness: int = 0,
                  cdef_damping: int = 0, tile_cols_log2: int = 0,
-                 tile_rows_log2: int = 0, tune: str = "psnr"):
+                 tile_rows_log2: int = 0, tune: str = "psnr",
+                 seg_deltas: tuple = ()):
         self.tune = tune
+        # segmentation AQ: SEG_LVL_ALT_Q per segment (empty = disabled)
+        self.seg_deltas = tuple(seg_deltas)
         self.tile_cols_log2 = tile_cols_log2
         self.tile_rows_log2 = tile_rows_log2
         self.init_cdf = init_cdf  # primary-ref CDF inheritance (None: defaults)
@@ -218,6 +221,37 @@ class IntraFrameEncoder:
             m[:h2, :w2] = base[:h2, :w2] / imp[:h2, :w2]
             self._lam_map = m
 
+        # segmentation AQ: 32x32-aligned segment map from the activity
+        # mask quartiles (every leaf block lies inside one aligned 32x32,
+        # so the whole block shares one segment id like the decoder's
+        # per-block assignment).  Reference analog: src/segmentation.rs.
+        self.seg_map = None
+        if self.seg_deltas:
+            from rav1e_tpu.models.activity import activity_mask
+
+            nseg = len(self.seg_deltas)
+            act = activity_mask(self.src[0])
+            h8, w8 = act.shape
+            hb, wb = h8 // 4, w8 // 4
+            a32 = act[: hb * 4, : wb * 4].reshape(hb, 4, wb, 4).mean(axis=(1, 3))
+            qs = np.quantile(a32, np.linspace(0, 1, nseg + 1)[1:-1]) if nseg > 1 else []
+            seg32 = np.digitize(a32, qs).astype(np.uint8)
+            # mi granularity (SB-padded)
+            self.seg_map = np.zeros((self.h // 4, self.w // 4), np.uint8)
+            m = np.repeat(np.repeat(seg32, 8, 0), 8, 1)
+            self.seg_map[: m.shape[0], : m.shape[1]] = m
+            self.seg_last = nseg - 1
+            self.seg_coded = np.zeros_like(self.seg_map)
+            base_lam_q = self.ac_q
+            self._seg_q = []
+            self._seg_lam = []
+            for d in self.seg_deltas:
+                qi = int(np.clip(self.q + d, 1, 255))
+                self._seg_q.append((qz.dc_q(qi, 0, self.bd),
+                                    qz.ac_q(qi, 0, self.bd)))
+                self._seg_lam.append(0.06 * (self._seg_q[-1][1] / 8.0) ** 2)
+            self._lam_map = None  # the segment lambdas subsume activity AQ
+
         from rav1e_tpu.ops.deblock_np import DeblockInfo
 
         self.db_info = DeblockInfo(self.h // 4, self.w // 4)
@@ -284,6 +318,81 @@ class IntraFrameEncoder:
     def _pre_encode(self) -> None:
         """Hook for subclasses (inter: mi-grid MV state init)."""
 
+    def _set_block_q(self, mr: int, mc: int) -> None:
+        """Per-block quantizer/lambda from the segment map (no-op when
+        segmentation is off)."""
+        if self.seg_map is None:
+            return
+        sid = int(self.seg_map[mr, mc])
+        self.dc_q, self.ac_q = self._seg_q[sid]
+        self.lam = self._seg_lam[sid]
+
+    @staticmethod
+    def _neg_interleave(x: int, ref: int, mx: int) -> int:
+        """Encoder inverse of the spec's neg_deinterleave (5.11.38)."""
+        if ref == 0:
+            return x
+        if ref >= mx - 1:
+            return mx - 1 - x
+        if 2 * ref < mx:
+            if x <= 2 * ref:
+                d = x - ref
+                return 2 * (x - ref) - 1 if d > 0 else 2 * (ref - x)
+            return x
+        if abs(x - ref) <= mx - ref - 1 and ref - (mx - ref - 1) <= x:
+            d = x - ref
+            return 2 * (x - ref) - 1 if d > 0 else 2 * (ref - x)
+        return mx - 1 - x
+
+    def _seg_pred_ctx(self, mr: int, mc: int) -> tuple:
+        """(pred, ctx) for the spatial segment-id symbol (coded neighbor
+        ids equal the planned map)."""
+        au = self._have_above(mr * 4)
+        al = self._have_left(mc * 4)
+        pu = int(self.seg_coded[mr - 1, mc]) if au else -1
+        pl = int(self.seg_coded[mr, mc - 1]) if al else -1
+        pul = int(self.seg_coded[mr - 1, mc - 1]) if (au and al) else -1
+        if pul < 0:
+            ctx = 0
+        elif pul == pu and pul == pl:
+            ctx = 2
+        elif pul == pu or pul == pl or pu == pl:
+            ctx = 1
+        else:
+            ctx = 0
+        if pu == -1:
+            pred = 0 if pl == -1 else pl
+        elif pl == -1:
+            pred = pu
+        else:
+            pred = pu if pul == pu else pl
+        return pred, ctx
+
+    def _seg_symbol_args(self, mr: int, mc: int) -> tuple:
+        """(symbol value, ctx, nsyms) for this block's segment id."""
+        sid = int(self.seg_map[mr, mc])
+        pred, ctx = self._seg_pred_ctx(mr, mc)
+        symv = self._neg_interleave(sid, pred, self.seg_last + 1)
+        # the alphabet is always the full 8-segment cdf (the lastActive
+        # bound limits values, not the coded alphabet)
+        return symv, ctx, 8
+
+    def _seg_after_block(self, mr, mc, bw, bh, skip) -> None:
+        """Record the decoder-visible segment id over the block's mi
+        region: the coded id, or the spatial prediction for skip blocks
+        (read_segment_id early-out)."""
+        if skip:
+            pred, _ = self._seg_pred_ctx(mr, mc)
+            sid = pred
+        else:
+            sid = int(self.seg_map[mr, mc])
+        self.seg_coded[mr : mr + bh // 4, mc : mc + bw // 4] = sid
+
+    def _write_segment_id(self, mr: int, mc: int) -> None:
+        symv, ctx, nsyms = self._seg_symbol_args(mr, mc)
+        symf = self.enc.symbol_adapt if self.adapt else self.enc.symbol
+        symf(symv, self.cdf.segment_id[ctx][: nsyms + 1])
+
     def _lam_for(self, x: int, y: int) -> float:
         """Effective RD lambda at a block position (activity-scaled when
         tune=psychovisual; shared by the python and native block paths)."""
@@ -344,6 +453,8 @@ class IntraFrameEncoder:
         self.above_skip[c0:c1] = 0
         self.left_skip[r0:r1] = 0
         self.mi_coded[r0:r1, c0:c1] = 0
+        if self.seg_map is not None:
+            self.seg_coded[r0:r1, c0:c1] = 0
         for p, ctx in enumerate(self.pctx):
             sub = 0 if p == 0 else 1
             pc0, pc1 = (self.tx0 >> sub) // 4, ((self.tx1 >> sub) + 3) // 4
@@ -876,6 +987,8 @@ class IntraFrameEncoder:
         info carries the artifacts so the winning candidate is coded without
         recomputation."""
         mc, mr = x // 4, y // 4
+        if self.seg_map is not None:
+            self._set_block_q(mr, mc)
         y_mode = self._choose_mode(x, y, bw, bh)
         y_delta = self._choose_delta(x, y, bw, bh, y_mode)
         pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh,
@@ -1038,14 +1151,19 @@ class IntraFrameEncoder:
         cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
         uv_mode = ip.DC_PRED
         cfl_alphas = (0, 0)
+        if self.seg_map is not None:
+            self._set_block_q(mr, mc)
 
         use_native_block = (self._nbc is not None and not self._pending
                             and hasattr(self.enc, "_e"))
         if use_native_block:
             if self._lr_replay and self._nbc.cache_peek(x, y, bw, bh):
                 # pass B of the two-pass LR flow: symbols from the pass-A
-                # cache, no prediction/transform/reconstruction repeat
+                # cache (incl. the segment id), no prediction/transform
+                # repeat
                 skip, _ = self._nbc.replay_block(x, y, bw, bh)
+                if self.seg_map is not None:
+                    self._seg_after_block(mr, mc, bw, bh, skip)
                 self.db_info.set_block(x, y, bw, bh, skip)
                 # keep the blockDecoded analog in step for any python-path
                 # blocks later in pass B
@@ -1055,10 +1173,15 @@ class IntraFrameEncoder:
 
             y_mode = self._choose_mode(x, y, bw, bh)
             if y_mode in NATIVE_MODES:
+                seg = (0, 0, 0)
+                if self.seg_map is not None:
+                    seg = self._seg_symbol_args(mr, mc)
                 skip, _ = self._nbc.encode_block(
                     x, y, bw, bh, y_mode,
                     self._have_above(y), self._have_left(x),
-                    recon_only=self._recon_only)
+                    recon_only=self._recon_only, seg=seg)
+                if self.seg_map is not None:
+                    self._seg_after_block(mr, mc, bw, bh, skip)
                 self.db_info.set_block(x, y, bw, bh, skip)
                 return
 
@@ -1091,6 +1214,12 @@ class IntraFrameEncoder:
         # --- mode info ---
         skip_ctx = int(self.above_skip[mc] + self.left_skip[mr])
         sym(1 if skip else 0, self.cdf.skip[skip_ctx])
+        # intra segment id follows skip (SegIdPreSkip == 0) and is omitted
+        # (predicted) for skip blocks
+        if self.seg_map is not None:
+            if not skip:
+                self._write_segment_id(mr, mc)
+            self._seg_after_block(mr, mc, bw, bh, skip)
 
         above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if self._have_above(y) else 0
         left_ctx = INTRA_MODE_CTX[int(self.left_mode[mr])] if self._have_left(x) else 0

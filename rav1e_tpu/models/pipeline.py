@@ -91,10 +91,13 @@ class FrameEncoder:
         q = self.cfg.quantizer if q_idx is None else q_idx
         lf = self.lf_levels_for(q)
         damping = self.cdef_damping_for(q)
+        seg = ((-8, -3, 2, 7) if getattr(self.cfg, "segmentation_aq", False)
+               else ())
         fe = IntraFrameEncoder(
             self.cfg.width,
             self.cfg.height,
             q_idx=q,
+            seg_deltas=seg,
             bit_depth=self.cfg.bit_depth,
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
@@ -120,6 +123,7 @@ class FrameEncoder:
             loop_filter_levels=fe.lf_levels,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
+            seg_deltas=fe.seg_deltas,
         )
         if fe.cdef_strengths is not None:
             fp.cdef_damping = damping

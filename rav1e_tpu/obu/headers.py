@@ -115,6 +115,8 @@ class FrameParams:
     frame_to_show_map_idx: int = 0  # show_existing_frame path
     # per-slot order hints (coded only in error-resilient inter frames)
     ref_order_hints: tuple = (0,) * 8
+    # segmentation (SEG_LVL_ALT_Q deltas per segment; empty = disabled)
+    seg_deltas: tuple = ()
 
     @property
     def frame_is_intra(self) -> bool:
@@ -313,8 +315,23 @@ def write_frame_header(
     _write_delta_q(w, fp.dc_delta_q[1])  # DeltaQUDc
     _write_delta_q(w, fp.ac_delta_q[1])  # DeltaQUAc
     w.f(0, 1)  # using_qmatrix
-    # segmentation_params
-    w.f(0, 1)  # segmentation_enabled
+    # segmentation_params (spec 5.9.14); only SEG_LVL_ALT_Q is used
+    if not fp.seg_deltas:
+        w.f(0, 1)  # segmentation_enabled
+    else:
+        w.f(1, 1)
+        if fp.primary_ref_frame != PRIMARY_REF_NONE:
+            w.f(1, 1)  # segmentation_update_map
+            w.f(0, 1)  # segmentation_temporal_update
+            w.f(1, 1)  # segmentation_update_data
+        # update_data: 8 segments x 8 features
+        for seg in range(8):
+            for feat in range(8):
+                en = feat == 0 and seg < len(fp.seg_deltas)
+                w.f(int(en), 1)
+                if en:
+                    # su(1+8): 9-bit two's-complement signed literal
+                    w.f(int(fp.seg_deltas[seg]) & 0x1FF, 9)
     # delta_q_params
     if fp.base_q_idx > 0:
         w.f(0, 1)  # delta_q_present

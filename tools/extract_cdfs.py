@@ -172,6 +172,10 @@ TABLES: dict[str, Table] = {
     # wiener/sgrproj singles are code immediates (values from libaom
     # entropymode.c defaults; validated by the LR conformance tests)
     "switchable_restore": Table((1,), 3, [9413, 22581], at=42461, source="rav_at"),
+    # spatial segment-id prediction cdfs (3 ctx x 8 segments); the icdf rows
+    # appear identically in librav1e @42480 and libaom .rodata (carve-scan
+    # cross-validated)
+    "segment_id": Table((3,), 8, [5622, 7893, 16093, 18233, 27809, 28373, 32533], at=42480, source="rav_at"),
     "wiener_restore": Table((1,), 2, [11570], source="literal"),
     "sgrproj_restore": Table((1,), 2, [16855], source="literal"),
     # zeromv (GLOBALMV) defaults: stored as code immediates in both binaries
