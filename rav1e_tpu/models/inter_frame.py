@@ -25,6 +25,41 @@ NEARESTMV = 13
 NEARMV = 14
 GLOBALMV = 15
 NEWMV = 16
+# compound modes (coded as inter_compound_mode = YMode - NEAREST_NEARESTMV)
+NEAREST_NEARESTMV = 17
+NEAR_NEARMV = 18
+NEAREST_NEWMV = 19
+NEW_NEARESTMV = 20
+NEAR_NEWMV = 21
+NEW_NEARMV = 22
+GLOBAL_GLOBALMV = 23
+NEW_NEWMV = 24
+
+def comp_mode_cdf_ctx(new_mv_context: int, ref_mv_context: int) -> int:
+    """Context for the inter_compound_mode cdf row.
+
+    Determined empirically against libdav1d (per-cell forced-context scans,
+    see tests/test_compound.py): with CloseMatches == 0 the context is the
+    NewMvContext (0/1); otherwise it is NewMvContext + 1 + 2*(Total-1),
+    capped at 7.  Validated cells: (0,0)->0 (1,1)->1 (2,3)->3 (3,3)->4
+    (2,4)->5 (4,5)->7 (5,5)->7."""
+    if ref_mv_context <= 2:  # CloseMatches == 0 (NewMvContext in {0, 1})
+        return min(new_mv_context, 1)
+    if ref_mv_context <= 4:  # CloseMatches == 1, Total = RefMvContext - 2
+        return min(7, new_mv_context + 1 + 2 * (ref_mv_context - 3))
+    return min(7, new_mv_context + 3)  # CloseMatches == 2 (Total == 2)
+
+# per-list decomposition of a compound mode (spec get_mode)
+_COMP_MODE_LISTS = {
+    NEAREST_NEARESTMV: (NEARESTMV, NEARESTMV),
+    NEAR_NEARMV: (NEARMV, NEARMV),
+    NEAREST_NEWMV: (NEARESTMV, NEWMV),
+    NEW_NEARESTMV: (NEWMV, NEARESTMV),
+    NEAR_NEWMV: (NEARMV, NEWMV),
+    NEW_NEARMV: (NEWMV, NEARMV),
+    GLOBAL_GLOBALMV: (GLOBALMV, GLOBALMV),
+    NEW_NEWMV: (NEWMV, NEWMV),
+}
 
 
 def size_group(bw: int, bh: int) -> int:
@@ -61,6 +96,14 @@ class InterFrameEncoder(IntraFrameEncoder):
         # temporal side per ref (order-hint sign bias); set by the pipeline
         self.sign_bias = {rid: 0 for rid in self.ref_ids}
         self.rdo_partition = False  # inter partition RD lands next milestone
+        # compound prediction (reference_select=1): enabled by the pipeline
+        # when the ref set spans both temporal sides
+        self.reference_select = False
+        self.comp_search = speed <= 8  # evaluate compound candidates in RD
+        # restrictable candidate set (conformance tests isolate modes here)
+        self.comp_modes_allowed = (NEAREST_NEARESTMV, GLOBAL_GLOBALMV,
+                                   NEW_NEWMV)
+        self.comp_block_count = 0  # compound blocks coded (test introspection)
         self.me_range = 16  # full-pel search radius (px)
         self.use_satd_subpel = speed <= 8  # subpel refinement toggle
 
@@ -96,6 +139,18 @@ class InterFrameEncoder(IntraFrameEncoder):
         rh = self.out_h if plane == 0 else (self.out_h + 1) >> 1
         return mc.put_single(self.refs[rid][plane], px, py, w, h, mv[0], mv[1],
                              sub, sub, self.bd, ref_w=rw, ref_h=rh)
+
+    def _mc_pred_comp(self, rids, plane, px, py, w, h, mv_pair) -> np.ndarray:
+        """Averaged compound prediction (spec 7.11.3.1 COMPOUND_AVERAGE)."""
+        sub = 0 if plane == 0 else 1
+        rw = self.out_w if plane == 0 else (self.out_w + 1) >> 1
+        rh = self.out_h if plane == 0 else (self.out_h + 1) >> 1
+        p0, p1 = (
+            mc.put_prep(self.refs[rid][plane], px, py, w, h, mv[0], mv[1],
+                        sub, sub, self.bd, ref_w=rw, ref_h=rh)
+            for rid, mv in zip(rids, mv_pair)
+        )
+        return mc.avg_compound(p0, p1, self.bd)
 
     def _code_inter_tx(self, plane, px, py, tw, th, pred):
         src = self.src[plane][py : py + th, px : px + tw]
@@ -181,10 +236,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         every available reference; rid None means intra."""
         mr, mc_ = y // 4, x // 4
         best = None  # (cost, rid, mode, mv, idx, res)
+        singles = {}  # rid -> (mv_me, sad_me) for compound reuse
         for rid in self.ref_ids:
             res = mvp.find_mv_stack(self.grid, mr, mc_, bw // 4, bh // 4,
                                     rid, tile=tile, sign_bias=self.sign_bias)
             mv_me, sad_me = self._motion_search(rid, x, y, bw, bh, res.stack)
+            singles[rid] = (mv_me, sad_me)
             sad_zero = (self._sad(rid, x, y, bw, bh, (0, 0))
                         if mv_me != (0, 0) else sad_me)
             nearest = tuple(res.stack[0])
@@ -201,6 +258,36 @@ class InterFrameEncoder(IntraFrameEncoder):
             cost, mode, mv, idx = options[0]
             if best is None or cost < best[0]:
                 best = (cost, rid, mode, mv, idx, res)
+
+        # compound (bidir average): candidate (forward, backward) ref pairs;
+        # the prediction is the mean of both MC predictions, which halves
+        # the noise of the residual for frames between their references
+        if self.reference_select and min(bw, bh) >= 8 and self.comp_search:
+            fwds = [r for r in self.ref_ids if r <= mvp.GOLDEN_FRAME]
+            bwds = [r for r in self.ref_ids if r >= mvp.BWDREF_FRAME]
+            src = self.src[0][y : y + bh, x : x + bw]
+            for fr in fwds:
+                for br in bwds:
+                    pair = (fr, br)
+                    resc = mvp.find_mv_stack(
+                        self.grid, mr, mc_, bw // 4, bh // 4, pair,
+                        tile=tile, sign_bias=self.sign_bias)
+                    zero2 = ((0, 0), (0, 0))
+                    cands = [(NEAREST_NEARESTMV, tuple(resc.stack[0]), 2)]
+                    if tuple(resc.stack[0]) != zero2:
+                        cands.append((GLOBAL_GLOBALMV, zero2, 0))
+                    mv_pair = (singles[fr][0], singles[br][0])
+                    if mv_pair != tuple(resc.stack[0]):
+                        cands.append((NEW_NEWMV, mv_pair, 6 * bw // 8))
+                    comp_bias = 3 * bw // 8  # two refs + compound mode bits
+                    for cmode, cmv, mbias in cands:
+                        if cmode not in self.comp_modes_allowed:
+                            continue
+                        pred = self._mc_pred_comp(pair, 0, x, y, bw, bh, cmv)
+                        sad = int(np.abs(src - pred).sum())
+                        cost = sad + mbias + comp_bias
+                        if cost < best[0]:
+                            best = (cost, pair, cmode, cmv, 0, resc)
         cost, rid, mode, mv, idx, res = best
         # intra fallback: DC prediction beats motion?
         rec = self.rec[0]
@@ -245,8 +332,15 @@ class InterFrameEncoder(IntraFrameEncoder):
                 min(self.tx1, self.mi_cols * 4) // 4)
         rid, mode, mv, ref_mv_idx, res = self._decide_inter(x, y, bw, bh, tile)
         is_inter = mode is not None
+        is_comp = is_inter and isinstance(rid, tuple)
 
-        if is_inter:
+        if is_comp:
+            self.comp_block_count += 1
+            pred_y = self._mc_pred_comp(rid, 0, x, y, bw, bh, mv)
+            pred_u = self._mc_pred_comp(rid, 1, cx, cy, cw, ch, mv)
+            pred_v = self._mc_pred_comp(rid, 2, cx, cy, cw, ch, mv)
+            y_mode = mode
+        elif is_inter:
             pred_y = self._mc_pred(rid, 0, x, y, bw, bh, mv)
             pred_u = self._mc_pred(rid, 1, cx, cy, cw, ch, mv)
             pred_v = self._mc_pred(rid, 2, cx, cy, cw, ch, mv)
@@ -299,35 +393,88 @@ class InterFrameEncoder(IntraFrameEncoder):
         sym(1 if is_inter else 0, self.cdf.intra_inter[ii_ctx])
 
         if is_inter:
-            # ref frames: single reference coding for the chosen ref
+            # ref frames (spec read_ref_frames): when the header signals
+            # reference_select, blocks of at least 8x8 code a comp_mode
+            # symbol first (0 = single reference)
             counts = mvp.neighbor_ref_counts(self.grid, mr, mc_, tile=tile)
             ctxs = mvp.single_ref_ctxs(counts)
-            self._write_ref_bits(sym, rid, ctxs)
+            if self.reference_select and min(bw, bh) >= 8:
+                cm_ctx = mvp.comp_mode_ctx(self.grid, mr, mc_, tile=tile)
+                sym(1 if is_comp else 0, self.cdf.comp_mode[cm_ctx])
+            if is_comp:
+                # BIDIR pair: comp_ref_type then fwd/bwd ref trees (spec
+                # read_ref_frames compound arm)
+                fr, br = rid
+                sym(1, self.cdf.comp_ref_type[
+                    mvp.comp_ref_type_ctx(self.grid, mr, mc_, tile=tile)])
+                bit0 = 0 if fr in (mvp.LAST_FRAME, mvp.LAST2_FRAME) else 1
+                sym(bit0, self.cdf.comp_ref[ctxs[3]][0])
+                if bit0 == 0:
+                    sym(1 if fr == mvp.LAST2_FRAME else 0,
+                        self.cdf.comp_ref[ctxs[4]][1])
+                else:
+                    sym(1 if fr == mvp.GOLDEN_FRAME else 0,
+                        self.cdf.comp_ref[ctxs[5]][2])
+                bbit = 1 if br == mvp.ALTREF_FRAME else 0
+                sym(bbit, self.cdf.comp_bwd_ref[ctxs[2]][0])
+                if not bbit:
+                    sym(1 if br == mvp.ALTREF2_FRAME else 0,
+                        self.cdf.comp_bwd_ref[ctxs[6]][1])
+            else:
+                self._write_ref_bits(sym, rid, ctxs)
 
-            # inter mode tree
-            sym(0 if mode == NEWMV else 1, self.cdf.newmv[res.new_mv_context])
-            if mode != NEWMV:
-                sym(0 if mode == GLOBALMV else 1, self.cdf.zeromv[res.zero_mv_context])
-                if mode != GLOBALMV:
-                    sym(0 if mode == NEARESTMV else 1, self.cdf.refmv[res.ref_mv_context])
-            # drl index
-            if mode == NEWMV:
-                for idx in (0, 1):
-                    if res.num_mv_found > idx + 1:
-                        bit = 1 if ref_mv_idx != idx else 0
-                        sym(bit, self.cdf.drl[mvp.drl_ctx(res.weights, idx)])
-                        if not bit:
-                            break
-            elif mode == NEARMV:
-                for idx in (1, 2):
-                    if res.num_mv_found > idx + 1:
-                        bit = 1 if ref_mv_idx != idx else 0
-                        sym(bit, self.cdf.drl[mvp.drl_ctx(res.weights, idx)])
-                        if not bit:
-                            break
-            if mode == NEWMV:
-                pred_mv = res.stack[ref_mv_idx]
-                self._encode_mv(mv[0] - pred_mv[0], mv[1] - pred_mv[1])
+            if is_comp:
+                # compound mode: one 8-ary symbol replaces the new/zero/ref
+                # binary tree
+                cm8 = comp_mode_cdf_ctx(res.new_mv_context, res.ref_mv_context)
+                sym(mode - NEAREST_NEARESTMV, self.cdf.inter_compound_mode[cm8])
+                modes01 = _COMP_MODE_LISTS[mode]
+                if mode == NEW_NEWMV:
+                    for idx in (0, 1):
+                        if res.num_mv_found > idx + 1:
+                            bit = 1 if ref_mv_idx != idx else 0
+                            sym(bit, self.cdf.drl[mvp.drl_ctx(res.weights, idx)])
+                            if not bit:
+                                break
+                elif NEARMV in modes01:
+                    for idx in (1, 2):
+                        if res.num_mv_found > idx + 1:
+                            bit = 1 if ref_mv_idx != idx else 0
+                            sym(bit, self.cdf.drl[mvp.drl_ctx(res.weights, idx)])
+                            if not bit:
+                                break
+                # assign_mv: a NEW component codes its residual against the
+                # chosen stack entry's per-list predictor
+                for i in (0, 1):
+                    if modes01[i] == NEWMV:
+                        pos = ref_mv_idx if res.num_mv_found > 1 else 0
+                        pm = res.stack[pos][i]
+                        self._encode_mv(mv[i][0] - pm[0], mv[i][1] - pm[1])
+            else:
+                # inter mode tree
+                sym(0 if mode == NEWMV else 1, self.cdf.newmv[res.new_mv_context])
+                if mode != NEWMV:
+                    sym(0 if mode == GLOBALMV else 1, self.cdf.zeromv[res.zero_mv_context])
+                    if mode != GLOBALMV:
+                        sym(0 if mode == NEARESTMV else 1, self.cdf.refmv[res.ref_mv_context])
+                # drl index
+                if mode == NEWMV:
+                    for idx in (0, 1):
+                        if res.num_mv_found > idx + 1:
+                            bit = 1 if ref_mv_idx != idx else 0
+                            sym(bit, self.cdf.drl[mvp.drl_ctx(res.weights, idx)])
+                            if not bit:
+                                break
+                elif mode == NEARMV:
+                    for idx in (1, 2):
+                        if res.num_mv_found > idx + 1:
+                            bit = 1 if ref_mv_idx != idx else 0
+                            sym(bit, self.cdf.drl[mvp.drl_ctx(res.weights, idx)])
+                            if not bit:
+                                break
+                if mode == NEWMV:
+                    pred_mv = res.stack[ref_mv_idx]
+                    self._encode_mv(mv[0] - pred_mv[0], mv[1] - pred_mv[1])
         else:
             # intra in inter frame: y_mode over size-group cdf
             sym(y_mode, self.cdf.y_mode[size_group(bw, bh)])
@@ -364,7 +511,12 @@ class InterFrameEncoder(IntraFrameEncoder):
         r1 = min(mr + n4h, self.mi_rows)
         self.above_skip[mc_:c1] = 1 if skip else 0
         self.left_skip[mr:r1] = 1 if skip else 0
-        if is_inter:
+        if is_comp:
+            self.grid.set_block(
+                mr, mc_, n4w, n4h, rid[0], mv[0],
+                is_newmv=(NEWMV in _COMP_MODE_LISTS[mode]),
+                ref2=rid[1], mv2=mv[1])
+        elif is_inter:
             self.grid.set_block(mr, mc_, n4w, n4h, rid, mv,
                                 is_newmv=(mode == NEWMV))
         else:

@@ -193,6 +193,9 @@ class FrameEncoder:
             rid: 1 if rel_dist(self.slots[s_]["hint"], order_hint & 0x7F) > 0 else 0
             for rid, s_ in ref_slots.items()
         }
+        # compound prediction needs refs on both temporal sides (a bidir
+        # (fwd, bwd) pair); only then is reference_select worth signaling
+        fe.reference_select = len(set(fe.sign_bias.values())) > 1
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
         self.last_recon = recon
@@ -222,6 +225,7 @@ class FrameEncoder:
             # error-resilient frames must reset to defaults instead
             primary_ref_frame=(PRIMARY_REF_NONE
                                if (self.cfg.error_resilient or switch) else 0),
+            reference_select=fe.reference_select,
         )
         if fe.cdef_strengths is not None:
             fp.cdef_damping = damping

@@ -252,6 +252,47 @@ def _tile_log2(blk_size: int, target: int) -> int:
     return k
 
 
+def get_relative_dist(seq: Sequence, a: int, b: int) -> int:
+    """spec 5.9.3: signed order-hint distance with wraparound."""
+    if not seq.enable_order_hint:
+        return 0
+    diff = a - b
+    m = 1 << (seq.order_hint_bits - 1)
+    return (diff & (m - 1)) - (diff & m)
+
+
+def _skip_mode_allowed(seq: Sequence, fp: FrameParams) -> bool:
+    """spec 5.9.22 skip_mode_params: whether a skip_mode_present bit is
+    coded.  Requires compound-capable references: a (forward, backward)
+    pair, or two distinct forward references."""
+    if (fp.frame_is_intra or not fp.reference_select
+            or not seq.enable_order_hint or fp.error_resilient):
+        return False
+    fwd_idx = bwd_idx = -1
+    fwd_hint = bwd_hint = 0
+    for i in range(7):
+        ref_hint = fp.ref_order_hints[fp.ref_frame_idx[i]]
+        d = get_relative_dist(seq, ref_hint, fp.order_hint)
+        if d < 0:
+            if fwd_idx < 0 or get_relative_dist(seq, ref_hint, fwd_hint) > 0:
+                fwd_idx, fwd_hint = i, ref_hint
+        elif d > 0:
+            if bwd_idx < 0 or get_relative_dist(seq, ref_hint, bwd_hint) < 0:
+                bwd_idx, bwd_hint = i, ref_hint
+    if fwd_idx < 0:
+        return False
+    if bwd_idx >= 0:
+        return True
+    snd_idx = -1
+    snd_hint = 0
+    for i in range(7):
+        ref_hint = fp.ref_order_hints[fp.ref_frame_idx[i]]
+        if get_relative_dist(seq, ref_hint, fwd_hint) < 0:
+            if snd_idx < 0 or get_relative_dist(seq, ref_hint, snd_hint) > 0:
+                snd_idx, snd_hint = i, ref_hint
+    return snd_idx >= 0
+
+
 def write_frame_header(
     seq: Sequence, fp: FrameParams, *, standalone: bool = False
 ) -> BitWriter:
@@ -375,9 +416,12 @@ def write_frame_header(
     # frame_reference_mode
     if not fp.frame_is_intra:
         w.f(int(fp.reference_select), 1)
-    # skip_mode_params: skipModeAllowed only when reference_select && ...
-    if not fp.frame_is_intra and fp.reference_select:
-        raise NotImplementedError("skip mode signaling")
+    # skip_mode_params (spec 5.9.22): skipModeAllowed requires
+    # reference_select, order hints and a forward/backward (or two distinct
+    # forward) reference pair; when allowed, a skip_mode_present bit is
+    # coded — we always signal 0 (no per-block skip_mode symbols)
+    if _skip_mode_allowed(seq, fp):
+        w.f(int(fp.skip_mode_present), 1)
     # allow_warped_motion: read only if !FrameIsIntra && !error_resilient &&
     # seq.enable_warped_motion (we signal enable_warped_motion=0 -> not read)
     w.f(int(fp.reduced_tx_set), 1)

@@ -113,3 +113,86 @@ def put_single(
             out += tw_ * inter[t : t + h, :]
     out = _round2(out, round1)
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def put_prep(
+    ref: np.ndarray,
+    x0: int,
+    y0: int,
+    w: int,
+    h: int,
+    mv_row: int,
+    mv_col: int,
+    sub_x: int,
+    sub_y: int,
+    bit_depth: int = 8,
+    filter_x: int = FILTER_REGULAR,
+    filter_y: int = FILTER_REGULAR,
+    ref_w: int | None = None,
+    ref_h: int | None = None,
+) -> np.ndarray:
+    """Compound-precision prediction (spec 7.11.3 with InterIsCompound=1):
+    InterRound1 = 7 keeps extra fractional bits; the result is the
+    *unclipped* intermediate signal at scale 1 << (14 - round0 - 7), to be
+    combined by avg_compound (reference analog: src/mc.rs prep_8tap)."""
+    ref_h_full, ref_w_full = ref.shape
+    max_x = (ref_w if ref_w is not None else ref_w_full) - 1
+    max_y = (ref_h if ref_h is not None else ref_h_full) - 1
+
+    start_x = (x0 << 4) + (mv_col << (1 - sub_x))
+    start_y = (y0 << 4) + (mv_row << (1 - sub_y))
+    ix = start_x >> 4
+    iy = start_y >> 4
+    fx = start_x & 15
+    fy = start_y & 15
+
+    round0 = 3 if bit_depth < 12 else 5
+    round1 = 7
+    scale_bits = 14 - round0 - round1  # InterPostRound: 4 (8/10b), 2 (12b)
+
+    interior = (
+        ix - 3 >= 0 and iy - 3 >= 0 and ix + w + 4 <= max_x + 1 and iy + h + 4 <= max_y + 1
+    )
+    if fx == 0 and fy == 0:
+        # phase-0 taps are a pure 128 gain: exact shortcut (no rounding loss)
+        if interior:
+            block = ref[iy : iy + h, ix : ix + w].astype(np.int64)
+        else:
+            ys = np.clip(np.arange(iy, iy + h), 0, max_y)
+            xs = np.clip(np.arange(ix, ix + w), 0, max_x)
+            block = ref[np.ix_(ys, xs)].astype(np.int64)
+        return (block << scale_bits).astype(np.int32)
+
+    fset_x = filter_set_for(filter_x, w)
+    fset_y = filter_set_for(filter_y, h)
+    taps_x = MC_FILTERS[fset_x][fx]
+    taps_y = MC_FILTERS[fset_y][fy]
+
+    if interior:
+        src = ref[iy - 3 : iy + h + 4, ix - 3 : ix + w + 4].astype(np.int64)
+    else:
+        ys = np.clip(np.arange(iy - 3, iy + h + 4), 0, max_y)
+        cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, max_x)
+        src = ref[np.ix_(ys, cols)].astype(np.int64)
+    inter = np.zeros((h + 7, w), np.int64)
+    for t in range(8):
+        tw_ = int(taps_x[t])
+        if tw_:
+            inter += tw_ * src[:, t : t + w]
+    inter = _round2(inter, round0)
+
+    out = np.zeros((h, w), np.int64)
+    for t in range(8):
+        tw_ = int(taps_y[t])
+        if tw_:
+            out += tw_ * inter[t : t + h, :]
+    return _round2(out, round1).astype(np.int32)
+
+
+def avg_compound(p0: np.ndarray, p1: np.ndarray, bit_depth: int = 8) -> np.ndarray:
+    """COMPOUND_AVERAGE combination (spec 7.11.3.1): the simple mean of two
+    prep-precision predictions (enable_jnt_comp=0, enable_masked_compound=0
+    so no distance weights / wedges are signaled)."""
+    post = (14 - (3 if bit_depth < 12 else 5) - 7) + 1
+    out = _round2(p0.astype(np.int64) + p1.astype(np.int64), post)
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
