@@ -100,9 +100,11 @@ class InterFrameEncoder(IntraFrameEncoder):
         # when the ref set spans both temporal sides
         self.reference_select = False
         self.comp_search = speed <= 8  # evaluate compound candidates in RD
+        self.near_search = speed <= 7  # NEARMV / NEAR_NEARMV DRL candidates
         # restrictable candidate set (conformance tests isolate modes here)
         self.comp_modes_allowed = (NEAREST_NEARESTMV, GLOBAL_GLOBALMV,
-                                   NEW_NEWMV)
+                                   NEW_NEWMV, NEAR_NEARMV, NEAREST_NEWMV,
+                                   NEW_NEARESTMV)
         self.comp_block_count = 0  # compound blocks coded (test introspection)
         self.me_range = 16  # full-pel search radius (px)
         self.use_satd_subpel = speed <= 8  # subpel refinement toggle
@@ -252,6 +254,16 @@ class InterFrameEncoder(IntraFrameEncoder):
             if res.num_mv_found >= 1 and nearest != (0, 0):
                 sad_near = self._sad(rid, x, y, bw, bh, nearest)
                 options.append((sad_near + 2 + ref_bias, NEARESTMV, nearest, 0))
+            # NEARMV: deeper DRL stack entries (reference: include_near_mvs)
+            if self.near_search:
+                for di in (1, 2):
+                    if res.num_mv_found <= di:
+                        break
+                    near = tuple(res.stack[di])
+                    if near == nearest or near == (0, 0):
+                        continue
+                    sad_n = self._sad(rid, x, y, bw, bh, near)
+                    options.append((sad_n + 3 + di + ref_bias, NEARMV, near, di))
             if mv_me != (0, 0) and mv_me != nearest:
                 options.append((sad_me + 3 * bw // 8 + ref_bias, NEWMV, mv_me, 0))
             options.sort(key=lambda o: o[0])
@@ -273,21 +285,37 @@ class InterFrameEncoder(IntraFrameEncoder):
                         self.grid, mr, mc_, bw // 4, bh // 4, pair,
                         tile=tile, sign_bias=self.sign_bias)
                     zero2 = ((0, 0), (0, 0))
-                    cands = [(NEAREST_NEARESTMV, tuple(resc.stack[0]), 2)]
-                    if tuple(resc.stack[0]) != zero2:
-                        cands.append((GLOBAL_GLOBALMV, zero2, 0))
-                    mv_pair = (singles[fr][0], singles[br][0])
-                    if mv_pair != tuple(resc.stack[0]):
-                        cands.append((NEW_NEWMV, mv_pair, 6 * bw // 8))
+                    s0 = tuple(resc.stack[0])
+                    mvf, mvb = singles[fr][0], singles[br][0]
+                    cands = [(NEAREST_NEARESTMV, s0, 2, 0)]
+                    if s0 != zero2:
+                        cands.append((GLOBAL_GLOBALMV, zero2, 0, 0))
+                    # NEAR pairs: deeper stack entries
+                    if self.near_search:
+                        for di in (1, 2):
+                            if resc.num_mv_found <= di:
+                                break
+                            sd = tuple(resc.stack[di])
+                            if sd != s0 and sd != zero2:
+                                cands.append((NEAR_NEARMV, sd, 3 + di, di))
+                    # mixed NEAREST/NEW pairs: one searched MV, one predicted
+                    if (s0[0], mvb) != s0:
+                        cands.append((NEAREST_NEWMV, (s0[0], mvb),
+                                      3 * bw // 8, 0))
+                    if (mvf, s0[1]) != s0:
+                        cands.append((NEW_NEARESTMV, (mvf, s0[1]),
+                                      3 * bw // 8, 0))
+                    if (mvf, mvb) != s0:
+                        cands.append((NEW_NEWMV, (mvf, mvb), 6 * bw // 8, 0))
                     comp_bias = 3 * bw // 8  # two refs + compound mode bits
-                    for cmode, cmv, mbias in cands:
+                    for cmode, cmv, mbias, cidx in cands:
                         if cmode not in self.comp_modes_allowed:
                             continue
                         pred = self._mc_pred_comp(pair, 0, x, y, bw, bh, cmv)
                         sad = int(np.abs(src - pred).sum())
                         cost = sad + mbias + comp_bias
                         if cost < best[0]:
-                            best = (cost, pair, cmode, cmv, 0, resc)
+                            best = (cost, pair, cmode, cmv, cidx, resc)
         cost, rid, mode, mv, idx, res = best
         # intra fallback: DC prediction beats motion?
         rec = self.rec[0]

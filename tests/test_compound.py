@@ -62,6 +62,44 @@ def test_compound_new_newmv():
     assert n > 0
 
 
+def test_compound_near_modes():
+    """NEAR_NEARMV (deeper DRL pairs) + single-ref NEARMV conformance."""
+    n = run_counting(moving_content(160, 96, 6, dx=5, dy=3),
+                     modes=(inf.NEAR_NEARMV, inf.NEAREST_NEARESTMV),
+                     q=90, low_latency=False)
+    assert n > 0
+
+
+def test_compound_mixed_new_modes():
+    """NEAREST_NEWMV / NEW_NEARESTMV: one predicted, one searched MV."""
+    n = run_counting(moving_content(160, 96, 6, dx=5, dy=3),
+                     modes=(inf.NEAREST_NEWMV, inf.NEW_NEARESTMV),
+                     q=90, low_latency=False)
+    assert n > 0
+
+
+def test_single_nearmv():
+    """Low-latency single-ref clip exercising the NEARMV DRL path."""
+    from collections import Counter
+
+    counts = Counter()
+    orig = inf.InterFrameEncoder._decide_inter
+
+    def patched(self, x, y, bw, bh, tile):
+        out = orig(self, x, y, bw, bh, tile)
+        if out[1] is not None:
+            counts[out[1]] += 1
+        return out
+
+    inf.InterFrameEncoder._decide_inter = patched
+    try:
+        run_clip(moving_content(128, 96, 5, dx=4, dy=1), q=100,
+                 low_latency=True)
+    finally:
+        inf.InterFrameEncoder._decide_inter = orig
+    assert counts[inf.NEARMV] > 0, dict(counts)
+
+
 def test_compound_static_quality():
     """Static pyramid: compound average should not hurt; stream decodes
     bit-exactly with reference_select on."""
