@@ -78,14 +78,16 @@ class InterFrameEncoder(IntraFrameEncoder):
     def __init__(self, width, height, q_idx, refs, bit_depth=8, adapt_cdf=True,
                  speed=6, use_native=True, init_cdf=None,
                  lf_levels=(0, 0, 0, 0), lf_sharpness=0, cdef_damping=0,
-                 tile_cols_log2=0, tile_rows_log2=0, tune="psnr"):
+                 tile_cols_log2=0, tile_rows_log2=0, tune="psnr",
+                 chroma_sampling=(1, 1)):
         super().__init__(width, height, q_idx, bit_depth=bit_depth,
                          adapt_cdf=adapt_cdf, speed=speed, use_native=use_native,
                          device_modes=False, init_cdf=init_cdf,
                          lf_levels=lf_levels, lf_sharpness=lf_sharpness,
                          cdef_damping=cdef_damping,
                          tile_cols_log2=tile_cols_log2,
-                         tile_rows_log2=tile_rows_log2, tune=tune)
+                         tile_rows_log2=tile_rows_log2, tune=tune,
+                         chroma_sampling=chroma_sampling)
         if not isinstance(refs, dict):
             refs = {mvp.LAST_FRAME: refs}
         self.refs = {
@@ -135,21 +137,25 @@ class InterFrameEncoder(IntraFrameEncoder):
 
     # -- prediction ----------------------------------------------------------
 
+    def _plane_geom(self, plane: int) -> tuple:
+        """(sub_x, sub_y, ref_w, ref_h) for a prediction plane."""
+        if plane == 0:
+            return 0, 0, self.out_w, self.out_h
+        return (self.sub_x, self.sub_y,
+                (self.out_w + self.sub_x) >> self.sub_x,
+                (self.out_h + self.sub_y) >> self.sub_y)
+
     def _mc_pred(self, rid: int, plane: int, px: int, py: int, w: int, h: int, mv) -> np.ndarray:
-        sub = 0 if plane == 0 else 1
-        rw = self.out_w if plane == 0 else (self.out_w + 1) >> 1
-        rh = self.out_h if plane == 0 else (self.out_h + 1) >> 1
+        sx, sy, rw, rh = self._plane_geom(plane)
         return mc.put_single(self.refs[rid][plane], px, py, w, h, mv[0], mv[1],
-                             sub, sub, self.bd, ref_w=rw, ref_h=rh)
+                             sx, sy, self.bd, ref_w=rw, ref_h=rh)
 
     def _mc_pred_comp(self, rids, plane, px, py, w, h, mv_pair) -> np.ndarray:
         """Averaged compound prediction (spec 7.11.3.1 COMPOUND_AVERAGE)."""
-        sub = 0 if plane == 0 else 1
-        rw = self.out_w if plane == 0 else (self.out_w + 1) >> 1
-        rh = self.out_h if plane == 0 else (self.out_h + 1) >> 1
+        sx, sy, rw, rh = self._plane_geom(plane)
         p0, p1 = (
             mc.put_prep(self.refs[rid][plane], px, py, w, h, mv[0], mv[1],
-                        sub, sub, self.bd, ref_w=rw, ref_h=rh)
+                        sx, sy, self.bd, ref_w=rw, ref_h=rh)
             for rid, mv in zip(rids, mv_pair)
         )
         return mc.avg_compound(p0, p1, self.bd)
@@ -353,7 +359,8 @@ class InterFrameEncoder(IntraFrameEncoder):
         mc_, mr = x // 4, y // 4
         n4w, n4h = bw // 4, bh // 4
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
-        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        cw, ch = bw >> self.sub_x, bh >> self.sub_y
 
         tile = (self.ty0 // 4, self.tx0 // 4,
                 min(self.ty1, self.mi_rows * 4) // 4,

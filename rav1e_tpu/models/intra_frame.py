@@ -87,8 +87,11 @@ class IntraFrameEncoder:
                  lf_levels=(0, 0, 0, 0), lf_sharpness: int = 0,
                  cdef_damping: int = 0, tile_cols_log2: int = 0,
                  tile_rows_log2: int = 0, tune: str = "psnr",
-                 seg_deltas: tuple = ()):
+                 seg_deltas: tuple = (), chroma_sampling: tuple = (1, 1)):
         self.tune = tune
+        # chroma subsampling: (1,1)=4:2:0, (1,0)=4:2:2, (0,0)=4:4:4
+        self.sub_x, self.sub_y = chroma_sampling
+        self._is420 = chroma_sampling == (1, 1)
         # segmentation AQ: SEG_LVL_ALT_Q per segment (empty = disabled)
         self.seg_deltas = tuple(seg_deltas)
         self.tile_cols_log2 = tile_cols_log2
@@ -123,8 +126,9 @@ class IntraFrameEncoder:
         self.rdo_partition = speed <= 8
         self.tx_type_search = speed <= 7  # reference: rdo_tx_decision preset
         self.sgr_search = speed <= 5  # reference: sgr_complexity preset
-        # CFL chroma prediction (reference: ComplexKeyframes prediction set)
-        self.cfl_search = speed <= 5
+        # CFL chroma prediction (reference: ComplexKeyframes prediction set);
+        # the CFL AC path here is 4:2:0 only
+        self.cfl_search = speed <= 5 and self._is420
         # D45/D67/D203 + angle-delta search (reference: fine_directional_intra)
         self.fine_dir = speed <= 7
         # deblock level search vs from-q model (reference: fast_deblock off)
@@ -144,8 +148,8 @@ class IntraFrameEncoder:
         # pad source planes to coded (mi-aligned) dims by edge replication
         self.src = []
         for i, p in enumerate(planes):
-            cw = w if i == 0 else w >> 1
-            ch = h if i == 0 else h >> 1
+            cw = w if i == 0 else w >> self.sub_x
+            ch = h if i == 0 else h >> self.sub_y
             a = np.zeros((ch, cw), np.int32)
             ph, pw = p.shape
             a[:ph, :pw] = p
@@ -181,8 +185,8 @@ class IntraFrameEncoder:
         self.mi_coded = np.zeros((pr, pc), np.uint8)
         self.pctx = [
             PlaneCtx.new(pc, pr),
-            PlaneCtx.new(pc >> 1, pr >> 1),
-            PlaneCtx.new(pc >> 1, pr >> 1),
+            PlaneCtx.new(pc >> self.sub_x, pr >> self.sub_y),
+            PlaneCtx.new(pc >> self.sub_x, pr >> self.sub_y),
         ]
 
         self._rd_maps = None
@@ -261,7 +265,7 @@ class IntraFrameEncoder:
         self._lr_replay = False
         # native per-block coder (C++ hot loop); keyframe leaf blocks only
         self._nbc = None
-        if self.use_native and type(self) is IntraFrameEncoder:
+        if self.use_native and type(self) is IntraFrameEncoder and self._is420:
             try:
                 from rav1e_tpu.ec.native_block import block_coder_for
 
@@ -308,10 +312,12 @@ class IntraFrameEncoder:
             self._lr_decide()
             data = self._emit_tiles_lr()
             self._lr_apply()
+        ch = (self.out_h + self.sub_y) >> self.sub_y
+        cw = (self.out_w + self.sub_x) >> self.sub_x
         recon = [
             self.rec[0][: self.out_h, : self.out_w],
-            self.rec[1][: (self.out_h + 1) >> 1, : (self.out_w + 1) >> 1],
-            self.rec[2][: (self.out_h + 1) >> 1, : (self.out_w + 1) >> 1],
+            self.rec[1][:ch, :cw],
+            self.rec[2][:ch, :cw],
         ]
         return data, recon
 
@@ -993,7 +999,8 @@ class IntraFrameEncoder:
         y_delta = self._choose_delta(x, y, bw, bh, y_mode)
         pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh,
                                                        y_mode, y_delta)
-        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        cw, ch = bw >> self.sub_x, bh >> self.sub_y
         # luma recon before chroma (CFL reads it); trial writes are
         # restored by the caller either way
         self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
@@ -1040,19 +1047,20 @@ class IntraFrameEncoder:
 
     def _rd_split_32(self, x: int, y: int, cdf_row) -> bool:
         """Try NONE(32x32) vs SPLIT(4x 16x16); pick by SSE + lambda*bits."""
-        cx, cy = x >> 1, y >> 1
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        ccw, cch = 32 >> self.sub_x, 32 >> self.sub_y
         mr, mc = y // 4, x // 4
         saves = [
             self.rec[0][y : y + 32, x : x + 32].copy(),
-            self.rec[1][cy : cy + 16, cx : cx + 16].copy(),
-            self.rec[2][cy : cy + 16, cx : cx + 16].copy(),
+            self.rec[1][cy : cy + cch, cx : cx + ccw].copy(),
+            self.rec[2][cy : cy + cch, cx : cx + ccw].copy(),
             self.mi_coded[mr : mr + 8, mc : mc + 8].copy(),
         ]
 
         def restore():
             self.rec[0][y : y + 32, x : x + 32] = saves[0]
-            self.rec[1][cy : cy + 16, cx : cx + 16] = saves[1]
-            self.rec[2][cy : cy + 16, cx : cx + 16] = saves[2]
+            self.rec[1][cy : cy + cch, cx : cx + ccw] = saves[1]
+            self.rec[2][cy : cy + cch, cx : cx + ccw] = saves[2]
             self.mi_coded[mr : mr + 8, mc : mc + 8] = saves[3]
 
         dist_n, rate_n, info_n = self._analyze_block(x, y, 32, 32)
@@ -1148,7 +1156,8 @@ class IntraFrameEncoder:
         mc, mr = x // 4, y // 4
         n4w, n4h = bw // 4, bh // 4
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
-        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        cw, ch = bw >> self.sub_x, bh >> self.sub_y
         uv_mode = ip.DC_PRED
         cfl_alphas = (0, 0)
         if self.seg_map is not None:
@@ -1295,7 +1304,8 @@ class IntraFrameEncoder:
         Returns (uv_mode, (alpha_u, alpha_v), (pred,lv,dq) for U and V).
         Reads the block's already-reconstructed luma."""
         blam = self._lam_for(x, y)
-        cx, cy, cw, ch = x >> 1, y >> 1, bw >> 1, bh >> 1
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        cw, ch = bw >> self.sub_x, bh >> self.sub_y
         pu = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
         pv = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
         du, dv = pu[:3], pv[:3]
@@ -1369,17 +1379,17 @@ class IntraFrameEncoder:
         """Predict + forward transform + quantize one tx block.
         Returns (pred, levels2d(eff), dequant(full))."""
         rec = self.rec[plane]
-        sub = 0 if plane == 0 else 1
-        have_above = self._have_above(py, sub)
-        have_left = self._have_left(px, sub)
-        sub = 0 if plane == 0 else 1
+        sx = 0 if plane == 0 else self.sub_x
+        sy = 0 if plane == 0 else self.sub_y
+        have_above = self._have_above(py, sy)
+        have_left = self._have_left(px, sx)
         n_tr = n_bl = 0
         if plane == 0 and mode in ip.DIRECTIONAL_MODES:
             n_tr, n_bl = self._edge_avail(px, py, tw, th)
         above, left = ip.build_edges(rec, px, py, tw, th, have_above, have_left, self.bd,
                                      n_top_right=n_tr, n_bottom_left=n_bl,
-                                     max_x=(self.mi_cols * 4 >> sub) - 1,
-                                     max_y=(self.mi_rows * 4 >> sub) - 1)
+                                     max_x=(self.mi_cols * 4 >> sx) - 1,
+                                     max_y=(self.mi_rows * 4 >> sy) - 1)
         pred = ip.predict(mode, above, left, tw, th, have_above, have_left,
                           angle_delta, self.bd)
         src = self.src[plane][py : py + th, px : px + tw]

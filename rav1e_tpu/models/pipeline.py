@@ -24,7 +24,15 @@ from rav1e_tpu.obu.headers import (
 class FrameEncoder:
     def __init__(self, enc_config):
         self.cfg = enc_config
-        profile = 2 if enc_config.bit_depth == 12 else 0
+        # profile selection (spec A.2): 0 = 4:2:0 8/10-bit, 1 = 4:4:4
+        # 8/10-bit, 2 = 4:2:2 any depth or 12-bit anything
+        ss = tuple(enc_config.chroma_sampling)
+        if enc_config.bit_depth == 12 or ss == (1, 0):
+            profile = 2
+        elif ss == (0, 0):
+            profile = 1
+        else:
+            profile = 0
         self.seq = Sequence(
             profile=profile,
             width=enc_config.width,
@@ -32,7 +40,9 @@ class FrameEncoder:
             bit_depth=enc_config.bit_depth,
             subsampling_x=enc_config.chroma_sampling[0],
             subsampling_y=enc_config.chroma_sampling[1],
-            enable_cdef=enc_config.speed_settings.cdef,
+            # the CDEF search/filter geometry here is 4:2:0; other
+            # samplings encode without CDEF for now
+            enable_cdef=enc_config.speed_settings.cdef and ss == (1, 1),
             enable_restoration=enc_config.speed_settings.lrf,
             still_picture=enc_config.still_picture,
         )
@@ -106,6 +116,7 @@ class FrameEncoder:
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
             tune=getattr(self.cfg, "tune", "psnr"),
+            chroma_sampling=tuple(self.cfg.chroma_sampling),
         )
         fe.lrf = self.seq.enable_restoration
         planes = [p.window() for p in frame.planes]
@@ -182,6 +193,7 @@ class FrameEncoder:
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
             tune=getattr(self.cfg, "tune", "psnr"),
+            chroma_sampling=tuple(self.cfg.chroma_sampling),
         )
         fe.lrf = self.seq.enable_restoration
         fe._imp_scale = imp_scale

@@ -190,14 +190,22 @@ def write_sequence_header_obu(seq: Sequence) -> bytes:
     w.f(0, 1)  # mono_chrome (not supported, mirroring reference assert)
     w.f(0, 1)  # color_description_present_flag
     w.f(seq.color_range, 1)
+    # subsampling signaling (spec 5.5.2 color_config): profile 0 implies
+    # 4:2:0 (position bits only), profile 1 implies 4:4:4 (nothing coded),
+    # profile 2 at 8/10-bit implies 4:2:2; profile 2 at 12-bit codes the
+    # subsampling explicitly
     if seq.profile == 0:
         w.f(seq.chroma_sample_position, 2)
+    elif seq.profile == 1:
+        pass  # subsampling_x = subsampling_y = 0, nothing coded
     elif seq.profile == 2 and seq.bit_depth == 12:
-        w.f(1, 1)  # subsampling_x (4:2:0)
-        w.f(1, 1)  # subsampling_y
-        w.f(seq.chroma_sample_position, 2)
-    else:
-        raise NotImplementedError("profile 1 / non-12-bit profile 2 color_config")
+        w.f(seq.subsampling_x, 1)
+        if seq.subsampling_x:
+            w.f(seq.subsampling_y, 1)
+        if seq.subsampling_x and seq.subsampling_y:
+            w.f(seq.chroma_sample_position, 2)
+    elif seq.profile == 2:
+        pass  # subsampling_x = 1, subsampling_y = 0 (4:2:2), nothing coded
     w.f(0, 1)  # separate_uv_delta_q
     w.f(int(seq.film_grain_params_present), 1)
     w.trailing_bits()
