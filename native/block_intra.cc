@@ -787,6 +787,14 @@ int encode_intra_block(
 }
 
 void *block_cache_new(void) { return new BlockCache(); }
+
+// Append pre-serialized block records (the device wavefront pass's output,
+// already in the cache's native int32 layout: 14-int header + levels when
+// not skipped).  One call per contiguous run of device superblocks.
+void block_cache_push_raw(void *c, const int32_t *data, long n) {
+    BlockCache *bc = (BlockCache *)c;
+    bc->buf.insert(bc->buf.end(), data, data + n);
+}
 void block_cache_free(void *c) { delete (BlockCache *)c; }
 void block_cache_reset(void *c) {
     BlockCache *bc = (BlockCache *)c;

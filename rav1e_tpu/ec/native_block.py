@@ -73,6 +73,7 @@ def _configure():
     _lib.block_cache_free.argtypes = [_vp]
     _lib.block_cache_reset.argtypes = [_vp]
     _lib.block_cache_rewind.argtypes = [_vp]
+    _lib.block_cache_push_raw.argtypes = [_vp, _vp, ctypes.c_long]
     _lib.cached_block_peek.argtypes = [_vp, _ci, _ci, _ci, _ci]
     _lib.cached_block_peek.restype = ctypes.c_int
     _lib.encode_cached_block.argtypes = [
@@ -154,6 +155,15 @@ class NativeBlockCoder:
 
     def cache_rewind(self) -> None:
         _lib.block_cache_rewind(self._cache)
+
+    def cache_push_raw(self, arr) -> None:
+        """Append pre-serialized records (device wavefront output) to the
+        pass-A cache.  arr: contiguous int32 numpy array in the cache's
+        native layout (14-int header + levels when not skipped)."""
+        import numpy as _np
+
+        assert arr.dtype == _np.int32 and arr.flags.c_contiguous
+        _lib.block_cache_push_raw(self._cache, arr.ctypes.data, len(arr))
 
     def cache_peek(self, x: int, y: int, bw: int, bh: int) -> bool:
         return bool(self._cache) and bool(

@@ -190,7 +190,7 @@ class IntraFrameEncoder:
         ]
 
         self._rd_maps = None
-        if self.device_modes:
+        if self.device_modes and not self._wavefront_eligible():
             try:
                 from rav1e_tpu.models.device_pipeline import frame_rd_maps
 
@@ -507,11 +507,125 @@ class IntraFrameEncoder:
         self.cdf = self.cdf_saved
         return datas
 
+    def _wavefront_eligible(self) -> bool:
+        """Whether the device wavefront encode applies to this frame: the
+        full-SB region is non-empty and the frame is in the wavefront
+        pass's envelope (8-bit 4:2:0, lossy, native coder available)."""
+        if not (self.device_modes and self.use_native and self.q > 0
+                and self.bd == 8 and self._is420
+                and type(self) is IntraFrameEncoder):
+            return False
+        try:
+            from rav1e_tpu.models.wavefront import geometry_for
+
+            return geometry_for(self.coded_w, self.coded_h, self.w, self.h,
+                                self.mi_cols, self.mi_rows,
+                                tuple(self._tile_grid())) is not None
+        except Exception:
+            return False
+
+    def _push_device_sb(self, wf, r: int, c: int) -> None:
+        """Serialize one device superblock's wavefront records into the
+        native BlockCache (decode order) and mark its mi region decoded."""
+        parts = []
+        for (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta,
+             lvy, lvu, lvv) in wf.sb_records(r, c):
+            seg_symv = seg_ctx = seg_nsyms = 0
+            if self.seg_map is not None:
+                mr, mc = y // 4, x // 4
+                seg_symv, seg_ctx, seg_nsyms = self._seg_symbol_args(mr, mc)
+                self._seg_after_block(mr, mc, bw, bh, skip)
+            parts.append(np.asarray(
+                [x, y, bw, bh, mode, int(skip), tt, (ha << 1) | hl,
+                 au, av, delta, seg_symv, seg_ctx, seg_nsyms], np.int32))
+            # deblock edge state now: the in-loop filters run before the
+            # entropy pass B in the two-pass LR flow
+            self.db_info.set_block(x, y, bw, bh, bool(skip))
+            if not skip:
+                parts.append(lvy.astype(np.int32).ravel())
+                parts.append(lvu.astype(np.int32).ravel())
+                parts.append(lvv.astype(np.int32).ravel())
+        self._nbc.cache_push_raw(np.ascontiguousarray(np.concatenate(parts)))
+        sy, sx = r * 64, c * 64
+        self.mi_coded[sy // 4 : (sy + 64) // 4, sx // 4 : (sx + 64) // 4] = 1
+
+    def _encode_tiles_wavefront(self, wf):
+        """Device wavefront flow: the coding datapath ran on device; here
+        we (a) build the BlockCache in decode order — device SBs from the
+        wavefront arrays, partial edge SBs through the native recon_only
+        path — then (b) replay pass B (the adaptive entropy pass) through
+        _run_tiles_native, sharing the two-pass LR machinery."""
+        from rav1e_tpu.ec.native import NativeMsacEncoder
+
+        tiles = self._tile_grid()
+        frame_cdf = self.cdf
+        self._frame_init_cdf = frame_cdf
+        self.rec = wf.rec  # device reconstruction (partial SBs filled below)
+        sm = np.zeros((self.h // 32, self.w // 32), bool)
+        smap = wf.split_map
+        sm[: smap.shape[0], : smap.shape[1]] = smap
+        self._rd_maps = {"split32": sm}
+
+        self._nbc.cache_start()
+        self.cdf = frame_cdf.copy()  # throwaway basis for pass-A symbols
+        self._recon_only = True
+        try:
+            for (sc0, sr0, sc1, sr1) in tiles:
+                self.tx0, self.ty0 = sc0 * 64, sr0 * 64
+                self.tx1 = min(sc1 * 64, self.coded_w)
+                self.ty1 = min(sr1 * 64, self.coded_h)
+                self._reset_tile_contexts()
+                self.enc = NativeMsacEncoder()
+                for sy in range(self.ty0, self.ty1, 64):
+                    for sx in range(self.tx0, self.tx1, 64):
+                        if wf.geom.device_sb[sy // 64, sx // 64]:
+                            self._push_device_sb(wf, sy // 64, sx // 64)
+                        else:
+                            self._partition(sx, sy, 64)
+        finally:
+            self._recon_only = False
+        self.cdf = frame_cdf
+        if self.lrf:
+            self._lrf_native = True
+            self._prefilter_rec = [p.copy() for p in self.rec]
+            return None  # bytes come from pass B in _emit_tiles_lr
+        self._nbc.cache_rewind()
+        self._lr_replay = True
+        try:
+            tile_datas = self._run_tiles_native(lr_emit=False)
+        finally:
+            self._lr_replay = False
+        if len(tile_datas) == 1:
+            return tile_datas[0]
+        out = b""
+        for i, td in enumerate(tile_datas):
+            if i < len(tile_datas) - 1:
+                out += (len(td) - 1).to_bytes(4, "little")
+            out += td
+        return out
+
     def _encode_tiles(self):
         """Run the SB loops.  Without LR, returns the assembled tile bytes.
         With LR, either the native two-pass flow (pass A here, pass B in
         _emit_tiles_lr) or symbol capture by RecordingEncoders (rav1e's
-        WriterRecorder analog) with emission deferred to _emit_tiles_lr."""
+        WriterRecorder analog) with emission deferred to _emit_tiles_lr.
+        When the device wavefront pass applies, the whole decision/recon
+        datapath has already run on device (models/wavefront.py) and only
+        the entropy passes run here."""
+        if self._nbc is not None and self._wavefront_eligible():
+            wf = None
+            try:
+                from rav1e_tpu.models.wavefront import run_wavefront
+
+                wf = run_wavefront(self, self._tile_grid())
+            except Exception:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "device wavefront unavailable; host fallback",
+                    exc_info=True)
+            if wf is not None:
+                return self._encode_tiles_wavefront(wf)
         tiles = self._tile_grid()
         frame_cdf = self.cdf
         self._frame_init_cdf = frame_cdf

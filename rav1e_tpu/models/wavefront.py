@@ -1,0 +1,661 @@
+"""Wavefront device encode: the intra coding datapath on the TPU.
+
+This is SURVEY.md section 7's key reformulation (reference analog:
+src/encoder.rs encode_tile's serial SB raster).  rav1e walks superblocks
+serially because intra prediction consumes *reconstructed* neighbors and
+the entropy coder is adaptive.  Here the two concerns are split:
+
+  1. DEVICE (this module): a `lax.scan` over superblock wavefronts with
+     slope 2 (step k processes all SBs with 2*row + col == k, so the
+     left / above / above-right / below-left dependencies all land in
+     earlier steps).  Each step runs the full coding datapath for a batch
+     of SBs — exact edge build, all 13 intra predictors, SAD mode + angle
+     decision, fp32-matmul forward DCT/ADST, exact quantize/dequantize,
+     bit-exact integer inverse transform and in-carry reconstruction,
+     CFL chroma, and the NONE-vs-SPLIT partition RD — entirely on device.
+     Rates are estimated (magnitude model + init-CDF mode bits), which is
+     the same trade rav1e's rdo_tables fast paths make.
+  2. HOST: the adaptive MSAC entropy pass replays the device-chosen
+     symbols through the existing C++ coder (native/block_intra.cc
+     BlockCache) in decode order; reconstruction is NOT recomputed.
+
+Bit-exactness contract: reconstruction here must equal what dav1d decodes
+from the replayed symbols.  That holds because prediction, dequant and
+inverse transforms are the bit-exact kernels of ops/intra_jax.py and
+ops/transforms_jax.py, and every edge-availability input is precomputed on
+the host by simulating the decoder's blockDecoded map (spec 7.11.2) —
+availability is a pure function of block position in decode order, never
+of the partition choices themselves.
+
+Partial superblocks at the frame's right/bottom edge keep the host C++
+path (they interleave with the same BlockCache in decode order).  Blocks
+in the last device column adjacent to a partial column must not read
+above-right pixels the host has not produced yet, so zone-1 directional
+modes (p_angle < 90) are masked from their candidate sets — a pure
+encoder-choice restriction, invisible to conformance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from rav1e_tpu.utils.jaxsetup import configure as _configure_jax
+
+_configure_jax()
+
+import jax
+import jax.numpy as jnp
+
+from rav1e_tpu.ops import intra_jax as ij
+from rav1e_tpu.ops import transforms_jax as tj
+from rav1e_tpu.ops import transforms_np as tn
+
+# rate model (shared with the C++ pass-A RD so device choices mirror the
+# native path): bits ~ RATE_NZ per significant coeff + RATE_MAG per octave
+RATE_NZ = 1.45
+RATE_MAG = 0.95
+
+_QOFF = ((0, 0), (0, 32), (32, 0), (32, 32))  # quadrant z-order
+_SOFF = ((0, 0), (0, 16), (16, 0), (16, 16))  # 16-leaf z-order
+
+
+# ---------------------------------------------------------------------------
+# host geometry: device region, wavefront schedule, decoder-availability sim
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WavefrontGeometry:
+    """Static per-(frame size, tile grid) data for the device pass."""
+
+    h: int  # SB-padded plane dims
+    w: int
+    mi_cols: int
+    mi_rows: int
+    steps: int
+    width: int  # max wavefront width (B)
+    sbr: np.ndarray  # (K, B) int32; invalid lanes point past the SB grid
+    sbc: np.ndarray
+    valid: np.ndarray  # (K, B) bool
+    avail: np.ndarray  # (K, B, 4, 5, 4) int32: ha, hl, n_tr, n_bl
+    allow_z1: np.ndarray  # (K, B) bool: zone-1 directional modes allowed
+    device_sb: np.ndarray  # (sb_rows, sb_cols) bool over the FULL SB grid
+    sb_step: np.ndarray  # (sb_rows, sb_cols) int32 -> (step, lane) packed
+    sb_lane: np.ndarray
+
+    @property
+    def n_device(self) -> int:
+        return int(self.device_sb.sum())
+
+
+_GEOM_CACHE: dict = {}
+
+
+def geometry_for(coded_w: int, coded_h: int, w: int, h: int, mi_cols: int,
+                 mi_rows: int, tiles: tuple) -> WavefrontGeometry | None:
+    """Build (cached) the wavefront geometry.  tiles: ((c0, r0, c1, r1), ...)
+    in SB units (the host encoder's _tile_grid output).  Returns None when
+    no full SB exists (host path handles everything)."""
+    key = (coded_w, coded_h, w, h, tiles)
+    if key in _GEOM_CACHE:
+        return _GEOM_CACHE[key]
+    sb_cols = (coded_w + 63) >> 6
+    sb_rows = (coded_h + 63) >> 6
+    dev = np.zeros((sb_rows, sb_cols), bool)
+    for r in range(sb_rows):
+        for c_ in range(sb_cols):
+            dev[r, c_] = (r + 1) * 64 <= coded_h and (c_ + 1) * 64 <= coded_w
+    if not dev.any():
+        _GEOM_CACHE[key] = None
+        return None
+    partial_col = (sb_cols * 64) > coded_w
+
+    # tile bounds per SB (pixel coords), raster over tiles like the encoder
+    tile_of = {}
+    for (c0, r0, c1, r1) in tiles:
+        for r in range(r0, r1):
+            for c_ in range(c0, c1):
+                tile_of[(r, c_)] = (c0 * 64, r0 * 64,
+                                   min(c1 * 64, coded_w), min(r1 * 64, coded_h))
+
+    # wavefront schedule over device SBs: k = 2*r + c (left/above/
+    # above-right/below-left deps all in earlier k; see module docstring)
+    steps_map: dict = {}
+    for r in range(sb_rows):
+        for c_ in range(sb_cols):
+            if dev[r, c_]:
+                steps_map.setdefault(2 * r + c_, []).append((r, c_))
+    ks = sorted(steps_map)
+    K = len(ks)
+    B = max(len(v) for v in steps_map.values())
+    sbr = np.full((K, B), sb_rows, np.int32)  # invalid -> past the grid
+    sbc = np.full((K, B), sb_cols, np.int32)
+    valid = np.zeros((K, B), bool)
+    allow = np.ones((K, B), bool)
+    avail = np.zeros((K, B, 4, 5, 4), np.int32)
+    sb_step = np.full((sb_rows, sb_cols), -1, np.int32)
+    sb_lane = np.full((sb_rows, sb_cols), -1, np.int32)
+
+    # decoder blockDecoded simulation in true decode order (tile raster,
+    # SB raster, quadrant z, 16-leaf z).  mi granularity, SB-padded.
+    pr, pc = h // 4, w // 4
+    mi_coded = np.zeros((pr, pc), np.uint8)
+    av_by_sb: dict = {}
+
+    def edge_avail(px, py, tw, th, ty0, tx0, ty1, tx1):
+        ha = 1 if py > ty0 else 0
+        hl = 1 if px > tx0 else 0
+        n_tr = 0
+        n_bl = 0
+        if py > ty0 and px + tw < tx1 and mi_coded[(py - 1) // 4, (px + tw) // 4]:
+            n_tr = th
+        if px > tx0 and py + th < ty1 and mi_coded[(py + th) // 4, (px - 1) // 4]:
+            n_bl = tw
+        return (ha, hl, n_tr, n_bl)
+
+    for (c0, r0, c1, r1) in tiles:
+        tx0, ty0 = c0 * 64, r0 * 64
+        tx1 = min(c1 * 64, coded_w)
+        ty1 = min(r1 * 64, coded_h)
+        # per-tile context reset (mirrors _reset_tile_contexts)
+        mi_coded[ty0 // 4 : (r1 * 64) // 4, tx0 // 4 : (c1 * 64) // 4] = 0
+        for r in range(r0, r1):
+            for c_ in range(c0, c1):
+                sy, sx = r * 64, c_ * 64
+                if not dev[r, c_]:
+                    # host-path SB: its leaves all decode now; mark the mi
+                    # region (clamped at the grid) atomically
+                    mi_coded[sy // 4 : min((sy + 64) // 4, mi_rows),
+                             sx // 4 : min((sx + 64) // 4, mi_cols)] = 1
+                    continue
+                slots = np.zeros((4, 5, 4), np.int32)
+                for q in range(4):
+                    qy, qx = sy + _QOFF[q][0], sx + _QOFF[q][1]
+                    slots[q, 0] = edge_avail(qx, qy, 32, 32, ty0, tx0, ty1, tx1)
+                    for s in range(4):
+                        yy, xx = qy + _SOFF[s][0], qx + _SOFF[s][1]
+                        slots[q, 1 + s] = edge_avail(xx, yy, 16, 16,
+                                                     ty0, tx0, ty1, tx1)
+                        mi_coded[yy // 4 : (yy + 16) // 4,
+                                 xx // 4 : (xx + 16) // 4] = 1
+                av_by_sb[(r, c_)] = slots
+
+    for ki, k in enumerate(ks):
+        for li, (r, c_) in enumerate(steps_map[k]):
+            sbr[ki, li] = r
+            sbc[ki, li] = c_
+            valid[ki, li] = True
+            avail[ki, li] = av_by_sb[(r, c_)]
+            sb_step[r, c_] = ki
+            sb_lane[r, c_] = li
+            if partial_col and dev[r].any() and c_ == np.nonzero(dev[r])[0][-1]:
+                allow[ki, li] = False
+
+    geom = WavefrontGeometry(h=h, w=w, mi_cols=mi_cols, mi_rows=mi_rows,
+                             steps=K, width=B, sbr=sbr, sbc=sbc, valid=valid,
+                             avail=avail, allow_z1=allow, device_sb=dev,
+                             sb_step=sb_step, sb_lane=sb_lane)
+    _GEOM_CACHE[key] = geom
+    return geom
+
+
+# ---------------------------------------------------------------------------
+# device pass
+# ---------------------------------------------------------------------------
+
+
+def _gather_block(plane, y, x, n):
+    rows = y[:, None] + jnp.arange(n, dtype=jnp.int32)
+    cols = x[:, None] + jnp.arange(n, dtype=jnp.int32)
+    return plane[rows[:, :, None], cols[:, None, :]]
+
+
+def _scatter_block(plane, y, x, blocks, valid):
+    Hp = plane.shape[0]
+    n = blocks.shape[-1]
+    rows = jnp.where(valid, y, Hp)[:, None] + jnp.arange(n, dtype=jnp.int32)
+    cols = x[:, None] + jnp.arange(n, dtype=jnp.int32)
+    return plane.at[rows[:, :, None], cols[:, None, :]].set(
+        blocks, mode="drop", unique_indices=True)
+
+
+_PASS_CACHE: dict = {}
+
+# directional mode ids and base angles (intra_np order)
+_DIR_MODES = np.array([ij.V, ij.H, ij.D45, ij.D135, ij.D113, ij.D157,
+                       ij.D203, ij.D67])
+_IS_DIR = np.zeros(13, bool)
+_IS_DIR[_DIR_MODES] = True
+
+
+def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
+               tx_search: bool, fine_dir: bool, mode_mask: tuple,
+               mi_cols: int, mi_rows: int, allow_split: bool):
+    """Build (cached) the jitted wavefront pass for one geometry/config."""
+    key = (Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
+           mi_cols, mi_rows, allow_split)
+    fn = _PASS_CACHE.get(key)
+    if fn is None:
+        fn = _make_pass(*key)
+        _PASS_CACHE[key] = fn
+    return fn
+
+
+def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
+               mi_cols, mi_rows, allow_split):
+    maxval = (1 << bd) - 1
+    max_x_y, max_y_y = mi_cols * 4 - 1, mi_rows * 4 - 1
+    max_x_c, max_y_c = (mi_cols * 4 >> 1) - 1, (mi_rows * 4 >> 1) - 1
+    base_mask = np.asarray(mode_mask, bool)  # static candidate set (13,)
+    mode_angles = jnp.asarray(ij.MODE_ANGLE_ARR)
+    is_dir = jnp.asarray(_IS_DIR)
+    BIG = jnp.int32(1 << 30)
+
+    mats = {}
+    for n in (16, 32):
+        mats[(n, 0)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_DCT, n, n))
+    mats[(16, 1)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.ADST_ADST, 16, 16))
+    mats[(8, 0)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_DCT, 8, 8))
+
+    def coeff_rate(lv):
+        a = jnp.abs(lv).astype(jnp.float32)
+        nz = (a > 0).sum((-1, -2)).astype(jnp.float32)
+        return RATE_NZ * nz + RATE_MAG * jnp.log2(1.0 + a).sum((-1, -2))
+
+    def encode_leaf(recY, recU, recV, srcY, srcU, srcV, y, x, n, av4,
+                    lam, qdc, qac, allow_z1, tabs):
+        """One batch of n x n intra leaves.  Returns (reconY, reconU,
+        reconV, outputs, cost)."""
+        n2 = n >> 1
+        shift = 1 if n == 32 else 0
+        ha = av4[:, 0] > 0
+        hl = av4[:, 1] > 0
+        above, left = ij.build_edges_batch(recY, y, x, n, n, ha, hl,
+                                           av4[:, 2], av4[:, 3],
+                                           max_x_y, max_y_y, bd)
+        src = _gather_block(srcY, y, x, n)
+        stack = ij.predict_stack(above, left, n, n, ha, hl, bd)
+        sads = jnp.abs(stack - src[:, None]).sum((-1, -2))
+        # candidate masking: static speed set + dynamic zone-1 restriction
+        # (D45/D67 read above-right pixels a partial-column SB provides)
+        mask = jnp.asarray(base_mask)[None, :] & (
+            allow_z1[:, None] | ~jnp.asarray((np.arange(13) == ij.D45)
+                                             | (np.arange(13) == ij.D67))[None, :])
+        sads = jnp.where(mask, sads, BIG)
+        mode = jnp.argmin(sads, axis=1).astype(jnp.int32)
+
+        pred0 = jnp.take_along_axis(
+            stack, mode[:, None, None, None], axis=1)[:, 0]
+        delta = jnp.zeros_like(mode)
+        pred = pred0
+        if fine_dir:
+            base_ang = mode_angles[mode]
+            dsads = []
+            dpreds = []
+            for d in range(-3, 4):
+                ang = base_ang + 3 * d
+                p = ij.dr_predict_batch(above, left, ang, n, n)
+                s = jnp.abs(p - src).sum((-1, -2))
+                bad = (~is_dir[mode]) & (d != 0)
+                bad = bad | ((ang < 90) & ~allow_z1)  # zone-1 restriction
+                dsads.append(jnp.where(bad, BIG, s))
+                dpreds.append(p)
+            dsads = jnp.stack(dsads, axis=1)
+            dpreds = jnp.stack(dpreds, axis=1)
+            di = jnp.argmin(dsads, axis=1)
+            delta = (di - 3).astype(jnp.int32)
+            pred_d = jnp.take_along_axis(
+                dpreds, di[:, None, None, None], axis=1)[:, 0]
+            # non-directional winner keeps the stack prediction
+            pred = jnp.where(is_dir[mode][:, None, None], pred_d, pred0)
+            delta = jnp.where(is_dir[mode], delta, 0)
+
+        resid = src - pred
+        Fv, FhT = mats[(n, 0)]
+        cf = tj.fdct_batch(resid, Fv, FhT)
+        lv = tj.quantize(cf, qdc, qac, shift)
+        dq = tj.dequantize(lv, qdc, qac, shift, bd)
+        inv = tj.inv_txfm(dq, tn.DCT_DCT, bd)
+        tt = jnp.zeros_like(mode)
+        if tx_search and n <= 16:
+            Fva, FhTa = mats[(n, 1)]
+            cfa = tj.fdct_batch(resid, Fva, FhTa)
+            lva = tj.quantize(cfa, qdc, qac, shift)
+            dqa = tj.dequantize(lva, qdc, qac, shift, bd)
+            inva = tj.inv_txfm(dqa, tn.ADST_ADST, bd)
+            d0 = ((resid - inv).astype(jnp.float32) ** 2).sum((-1, -2))
+            d1 = ((resid - inva).astype(jnp.float32) ** 2).sum((-1, -2))
+            c0 = d0 + lam * coeff_rate(lv)
+            c1 = d1 + lam * coeff_rate(lva)
+            use_a = c1 < c0
+            tt = use_a.astype(jnp.int32)
+            sel = use_a[:, None, None]
+            lv = jnp.where(sel, lva, lv)
+            dq = jnp.where(sel, dqa, dq)
+            inv = jnp.where(sel, inva, inv)
+        recon_y = jnp.clip(pred + inv, 0, maxval)
+
+        # ---- chroma (4:2:0): DC prediction, then optional CFL RD ----
+        cy, cx = y >> 1, x >> 1
+        Fvc, FhTc = mats[(n2, 0)]
+        pred_u, lv_u, dq_u, res_u, cost_u_dc = _chroma_plane(
+            recU, srcU, cy, cx, n2, ha, hl, Fvc, FhTc, qdc, qac, lam)
+        pred_v, lv_v, dq_v, res_v, cost_v_dc = _chroma_plane(
+            recV, srcV, cy, cx, n2, ha, hl, Fvc, FhTc, qdc, qac, lam)
+        alpha_u = jnp.zeros_like(mode)
+        alpha_v = jnp.zeros_like(mode)
+        if cfl_on:
+            ac = ij.cfl_ac_420_batch(recon_y)
+            a_den = (ac.astype(jnp.float32) ** 2).sum((-1, -2))
+
+            def cfl_alpha(res):
+                num = (res.astype(jnp.float32) * ac).sum((-1, -2))
+                af = jnp.round(64.0 * num / jnp.maximum(a_den, 1.0))
+                return jnp.where(a_den > 0, jnp.clip(af, -16, 16), 0.0).astype(jnp.int32)
+
+            def cfl_plane(pred_dc, res_dc, src_p, alpha):
+                pc = ij.cfl_predict_batch(pred_dc, ac, alpha, bd)
+                rc = src_p - pc
+                cfc = tj.fdct_batch(rc, Fvc, FhTc)
+                lc = tj.quantize(cfc, qdc, qac, 0)
+                qc = tj.dequantize(lc, qdc, qac, 0, bd)
+                invc = tj.inv_txfm(qc, tn.DCT_DCT, bd)
+                dist = ((rc - invc).astype(jnp.float32) ** 2).sum((-1, -2))
+                return pc, lc, qc, dist + lam * coeff_rate(lc)
+
+            src_u_b = _gather_block(srcU, cy, cx, n2)
+            src_v_b = _gather_block(srcV, cy, cx, n2)
+            a_u = cfl_alpha(res_u)
+            a_v = cfl_alpha(res_v)
+            pu_c, lu_c, qu_c, cost_u_cfl = cfl_plane(pred_u, res_u, src_u_b, a_u)
+            pv_c, lv_c, qv_c, cost_v_cfl = cfl_plane(pred_v, res_v, src_v_b, a_v)
+            # alpha == 0 for a plane keeps the DC candidate (mirrors host)
+            cost_u_cfl = jnp.where(a_u == 0, cost_u_dc, cost_u_cfl)
+            cost_v_cfl = jnp.where(a_v == 0, cost_v_dc, cost_v_cfl)
+            # mode-level symbol rates from the init CDFs (tabs)
+            bits_uv, bits_sign, bits_alpha = tabs
+            # host encoding: s==0 zero, 1 negative, 2 positive
+            su = jnp.where(a_u == 0, 0, jnp.where(a_u < 0, 1, 2))
+            sv = jnp.where(a_v == 0, 0, jnp.where(a_v < 0, 1, 2))
+            rate_dc = bits_uv[mode, 0]
+            rate_cfl = bits_uv[mode, 1] + bits_sign[su * 3 + sv - 1]
+            rate_cfl = rate_cfl + jnp.where(
+                su > 0, bits_alpha[jnp.where(su == 2, 3, 0) + sv,
+                                   jnp.abs(a_u) - 1], 0.0)
+            rate_cfl = rate_cfl + jnp.where(
+                sv > 0, bits_alpha[jnp.where(sv == 2, 3, 0) + su,
+                                   jnp.abs(a_v) - 1], 0.0)
+            use_cfl = ((a_u != 0) | (a_v != 0)) & (
+                cost_u_cfl + cost_v_cfl + lam * rate_cfl
+                < cost_u_dc + cost_v_dc + lam * rate_dc)
+            take_u = use_cfl & (a_u != 0)
+            take_v = use_cfl & (a_v != 0)
+            alpha_u = jnp.where(take_u, a_u, 0)
+            alpha_v = jnp.where(take_v, a_v, 0)
+            s3 = lambda m: m[:, None, None]
+            pred_u = jnp.where(s3(take_u), pu_c, pred_u)
+            lv_u = jnp.where(s3(take_u), lu_c, lv_u)
+            dq_u = jnp.where(s3(take_u), qu_c, dq_u)
+            pred_v = jnp.where(s3(take_v), pv_c, pred_v)
+            lv_v = jnp.where(s3(take_v), lv_c, lv_v)
+            dq_v = jnp.where(s3(take_v), qv_c, dq_v)
+
+        inv_u = tj.inv_txfm(dq_u, tn.DCT_DCT, bd)
+        inv_v = tj.inv_txfm(dq_v, tn.DCT_DCT, bd)
+        recon_u = jnp.clip(pred_u + inv_u, 0, maxval)
+        recon_v = jnp.clip(pred_v + inv_v, 0, maxval)
+
+        skip = (jnp.abs(lv).sum((-1, -2)) + jnp.abs(lv_u).sum((-1, -2))
+                + jnp.abs(lv_v).sum((-1, -2))) == 0
+        # skip blocks: levels all zero => dequant all zero => recon already
+        # equals clip(pred); nothing to adjust.
+
+        dist = ((recon_y - src).astype(jnp.float32) ** 2).sum((-1, -2))
+        dist = dist + ((recon_u - _gather_block(srcU, cy, cx, n2))
+                       .astype(jnp.float32) ** 2).sum((-1, -2))
+        dist = dist + ((recon_v - _gather_block(srcV, cy, cx, n2))
+                       .astype(jnp.float32) ** 2).sum((-1, -2))
+        rate = coeff_rate(lv) + coeff_rate(lv_u) + coeff_rate(lv_v) + 7.0
+        cost = dist + lam * rate
+
+        out = dict(mode=mode, delta=delta, tt=tt, skip=skip,
+                   au=alpha_u, av=alpha_v,
+                   lv_y=lv.astype(jnp.int16), lv_u=lv_u.astype(jnp.int16),
+                   lv_v=lv_v.astype(jnp.int16))
+        return recon_y, recon_u, recon_v, out, cost
+
+    def _chroma_plane(rec, src, cy, cx, n2, ha, hl, Fvc, FhTc, qdc, qac, lam):
+        zero = jnp.zeros_like(cy)
+        ab, lf = ij.build_edges_batch(rec, cy, cx, n2, n2, ha, hl, zero, zero,
+                                      max_x_c, max_y_c, bd)
+        pred = ij.dc_predict(ab, lf, n2, n2, ha, hl, bd)
+        src_b = _gather_block(src, cy, cx, n2)
+        res = src_b - pred
+        cf = tj.fdct_batch(res, Fvc, FhTc)
+        lvp = tj.quantize(cf, qdc, qac, 0)
+        dqp = tj.dequantize(lvp, qdc, qac, 0, bd)
+        invp = tj.inv_txfm(dqp, tn.DCT_DCT, bd)
+        dist = ((res - invp).astype(jnp.float32) ** 2).sum((-1, -2))
+        return pred, lvp, dqp, res, dist + lam * coeff_rate(lvp)
+
+    def run(srcY, srcU, srcV, sbr, sbc, valid, avail, allow,
+            lam_q, qdc_q, qac_q, part_bits, bits_uv, bits_sign, bits_alpha):
+        tabs = (bits_uv, bits_sign, bits_alpha)
+        recY = jnp.zeros((Hp, Wp), jnp.int32)
+        recU = jnp.zeros((Hp >> 1, Wp >> 1), jnp.int32)
+        recV = jnp.zeros((Hp >> 1, Wp >> 1), jnp.int32)
+        qoff = jnp.asarray(_QOFF, jnp.int32)
+        soff = jnp.asarray(_SOFF, jnp.int32)
+
+        def step(carry, xs):
+            recY, recU, recV = carry
+            (sbr_k, sbc_k, val_k, av_k, allow_k, lam_k, qdc_k, qac_k) = xs
+            sy = sbr_k * 64
+            sx = sbc_k * 64
+
+            def quad(carry_q, xs_q):
+                recY, recU, recV = carry_q
+                (qi, av_q, lam_2, qdc_2, qac_2) = xs_q
+                y32 = sy + qoff[qi, 0]
+                x32 = sx + qoff[qi, 1]
+                r32y, r32u, r32v, out32, cost32 = encode_leaf(
+                    recY, recU, recV, srcY, srcU, srcV, y32, x32, 32,
+                    av_q[:, 0], lam_2, qdc_2, qac_2, allow_k, tabs)
+
+                def sixteen(carry_s, xs_s):
+                    recY, recU, recV, acc = carry_s
+                    (si, av_s) = xs_s
+                    ys = y32 + soff[si, 0]
+                    xs_ = x32 + soff[si, 1]
+                    ry, ru, rv, out16, c16 = encode_leaf(
+                        recY, recU, recV, srcY, srcU, srcV, ys, xs_, 16,
+                        av_s, lam_2, qdc_2, qac_2, allow_k, tabs)
+                    recY = _scatter_block(recY, ys, xs_, ry, val_k)
+                    recU = _scatter_block(recU, ys >> 1, xs_ >> 1, ru, val_k)
+                    recV = _scatter_block(recV, ys >> 1, xs_ >> 1, rv, val_k)
+                    return (recY, recU, recV, acc + c16), out16
+
+                (recY, recU, recV, c16sum), outs16 = jax.lax.scan(
+                    sixteen, (recY, recU, recV, jnp.zeros_like(cost32)),
+                    (jnp.arange(4, dtype=jnp.int32),
+                     av_q[:, 1:5].swapaxes(0, 1)))
+
+                cost_none = cost32 + lam_2 * part_bits[0]
+                cost_split = c16sum + lam_2 * (part_bits[1] + 4 * 2.0)
+                split = cost_split < cost_none
+                if not allow_split:  # rdo_partition off (speed >= 9)
+                    split = jnp.zeros_like(split)
+                s3 = split[:, None, None]
+                curY = _gather_block(recY, y32, x32, 32)
+                curU = _gather_block(recU, y32 >> 1, x32 >> 1, 16)
+                curV = _gather_block(recV, y32 >> 1, x32 >> 1, 16)
+                recY = _scatter_block(recY, y32, x32,
+                                      jnp.where(s3, curY, r32y), val_k)
+                recU = _scatter_block(recU, y32 >> 1, x32 >> 1,
+                                      jnp.where(s3, curU, r32u), val_k)
+                recV = _scatter_block(recV, y32 >> 1, x32 >> 1,
+                                      jnp.where(s3, curV, r32v), val_k)
+                return (recY, recU, recV), (split, out32, outs16)
+
+            (recY, recU, recV), qouts = jax.lax.scan(
+                quad, (recY, recU, recV),
+                (jnp.arange(4, dtype=jnp.int32), av_k.swapaxes(0, 1),
+                 lam_k.swapaxes(0, 1), qdc_k.swapaxes(0, 1),
+                 qac_k.swapaxes(0, 1)))
+            return (recY, recU, recV), qouts
+
+        return jax.lax.scan(
+            step, (recY, recU, recV),
+            (sbr, sbc, valid, avail, allow, lam_q, qdc_q, qac_q))
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+
+class WavefrontResult:
+    """Numpy views over one device pass: recon planes, split map, and
+    per-SB block records in decode order."""
+
+    def __init__(self, geom: WavefrontGeometry, rec, split, out32, out16):
+        self.geom = geom
+        self.rec = rec  # [Y, U, V] int32 numpy
+        # stacked (K, 4, B[, ...]) / (K, 4, 4, B[, ...])
+        self.split = split
+        self.out32 = out32
+        self.out16 = out16
+        sbrows, sbcols = geom.device_sb.shape
+        self.split_map = np.zeros((sbrows * 2, sbcols * 2), bool)
+        for r in range(sbrows):
+            for c_ in range(sbcols):
+                if not geom.device_sb[r, c_]:
+                    continue
+                k, li = geom.sb_step[r, c_], geom.sb_lane[r, c_]
+                for q in range(4):
+                    self.split_map[2 * r + (_QOFF[q][0] // 32),
+                                   2 * c_ + (_QOFF[q][1] // 32)] = \
+                        bool(split[k, q, li])
+
+    def sb_records(self, r: int, c_: int):
+        """Block records for one device SB in decode order: list of
+        (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta, lv_y, lv_u,
+        lv_v)."""
+        g = self.geom
+        k, li = g.sb_step[r, c_], g.sb_lane[r, c_]
+        sy, sx = r * 64, c_ * 64
+        recs = []
+        for q in range(4):
+            avq = g.avail[k, li, q]
+            if not self.split[k, q, li]:
+                o = self.out32
+                recs.append((sx + _QOFF[q][1], sy + _QOFF[q][0], 32, 32,
+                             int(o["mode"][k, q, li]),
+                             bool(o["skip"][k, q, li]),
+                             int(o["tt"][k, q, li]),
+                             int(avq[0, 0]), int(avq[0, 1]),
+                             int(o["au"][k, q, li]), int(o["av"][k, q, li]),
+                             int(o["delta"][k, q, li]),
+                             o["lv_y"][k, q, li], o["lv_u"][k, q, li],
+                             o["lv_v"][k, q, li]))
+            else:
+                o = self.out16
+                for s in range(4):
+                    recs.append((sx + _QOFF[q][1] + _SOFF[s][1],
+                                 sy + _QOFF[q][0] + _SOFF[s][0], 16, 16,
+                                 int(o["mode"][k, q, s, li]),
+                                 bool(o["skip"][k, q, s, li]),
+                                 int(o["tt"][k, q, s, li]),
+                                 int(avq[1 + s, 0]), int(avq[1 + s, 1]),
+                                 int(o["au"][k, q, s, li]),
+                                 int(o["av"][k, q, s, li]),
+                                 int(o["delta"][k, q, s, li]),
+                                 o["lv_y"][k, q, s, li],
+                                 o["lv_u"][k, q, s, li],
+                                 o["lv_v"][k, q, s, li]))
+        return recs
+
+
+def run_wavefront(fe, tiles) -> WavefrontResult | None:
+    """Run the device pass for an IntraFrameEncoder-shaped host object.
+    Returns None when the frame has no full SB (pure host path)."""
+    geom = geometry_for(fe.coded_w, fe.coded_h, fe.w, fe.h, fe.mi_cols,
+                        fe.mi_rows, tuple(tiles))
+    if geom is None:
+        return None
+    K, B = geom.steps, geom.width
+
+    if fe.speed >= 9:
+        mmask = tuple(m in (0, 1, 2, 9, 12) for m in range(13))
+    elif fe.fine_dir:
+        mmask = tuple(True for _ in range(13))
+    else:
+        mmask = tuple(m not in (ij.D45, ij.D67, ij.D203) for m in range(13))
+
+    fn = build_pass(fe.h, fe.w, K, B, fe.bd, bool(fe.cfl_search and fe.q > 0),
+                    bool(fe.tx_type_search and fe.q > 0), bool(fe.fine_dir),
+                    mmask, fe.mi_cols, fe.mi_rows, bool(fe.rdo_partition))
+
+    # per-quadrant lambda / quantizers (activity AQ and segmentation maps)
+    lam_q = np.full((K, B, 4), fe.lam, np.float32)
+    qdc_q = np.full((K, B, 4), fe.dc_q, np.int32)
+    qac_q = np.full((K, B, 4), fe.ac_q, np.int32)
+    lam_map = getattr(fe, "_lam_map", None)
+    for k in range(K):
+        for li in range(B):
+            if not geom.valid[k, li]:
+                continue
+            r, c_ = int(geom.sbr[k, li]), int(geom.sbc[k, li])
+            for q in range(4):
+                y32 = r * 2 + (_QOFF[q][0] // 32)
+                x32 = c_ * 2 + (_QOFF[q][1] // 32)
+                if lam_map is not None:
+                    lam_q[k, li, q] = lam_map[min(y32, lam_map.shape[0] - 1),
+                                              min(x32, lam_map.shape[1] - 1)]
+                if fe.seg_map is not None:
+                    sid = int(fe.seg_map[y32 * 8, x32 * 8])
+                    qdc_q[k, li, q], qac_q[k, li, q] = fe._seg_q[sid]
+                    lam_q[k, li, q] = fe._seg_lam[sid]
+
+    # mode-symbol bit tables from the frame's initial CDFs
+    def sym_bits_row(row, n):
+        out = np.empty(n, np.float32)
+        for s in range(n):
+            fl = 32768 if s == 0 else int(row[s - 1])
+            p = max(fl - int(row[s]), 1) / 32768.0
+            out[s] = -np.log2(p)
+        return out
+
+    cdf = fe.cdf
+    bits_uv = np.zeros((13, 2), np.float32)
+    for m in range(13):
+        rowb = sym_bits_row(cdf.uv_mode[1][m], 14)
+        bits_uv[m, 0] = rowb[0]
+        bits_uv[m, 1] = rowb[13]
+    bits_sign = sym_bits_row(cdf.cfl_sign[0], 8)
+    bits_alpha = np.stack([sym_bits_row(cdf.cfl_alpha[i], 16)
+                           for i in range(6)])
+    prow = cdf.partition[(3 - 1) * 4 + 0]
+    pbits = sym_bits_row(prow, 10)
+    part_bits = np.asarray([pbits[0], pbits[3]], np.float32)
+
+    (recY, recU, recV), (split, out32, out16) = fn(
+        jnp.asarray(fe.src[0]), jnp.asarray(fe.src[1]), jnp.asarray(fe.src[2]),
+        jnp.asarray(geom.sbr), jnp.asarray(geom.sbc), jnp.asarray(geom.valid),
+        jnp.asarray(geom.avail), jnp.asarray(geom.allow_z1),
+        jnp.asarray(lam_q), jnp.asarray(qdc_q), jnp.asarray(qac_q),
+        jnp.asarray(part_bits), jnp.asarray(bits_uv), jnp.asarray(bits_sign),
+        jnp.asarray(bits_alpha))
+
+    # writable copies: the in-loop filters (deblock/CDEF/LRF) and the host
+    # partial-SB encode mutate these in place
+    rec = [np.array(recY), np.array(recU), np.array(recV)]
+    split_np = np.asarray(split)
+    out32_np = {k2: np.asarray(v) for k2, v in out32.items()}
+    out16_np = {k2: np.asarray(v) for k2, v in out16.items()}
+    return WavefrontResult(geom, rec, split_np, out32_np, out16_np)

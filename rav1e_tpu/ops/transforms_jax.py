@@ -473,11 +473,23 @@ def fdct_batch(resid: jax.Array, Fv: jax.Array, FhT: jax.Array) -> jax.Array:
     return jnp.round(y).astype(jnp.int32)
 
 
+def _q_grid(shape2, dc_q, ac_q):
+    """Quantizer grid broadcast over (..., h, w): ac everywhere, dc at
+    position (0, 0).  dc_q/ac_q may be scalars or (batch,) arrays."""
+    h, w = shape2
+    dc = jnp.asarray(dc_q, jnp.int32)
+    ac = jnp.asarray(ac_q, jnp.int32)
+    if dc.ndim:
+        dc = dc[..., None, None]
+        ac = ac[..., None, None]
+    pos00 = ((jnp.arange(h)[:, None] == 0) & (jnp.arange(w)[None, :] == 0))
+    return jnp.where(pos00, dc, ac)
+
+
 def quantize(coeffs: jax.Array, dc_q, ac_q, shift: int) -> jax.Array:
     """Deadzone quantizer (bias 13/32), exact vs quantize_np.quantize.
-    dc_q/ac_q: int32 scalars (may be traced).  shift: static tx_scale."""
-    h, w = coeffs.shape[-2], coeffs.shape[-1]
-    q = jnp.full((h, w), ac_q, jnp.int32).at[0, 0].set(dc_q)
+    dc_q/ac_q: int32 scalars or (batch,) arrays.  shift: static tx_scale."""
+    q = _q_grid(coeffs.shape[-2:], dc_q, ac_q)
     x = coeffs << shift
     sign = jnp.sign(x)
     mag = jnp.abs(x)
@@ -491,8 +503,7 @@ def dequantize(levels: jax.Array, dc_q, ac_q, shift: int,
                bit_depth: int = 8) -> jax.Array:
     """Normative dequant, exact vs quantize_np.dequantize (int32: the
     masked product |level|*q fits 24 bits by construction)."""
-    h, w = levels.shape[-2], levels.shape[-1]
-    q = jnp.full((h, w), ac_q, jnp.int32).at[0, 0].set(dc_q)
+    q = _q_grid(levels.shape[-2:], dc_q, ac_q)
     sign = jnp.sign(levels)
     mag = (jnp.abs(levels) * q) & 0xFFFFFF
     dq = sign * (mag >> shift)

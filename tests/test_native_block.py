@@ -84,13 +84,17 @@ def test_conformance_dav1d():
 def test_lr_two_pass_matches_recorder():
     """With restoration on, the native path re-encodes in two passes
     (decide filters from a throwaway sweep, then interleave read_lr);
-    the output must be byte-identical to the recorder replay path."""
+    the output must be byte-identical to the recorder replay path.
+    The device wavefront path is pinned OFF here: it makes its own
+    (device-RD) decisions, so byte equality only holds for the host
+    pass-A flow this test covers."""
     w, h = 320, 240  # >= 320x240 so device RD maps (two-pass gate) engage
     planes = _planes(w, h, seed=5)
 
     def run(force_recorder):
         enc = IntraFrameEncoder(w, h, 90, device_modes=True,
                                 lf_levels=(8, 8, 6, 6), cdef_damping=5)
+        enc._wavefront_eligible = lambda: False
         enc.lrf = True
         if force_recorder:
             orig = nb.block_coder_for

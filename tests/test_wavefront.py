@@ -1,0 +1,81 @@
+"""Device wavefront encode conformance (models/wavefront.py).
+
+The whole intra datapath (mode/partition decisions, transforms, recon)
+runs on device; the host replays the chosen symbols.  Gate: libdav1d
+decode == device reconstruction, across tile grids, partial superblocks
+(the host/device interleave and the zone-1 mode restriction), speeds and
+segmentation.  Sizes are >= 320x240 so the wavefront path engages
+(device_modes auto threshold)."""
+
+import numpy as np
+import pytest
+
+from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+from rav1e_tpu.obu.headers import (FrameParams, Sequence, temporal_delimiter,
+                                   write_frame_obu, write_sequence_header_obu)
+
+dav1d = pytest.importorskip("rav1e_tpu.utils.dav1d_oracle")
+
+
+def content(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip((xx * 3 + yy * 2) % 256 + rng.integers(-15, 15, (h, w)),
+                0, 255).astype(np.uint8)
+    u = ((xx[::2, ::2] + 40) % 220).astype(np.uint8)
+    v = ((yy[::2, ::2] + 90) % 240).astype(np.uint8)
+    return y, u, v
+
+
+def roundtrip(w, h, q=100, seed=0, speed=6, tiles=(0, 0), seg=()):
+    y, u, v = content(w, h, seed)
+    fe = IntraFrameEncoder(w, h, q_idx=q, speed=speed, device_modes=True,
+                           tile_cols_log2=tiles[0], tile_rows_log2=tiles[1],
+                           seg_deltas=seg)
+    tile, recon = fe.encode([y.astype(np.int32), u.astype(np.int32),
+                             v.astype(np.int32)])
+    seq = Sequence(width=w, height=h)
+    fp = FrameParams(base_q_idx=q, disable_cdf_update=False,
+                     tile_cols_log2=tiles[0], tile_rows_log2=tiles[1],
+                     seg_deltas=fe.seg_deltas)
+    data = (temporal_delimiter() + write_sequence_header_obu(seq)
+            + write_frame_obu(seq, fp, tile))
+    dec, _ = dav1d.Dav1dDecoder().decode_packet(data)
+    for i in range(3):
+        assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
+    return fe
+
+
+def test_wavefront_engages():
+    fe = roundtrip(320, 256, q=100, seed=1)
+    # the wavefront path leaves its bool split map behind
+    assert isinstance(fe._rd_maps["split32"], np.ndarray)
+    assert fe._rd_maps["split32"].dtype == np.bool_
+
+
+@pytest.mark.parametrize("q", [60, 140, 230])
+def test_wavefront_quantizers(q):
+    roundtrip(320, 256, q=q, seed=q)
+
+
+def test_wavefront_partial_superblocks():
+    """Partial right column AND bottom row: device/host interleave in the
+    BlockCache, zone-1 mode restriction on the last device column."""
+    roundtrip(330, 250, q=110, seed=3)
+
+
+def test_wavefront_partial_row_only():
+    roundtrip(320, 250, q=110, seed=4)
+
+
+def test_wavefront_tiles():
+    roundtrip(384, 256, q=120, seed=5, tiles=(1, 1))
+
+
+@pytest.mark.parametrize("speed", [3, 8, 10])
+def test_wavefront_speeds(speed):
+    roundtrip(320, 256, q=100, seed=speed, speed=speed)
+
+
+def test_wavefront_segmentation():
+    roundtrip(320, 256, q=120, seed=7, seg=(-8, -3, 2, 7))
