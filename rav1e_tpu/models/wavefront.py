@@ -207,21 +207,6 @@ def geometry_for(coded_w: int, coded_h: int, w: int, h: int, mi_cols: int,
 # ---------------------------------------------------------------------------
 
 
-def _gather_block(plane, y, x, n):
-    rows = y[:, None] + jnp.arange(n, dtype=jnp.int32)
-    cols = x[:, None] + jnp.arange(n, dtype=jnp.int32)
-    return plane[rows[:, :, None], cols[:, None, :]]
-
-
-def _scatter_block(plane, y, x, blocks, valid):
-    Hp = plane.shape[0]
-    n = blocks.shape[-1]
-    rows = jnp.where(valid, y, Hp)[:, None] + jnp.arange(n, dtype=jnp.int32)
-    cols = x[:, None] + jnp.arange(n, dtype=jnp.int32)
-    return plane.at[rows[:, :, None], cols[:, None, :]].set(
-        blocks, mode="drop", unique_indices=True)
-
-
 _PASS_CACHE: dict = {}
 
 # directional mode ids and base angles (intra_np order)
@@ -246,38 +231,126 @@ def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
 
 def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                mi_cols, mi_rows, allow_split):
+    """Build the jitted tiled wavefront pass.
+
+    Memory layout is the perf-critical choice: reconstruction lives as
+    SB-tiled planes (sb_rows, sb_cols, 64, 64) so every step touches the
+    carry only through whole-tile gathers/scatters (which XLA lowers to
+    contiguous 16KB slice moves), never element scatters.  Per-step work
+    happens on small per-lane "context tiles" — the SB's in-progress
+    recon framed by a 1-px halo of neighbor-tile edges (above row incl.
+    above-right extension, left column, corner) — where all sub-block
+    reads/writes are cheap dynamic slices."""
     maxval = (1 << bd) - 1
-    max_x_y, max_y_y = mi_cols * 4 - 1, mi_rows * 4 - 1
-    max_x_c, max_y_c = (mi_cols * 4 >> 1) - 1, (mi_rows * 4 >> 1) - 1
+    R, C = Hp // 64, Wp // 64
     base_mask = np.asarray(mode_mask, bool)  # static candidate set (13,)
     mode_angles = jnp.asarray(ij.MODE_ANGLE_ARR)
     is_dir = jnp.asarray(_IS_DIR)
     BIG = jnp.int32(1 << 30)
+    base = 1 << (bd - 1)
 
     mats = {}
     for n in (16, 32):
         mats[(n, 0)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_DCT, n, n))
     mats[(16, 1)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.ADST_ADST, 16, 16))
     mats[(8, 0)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_DCT, 8, 8))
+    dir_mats = {n: jnp.asarray(ij.dir_matrices(n)) for n in (16, 32)}
+
+    def _nondir_preds(above, left, n):
+        """SMOOTH / SMOOTH_V / SMOOTH_H / PAETH (enum 9..12): (B, 4, n, n)."""
+        A = above[:, 1 : 1 + n]
+        L = left[:, 1 : 1 + n]
+        tl = above[:, 0]
+        shape = (above.shape[0], n, n)
+        wx = jnp.asarray(np.asarray(ij.ip.sm_weights(n), np.int32))[None, None, :]
+        wy = jnp.asarray(np.asarray(ij.ip.sm_weights(n), np.int32))[None, :, None]
+        below = L[:, n - 1][:, None, None]
+        right = A[:, n - 1][:, None, None]
+        Ab = A[:, None, :]
+        Lb = L[:, :, None]
+        sm = (wy * Ab + (256 - wy) * below + wx * Lb
+              + (256 - wx) * right + 256) >> 9
+        smv = (wy * Ab + (256 - wy) * below + 128) >> 8
+        smh = (wx * Lb + (256 - wx) * right + 128) >> 8
+        b = Ab + Lb - tl[:, None, None]
+        pa = jnp.abs(b - Ab)
+        pl = jnp.abs(b - Lb)
+        ptl = jnp.abs(b - tl[:, None, None])
+        paeth = jnp.where((pl <= pa) & (pl <= ptl), jnp.broadcast_to(Lb, shape),
+                          jnp.where(pa <= ptl, jnp.broadcast_to(Ab, shape),
+                                    jnp.broadcast_to(tl[:, None, None], shape)))
+        return jnp.stack([sm, smv, smh, paeth], axis=1)
 
     def coeff_rate(lv):
         a = jnp.abs(lv).astype(jnp.float32)
         nz = (a > 0).sum((-1, -2)).astype(jnp.float32)
         return RATE_NZ * nz + RATE_MAG * jnp.log2(1.0 + a).sum((-1, -2))
 
-    def encode_leaf(recY, recU, recV, srcY, srcU, srcV, y, x, n, av4,
+    def edges_local(ctx, ly, lx, w, h, ha, hl, ntr, nbl):
+        """Spec 7.11.2 edge build from a context tile.  ctx: (B, Hc, Wc)
+        with the block's top-left recon sample at ctx[1+ly, 1+lx]; row 0 /
+        col 0 are the halo (above row + above-right ext / left column).
+        ly/lx are traced scalars (same for all lanes).  Bit-exact with
+        intra_jax.build_edges_batch (the mi-grid clamp never engages for
+        interior SBs)."""
+        Bn = ctx.shape[0]
+        n = w + h
+        i = jnp.arange(n, dtype=jnp.int32)[None, :]
+        row = jax.lax.dynamic_slice_in_dim(ctx, ly, 1, axis=1)[:, 0, :]
+        colv = jax.lax.dynamic_slice_in_dim(ctx, lx, 1, axis=2)[:, :, 0]
+        avail_a = w + jnp.minimum(ntr, h)
+        idx_a = 1 + lx + jnp.minimum(i, avail_a[:, None] - 1)
+        above_px = jnp.take_along_axis(row, idx_a, axis=1)
+        avail_l = h + jnp.minimum(nbl, w)
+        idx_l = 1 + ly + jnp.minimum(i, avail_l[:, None] - 1)
+        left_px = jnp.take_along_axis(colv, idx_l, axis=1)
+        lt = jax.lax.dynamic_slice_in_dim(colv, 1 + ly, 1, axis=1)[:, 0]
+        tr = jax.lax.dynamic_slice_in_dim(row, 1 + lx, 1, axis=1)[:, 0]
+        corner = jax.lax.dynamic_slice_in_dim(row, lx, 1, axis=1)[:, 0]
+        above_v = jnp.where(ha[:, None], above_px,
+                            jnp.where(hl[:, None], lt[:, None], base - 1))
+        left_v = jnp.where(hl[:, None], left_px,
+                           jnp.where(ha[:, None], tr[:, None], base + 1))
+        tl = jnp.where(ha & hl, corner,
+                       jnp.where(ha, tr, jnp.where(hl, lt, base)))
+        above = jnp.concatenate([tl[:, None], above_v], axis=1)
+        left = jnp.concatenate([tl[:, None], left_v], axis=1)
+        return above, left
+
+    def chroma_dc(ctxC, srcCt, ly2, lx2, n2, ha, hl, Fvc, FhTc, qdc, qac, lam):
+        zero = jnp.zeros((ctxC.shape[0],), jnp.int32)
+        ab, lf = edges_local(ctxC, ly2, lx2, n2, n2, ha, hl, zero, zero)
+        pred = ij.dc_predict(ab, lf, n2, n2, ha, hl, bd)
+        src_b = jax.lax.dynamic_slice(srcCt, (0, ly2, lx2),
+                                      (srcCt.shape[0], n2, n2))
+        res = src_b - pred
+        cf = tj.fdct_batch(res, Fvc, FhTc)
+        lvp = tj.quantize(cf, qdc, qac, 0)
+        dqp = tj.dequantize(lvp, qdc, qac, 0, bd)
+        invp = tj.inv_txfm(dqp, tn.DCT_DCT, bd)
+        dist = ((res - invp).astype(jnp.float32) ** 2).sum((-1, -2))
+        return pred, lvp, dqp, res, src_b, dist + lam * coeff_rate(lvp)
+
+    def encode_leaf(ctxY, ctxU, ctxV, srcYt, srcUt, srcVt, ly, lx, n, av4,
                     lam, qdc, qac, allow_z1, tabs):
-        """One batch of n x n intra leaves.  Returns (reconY, reconU,
-        reconV, outputs, cost)."""
+        """One batch of n x n intra leaves at local offset (ly, lx) inside
+        the SB.  Returns updated context tiles, outputs and the RD cost."""
         n2 = n >> 1
         shift = 1 if n == 32 else 0
         ha = av4[:, 0] > 0
         hl = av4[:, 1] > 0
-        above, left = ij.build_edges_batch(recY, y, x, n, n, ha, hl,
-                                           av4[:, 2], av4[:, 3],
-                                           max_x_y, max_y_y, bd)
-        src = _gather_block(srcY, y, x, n)
-        stack = ij.predict_stack(above, left, n, n, ha, hl, bd)
+        above, left = edges_local(ctxY, ly, lx, n, n, ha, hl,
+                                  av4[:, 2], av4[:, 3])
+        src = jax.lax.dynamic_slice(srcYt, (0, ly, lx),
+                                    (srcYt.shape[0], n, n))
+        Bn = src.shape[0]
+        # all 56 directional variants in one MXU matmul (modes 1..8 x 7
+        # deltas); the non-directional 5 are cheap elementwise forms
+        dirs = ij.predict_dirs(above, left, n, dir_mats[n])
+        dc = ij.dc_predict(above, left, n, n, ha, hl, bd)
+        nd = _nondir_preds(above, left, n)  # (B, 4, n, n): SM, SMV, SMH, PAETH
+        stack = jnp.concatenate(
+            [dc[:, None], dirs[:, :, 3], nd], axis=1)  # enum order 0..12
         sads = jnp.abs(stack - src[:, None]).sum((-1, -2))
         # candidate masking: static speed set + dynamic zone-1 restriction
         # (D45/D67 read above-right pixels a partial-column SB provides)
@@ -292,23 +365,20 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         delta = jnp.zeros_like(mode)
         pred = pred0
         if fine_dir:
-            base_ang = mode_angles[mode]
-            dsads = []
-            dpreds = []
-            for d in range(-3, 4):
-                ang = base_ang + 3 * d
-                p = ij.dr_predict_batch(above, left, ang, n, n)
-                s = jnp.abs(p - src).sum((-1, -2))
-                bad = (~is_dir[mode]) & (d != 0)
-                bad = bad | ((ang < 90) & ~allow_z1)  # zone-1 restriction
-                dsads.append(jnp.where(bad, BIG, s))
-                dpreds.append(p)
-            dsads = jnp.stack(dsads, axis=1)
-            dpreds = jnp.stack(dpreds, axis=1)
+            sad56 = jnp.abs(dirs - src[:, None, None]).sum((-1, -2))  # (B,8,7)
+            dmi = jnp.clip(mode - 1, 0, 7)
+            dsads = jnp.take_along_axis(sad56, dmi[:, None, None],
+                                        axis=1)[:, 0]  # (B, 7)
+            angs = jnp.asarray(ij.DIR_ANGLES)  # (8, 7) static angle table
+            my_angs = angs[dmi]
+            bad = (my_angs < 90) & ~allow_z1[:, None]  # zone-1 restriction
+            dsads = jnp.where(bad, BIG, dsads)
             di = jnp.argmin(dsads, axis=1)
             delta = (di - 3).astype(jnp.int32)
             pred_d = jnp.take_along_axis(
-                dpreds, di[:, None, None, None], axis=1)[:, 0]
+                jnp.take_along_axis(dirs, dmi[:, None, None, None, None],
+                                    axis=1)[:, 0],
+                di[:, None, None, None], axis=1)[:, 0]
             # non-directional winner keeps the stack prediction
             pred = jnp.where(is_dir[mode][:, None, None], pred_d, pred0)
             delta = jnp.where(is_dir[mode], delta, 0)
@@ -337,14 +407,15 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             dq = jnp.where(sel, dqa, dq)
             inv = jnp.where(sel, inva, inv)
         recon_y = jnp.clip(pred + inv, 0, maxval)
+        ctxY = jax.lax.dynamic_update_slice(ctxY, recon_y, (0, 1 + ly, 1 + lx))
 
         # ---- chroma (4:2:0): DC prediction, then optional CFL RD ----
-        cy, cx = y >> 1, x >> 1
+        ly2, lx2 = ly >> 1, lx >> 1
         Fvc, FhTc = mats[(n2, 0)]
-        pred_u, lv_u, dq_u, res_u, cost_u_dc = _chroma_plane(
-            recU, srcU, cy, cx, n2, ha, hl, Fvc, FhTc, qdc, qac, lam)
-        pred_v, lv_v, dq_v, res_v, cost_v_dc = _chroma_plane(
-            recV, srcV, cy, cx, n2, ha, hl, Fvc, FhTc, qdc, qac, lam)
+        pred_u, lv_u, dq_u, res_u, src_u_b, cost_u_dc = chroma_dc(
+            ctxU, srcUt, ly2, lx2, n2, ha, hl, Fvc, FhTc, qdc, qac, lam)
+        pred_v, lv_v, dq_v, res_v, src_v_b, cost_v_dc = chroma_dc(
+            ctxV, srcVt, ly2, lx2, n2, ha, hl, Fvc, FhTc, qdc, qac, lam)
         alpha_u = jnp.zeros_like(mode)
         alpha_v = jnp.zeros_like(mode)
         if cfl_on:
@@ -354,9 +425,10 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             def cfl_alpha(res):
                 num = (res.astype(jnp.float32) * ac).sum((-1, -2))
                 af = jnp.round(64.0 * num / jnp.maximum(a_den, 1.0))
-                return jnp.where(a_den > 0, jnp.clip(af, -16, 16), 0.0).astype(jnp.int32)
+                return jnp.where(a_den > 0, jnp.clip(af, -16, 16),
+                                 0.0).astype(jnp.int32)
 
-            def cfl_plane(pred_dc, res_dc, src_p, alpha):
+            def cfl_plane(pred_dc, src_p, alpha):
                 pc = ij.cfl_predict_batch(pred_dc, ac, alpha, bd)
                 rc = src_p - pc
                 cfc = tj.fdct_batch(rc, Fvc, FhTc)
@@ -366,12 +438,10 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                 dist = ((rc - invc).astype(jnp.float32) ** 2).sum((-1, -2))
                 return pc, lc, qc, dist + lam * coeff_rate(lc)
 
-            src_u_b = _gather_block(srcU, cy, cx, n2)
-            src_v_b = _gather_block(srcV, cy, cx, n2)
             a_u = cfl_alpha(res_u)
             a_v = cfl_alpha(res_v)
-            pu_c, lu_c, qu_c, cost_u_cfl = cfl_plane(pred_u, res_u, src_u_b, a_u)
-            pv_c, lv_c, qv_c, cost_v_cfl = cfl_plane(pred_v, res_v, src_v_b, a_v)
+            pu_c, lu_c, qu_c, cost_u_cfl = cfl_plane(pred_u, src_u_b, a_u)
+            pv_c, lv_c, qv_c, cost_v_cfl = cfl_plane(pred_v, src_v_b, a_v)
             # alpha == 0 for a plane keeps the DC candidate (mirrors host)
             cost_u_cfl = jnp.where(a_u == 0, cost_u_dc, cost_u_cfl)
             cost_v_cfl = jnp.where(a_v == 0, cost_v_dc, cost_v_cfl)
@@ -407,6 +477,8 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         inv_v = tj.inv_txfm(dq_v, tn.DCT_DCT, bd)
         recon_u = jnp.clip(pred_u + inv_u, 0, maxval)
         recon_v = jnp.clip(pred_v + inv_v, 0, maxval)
+        ctxU = jax.lax.dynamic_update_slice(ctxU, recon_u, (0, 1 + ly2, 1 + lx2))
+        ctxV = jax.lax.dynamic_update_slice(ctxV, recon_v, (0, 1 + ly2, 1 + lx2))
 
         skip = (jnp.abs(lv).sum((-1, -2)) + jnp.abs(lv_u).sum((-1, -2))
                 + jnp.abs(lv_v).sum((-1, -2))) == 0
@@ -414,72 +486,83 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         # equals clip(pred); nothing to adjust.
 
         dist = ((recon_y - src).astype(jnp.float32) ** 2).sum((-1, -2))
-        dist = dist + ((recon_u - _gather_block(srcU, cy, cx, n2))
-                       .astype(jnp.float32) ** 2).sum((-1, -2))
-        dist = dist + ((recon_v - _gather_block(srcV, cy, cx, n2))
-                       .astype(jnp.float32) ** 2).sum((-1, -2))
+        dist = dist + ((recon_u - src_u_b).astype(jnp.float32) ** 2).sum((-1, -2))
+        dist = dist + ((recon_v - src_v_b).astype(jnp.float32) ** 2).sum((-1, -2))
         rate = coeff_rate(lv) + coeff_rate(lv_u) + coeff_rate(lv_v) + 7.0
         cost = dist + lam * rate
 
         out = dict(mode=mode, delta=delta, tt=tt, skip=skip,
-                   au=alpha_u, av=alpha_v,
-                   lv_y=lv.astype(jnp.int16), lv_u=lv_u.astype(jnp.int16),
-                   lv_v=lv_v.astype(jnp.int16))
-        return recon_y, recon_u, recon_v, out, cost
+                   au=alpha_u, av=alpha_v)
+        levels = (lv.astype(jnp.int16), lv_u.astype(jnp.int16),
+                  lv_v.astype(jnp.int16))
+        return ctxY, ctxU, ctxV, out, levels, cost
 
-    def _chroma_plane(rec, src, cy, cx, n2, ha, hl, Fvc, FhTc, qdc, qac, lam):
-        zero = jnp.zeros_like(cy)
-        ab, lf = ij.build_edges_batch(rec, cy, cx, n2, n2, ha, hl, zero, zero,
-                                      max_x_c, max_y_c, bd)
-        pred = ij.dc_predict(ab, lf, n2, n2, ha, hl, bd)
-        src_b = _gather_block(src, cy, cx, n2)
-        res = src_b - pred
-        cf = tj.fdct_batch(res, Fvc, FhTc)
-        lvp = tj.quantize(cf, qdc, qac, 0)
-        dqp = tj.dequantize(lvp, qdc, qac, 0, bd)
-        invp = tj.inv_txfm(dqp, tn.DCT_DCT, bd)
-        dist = ((res - invp).astype(jnp.float32) ** 2).sum((-1, -2))
-        return pred, lvp, dqp, res, dist + lam * coeff_rate(lvp)
+    def compose_ctx(t, r, c, n, ext):
+        """Context tile (B, n+1, n+ext+1) from the tiled plane t (R,C,n,n):
+        own tile framed by the above row (with above-right extension),
+        left column and corner from neighbor tiles."""
+        def g(rr, cc):
+            return t[jnp.clip(rr, 0, R - 1), jnp.clip(cc, 0, C - 1)]
+
+        own = g(r, c)
+        ab = g(r - 1, c)
+        lf = g(r, c - 1)
+        al = g(r - 1, c - 1)
+        ar = g(r - 1, c + 1)
+        Bn = own.shape[0]
+        row0 = jnp.concatenate(
+            [al[:, -1, -1][:, None], ab[:, -1, :], ar[:, -1, :ext]], axis=1)
+        ctx = jnp.zeros((Bn, n + 1, n + ext + 1), jnp.int32)
+        ctx = ctx.at[:, 0, :].set(row0)
+        ctx = ctx.at[:, 1:, 0].set(lf[:, :, -1])
+        ctx = ctx.at[:, 1 : n + 1, 1 : n + 1].set(own)
+        return ctx
 
     def run(srcY, srcU, srcV, sbr, sbc, valid, avail, allow,
             lam_q, qdc_q, qac_q, part_bits, bits_uv, bits_sign, bits_alpha):
         tabs = (bits_uv, bits_sign, bits_alpha)
-        recY = jnp.zeros((Hp, Wp), jnp.int32)
-        recU = jnp.zeros((Hp >> 1, Wp >> 1), jnp.int32)
-        recV = jnp.zeros((Hp >> 1, Wp >> 1), jnp.int32)
+        tY = jnp.zeros((R, C, 64, 64), jnp.int32)
+        tU = jnp.zeros((R, C, 32, 32), jnp.int32)
+        tV = jnp.zeros((R, C, 32, 32), jnp.int32)
+        srcYt = srcY.reshape(R, 64, C, 64).transpose(0, 2, 1, 3)
+        srcUt = srcU.reshape(R, 32, C, 32).transpose(0, 2, 1, 3)
+        srcVt = srcV.reshape(R, 32, C, 32).transpose(0, 2, 1, 3)
         qoff = jnp.asarray(_QOFF, jnp.int32)
         soff = jnp.asarray(_SOFF, jnp.int32)
 
+        def gtile(t, rr, cc):
+            return t[jnp.clip(rr, 0, R - 1), jnp.clip(cc, 0, C - 1)]
+
         def step(carry, xs):
-            recY, recU, recV = carry
+            tY, tU, tV = carry
             (sbr_k, sbc_k, val_k, av_k, allow_k, lam_k, qdc_k, qac_k) = xs
-            sy = sbr_k * 64
-            sx = sbc_k * 64
+            ctxY = compose_ctx(tY, sbr_k, sbc_k, 64, 32)
+            ctxU = compose_ctx(tU, sbr_k, sbc_k, 32, 16)
+            ctxV = compose_ctx(tV, sbr_k, sbc_k, 32, 16)
+            sYt = gtile(srcYt, sbr_k, sbc_k)
+            sUt = gtile(srcUt, sbr_k, sbc_k)
+            sVt = gtile(srcVt, sbr_k, sbc_k)
 
             def quad(carry_q, xs_q):
-                recY, recU, recV = carry_q
+                ctxY, ctxU, ctxV = carry_q
                 (qi, av_q, lam_2, qdc_2, qac_2) = xs_q
-                y32 = sy + qoff[qi, 0]
-                x32 = sx + qoff[qi, 1]
-                r32y, r32u, r32v, out32, cost32 = encode_leaf(
-                    recY, recU, recV, srcY, srcU, srcV, y32, x32, 32,
+                qy = qoff[qi, 0]
+                qx = qoff[qi, 1]
+                cY32, cU32, cV32, out32, lv32, cost32 = encode_leaf(
+                    ctxY, ctxU, ctxV, sYt, sUt, sVt, qy, qx, 32,
                     av_q[:, 0], lam_2, qdc_2, qac_2, allow_k, tabs)
 
                 def sixteen(carry_s, xs_s):
-                    recY, recU, recV, acc = carry_s
+                    ctxY, ctxU, ctxV, acc = carry_s
                     (si, av_s) = xs_s
-                    ys = y32 + soff[si, 0]
-                    xs_ = x32 + soff[si, 1]
-                    ry, ru, rv, out16, c16 = encode_leaf(
-                        recY, recU, recV, srcY, srcU, srcV, ys, xs_, 16,
+                    ctxY, ctxU, ctxV, out16, lv16, c16 = encode_leaf(
+                        ctxY, ctxU, ctxV, sYt, sUt, sVt,
+                        qy + soff[si, 0], qx + soff[si, 1], 16,
                         av_s, lam_2, qdc_2, qac_2, allow_k, tabs)
-                    recY = _scatter_block(recY, ys, xs_, ry, val_k)
-                    recU = _scatter_block(recU, ys >> 1, xs_ >> 1, ru, val_k)
-                    recV = _scatter_block(recV, ys >> 1, xs_ >> 1, rv, val_k)
-                    return (recY, recU, recV, acc + c16), out16
+                    return (ctxY, ctxU, ctxV, acc + c16), (out16, lv16)
 
-                (recY, recU, recV, c16sum), outs16 = jax.lax.scan(
-                    sixteen, (recY, recU, recV, jnp.zeros_like(cost32)),
+                (ctxY16, ctxU16, ctxV16, c16sum), (outs16, lvs16) = jax.lax.scan(
+                    sixteen, (ctxY, ctxU, ctxV, jnp.zeros_like(cost32)),
                     (jnp.arange(4, dtype=jnp.int32),
                      av_q[:, 1:5].swapaxes(0, 1)))
 
@@ -489,27 +572,62 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                 if not allow_split:  # rdo_partition off (speed >= 9)
                     split = jnp.zeros_like(split)
                 s3 = split[:, None, None]
-                curY = _gather_block(recY, y32, x32, 32)
-                curU = _gather_block(recU, y32 >> 1, x32 >> 1, 16)
-                curV = _gather_block(recV, y32 >> 1, x32 >> 1, 16)
-                recY = _scatter_block(recY, y32, x32,
-                                      jnp.where(s3, curY, r32y), val_k)
-                recU = _scatter_block(recU, y32 >> 1, x32 >> 1,
-                                      jnp.where(s3, curU, r32u), val_k)
-                recV = _scatter_block(recV, y32 >> 1, x32 >> 1,
-                                      jnp.where(s3, curV, r32v), val_k)
-                return (recY, recU, recV), (split, out32, outs16)
+                Bn = split.shape[0]
+                # select the quadrant recon: 16-chain result vs the 32 block
+                selY = jnp.where(
+                    s3,
+                    jax.lax.dynamic_slice(ctxY16, (0, 1 + qy, 1 + qx), (Bn, 32, 32)),
+                    jax.lax.dynamic_slice(cY32, (0, 1 + qy, 1 + qx), (Bn, 32, 32)))
+                selU = jnp.where(
+                    s3,
+                    jax.lax.dynamic_slice(ctxU16, (0, 1 + (qy >> 1), 1 + (qx >> 1)), (Bn, 16, 16)),
+                    jax.lax.dynamic_slice(cU32, (0, 1 + (qy >> 1), 1 + (qx >> 1)), (Bn, 16, 16)))
+                selV = jnp.where(
+                    s3,
+                    jax.lax.dynamic_slice(ctxV16, (0, 1 + (qy >> 1), 1 + (qx >> 1)), (Bn, 16, 16)),
+                    jax.lax.dynamic_slice(cV32, (0, 1 + (qy >> 1), 1 + (qx >> 1)), (Bn, 16, 16)))
+                ctxY = jax.lax.dynamic_update_slice(ctxY16, selY, (0, 1 + qy, 1 + qx))
+                ctxU = jax.lax.dynamic_update_slice(ctxU16, selU, (0, 1 + (qy >> 1), 1 + (qx >> 1)))
+                ctxV = jax.lax.dynamic_update_slice(ctxV16, selV, (0, 1 + (qy >> 1), 1 + (qx >> 1)))
 
-            (recY, recU, recV), qouts = jax.lax.scan(
-                quad, (recY, recU, recV),
+                # merged level transfer: the split side and the NONE side
+                # code the same coefficient count; ship only the chosen one
+                lv_y_m = jnp.where(split[:, None],
+                                   lvs16[0].transpose(1, 0, 2, 3).reshape(Bn, 1024),
+                                   lv32[0].reshape(Bn, 1024))
+                lv_u_m = jnp.where(split[:, None],
+                                   lvs16[1].transpose(1, 0, 2, 3).reshape(Bn, 256),
+                                   lv32[1].reshape(Bn, 256))
+                lv_v_m = jnp.where(split[:, None],
+                                   lvs16[2].transpose(1, 0, 2, 3).reshape(Bn, 256),
+                                   lv32[2].reshape(Bn, 256))
+                return (ctxY, ctxU, ctxV), (split, out32, outs16,
+                                            lv_y_m, lv_u_m, lv_v_m)
+
+            (ctxY, ctxU, ctxV), qouts = jax.lax.scan(
+                quad, (ctxY, ctxU, ctxV),
                 (jnp.arange(4, dtype=jnp.int32), av_k.swapaxes(0, 1),
                  lam_k.swapaxes(0, 1), qdc_k.swapaxes(0, 1),
                  qac_k.swapaxes(0, 1)))
-            return (recY, recU, recV), qouts
 
-        return jax.lax.scan(
-            step, (recY, recU, recV),
+            # write the finished SB tiles back (invalid lanes dropped)
+            rr = jnp.where(val_k, sbr_k, R)
+            tY = tY.at[rr, sbc_k].set(ctxY[:, 1:65, 1:65], mode="drop",
+                                      unique_indices=True)
+            tU = tU.at[rr, sbc_k].set(ctxU[:, 1:33, 1:33], mode="drop",
+                                      unique_indices=True)
+            tV = tV.at[rr, sbc_k].set(ctxV[:, 1:33, 1:33], mode="drop",
+                                      unique_indices=True)
+            return (tY, tU, tV), qouts
+
+        (tY, tU, tV), outs = jax.lax.scan(
+            step, (tY, tU, tV),
             (sbr, sbc, valid, avail, allow, lam_q, qdc_q, qac_q))
+        odt = jnp.uint8 if bd == 8 else jnp.int32
+        recY = tY.transpose(0, 2, 1, 3).reshape(Hp, Wp).astype(odt)
+        recU = tU.transpose(0, 2, 1, 3).reshape(Hp >> 1, Wp >> 1).astype(odt)
+        recV = tV.transpose(0, 2, 1, 3).reshape(Hp >> 1, Wp >> 1).astype(odt)
+        return (recY, recU, recV), outs
 
     return jax.jit(run)
 
@@ -523,13 +641,18 @@ class WavefrontResult:
     """Numpy views over one device pass: recon planes, split map, and
     per-SB block records in decode order."""
 
-    def __init__(self, geom: WavefrontGeometry, rec, split, out32, out16):
+    def __init__(self, geom: WavefrontGeometry, rec, split, out32, out16,
+                 levels):
         self.geom = geom
         self.rec = rec  # [Y, U, V] int32 numpy
         # stacked (K, 4, B[, ...]) / (K, 4, 4, B[, ...])
         self.split = split
         self.out32 = out32
         self.out16 = out16
+        # merged per-quadrant level buffers (K, 4, B, 1024|256): the
+        # chosen side's coefficients (32x32 row-major, or 4x 16x16 in
+        # leaf z-order when split)
+        self.lv_y, self.lv_u, self.lv_v = levels
         sbrows, sbcols = geom.device_sb.shape
         self.split_map = np.zeros((sbrows * 2, sbcols * 2), bool)
         for r in range(sbrows):
@@ -561,10 +684,14 @@ class WavefrontResult:
                              int(avq[0, 0]), int(avq[0, 1]),
                              int(o["au"][k, q, li]), int(o["av"][k, q, li]),
                              int(o["delta"][k, q, li]),
-                             o["lv_y"][k, q, li], o["lv_u"][k, q, li],
-                             o["lv_v"][k, q, li]))
+                             self.lv_y[k, q, li].reshape(32, 32),
+                             self.lv_u[k, q, li].reshape(16, 16),
+                             self.lv_v[k, q, li].reshape(16, 16)))
             else:
                 o = self.out16
+                ly4 = self.lv_y[k, q, li].reshape(4, 16, 16)
+                lu4 = self.lv_u[k, q, li].reshape(4, 8, 8)
+                lv4 = self.lv_v[k, q, li].reshape(4, 8, 8)
                 for s in range(4):
                     recs.append((sx + _QOFF[q][1] + _SOFF[s][1],
                                  sy + _QOFF[q][0] + _SOFF[s][0], 16, 16,
@@ -575,9 +702,7 @@ class WavefrontResult:
                                  int(o["au"][k, q, s, li]),
                                  int(o["av"][k, q, s, li]),
                                  int(o["delta"][k, q, s, li]),
-                                 o["lv_y"][k, q, s, li],
-                                 o["lv_u"][k, q, s, li],
-                                 o["lv_v"][k, q, s, li]))
+                                 ly4[s], lu4[s], lv4[s]))
         return recs
 
 
@@ -644,7 +769,7 @@ def run_wavefront(fe, tiles) -> WavefrontResult | None:
     pbits = sym_bits_row(prow, 10)
     part_bits = np.asarray([pbits[0], pbits[3]], np.float32)
 
-    (recY, recU, recV), (split, out32, out16) = fn(
+    (recY, recU, recV), (split, out32, out16, lv_y, lv_u, lv_v) = fn(
         jnp.asarray(fe.src[0]), jnp.asarray(fe.src[1]), jnp.asarray(fe.src[2]),
         jnp.asarray(geom.sbr), jnp.asarray(geom.sbc), jnp.asarray(geom.valid),
         jnp.asarray(geom.avail), jnp.asarray(geom.allow_z1),
@@ -652,10 +777,12 @@ def run_wavefront(fe, tiles) -> WavefrontResult | None:
         jnp.asarray(part_bits), jnp.asarray(bits_uv), jnp.asarray(bits_sign),
         jnp.asarray(bits_alpha))
 
-    # writable copies: the in-loop filters (deblock/CDEF/LRF) and the host
-    # partial-SB encode mutate these in place
-    rec = [np.array(recY), np.array(recU), np.array(recV)]
+    # writable int32 copies: the in-loop filters (deblock/CDEF/LRF) and the
+    # host partial-SB encode mutate these in place (transfer rides uint8)
+    rec = [np.array(recY, dtype=np.int32), np.array(recU, dtype=np.int32),
+           np.array(recV, dtype=np.int32)]
     split_np = np.asarray(split)
     out32_np = {k2: np.asarray(v) for k2, v in out32.items()}
     out16_np = {k2: np.asarray(v) for k2, v in out16.items()}
-    return WavefrontResult(geom, rec, split_np, out32_np, out16_np)
+    levels = (np.asarray(lv_y), np.asarray(lv_u), np.asarray(lv_v))
+    return WavefrontResult(geom, rec, split_np, out32_np, out16_np, levels)

@@ -205,6 +205,115 @@ def dr_predict_batch(above, left, p_angle, w: int, h: int):
                                          jnp.where(pa == 180, horz, z3))))
 
 
+_DIR_MAT_CACHE: dict = {}
+
+# directional modes in enum order 1..8 (V, H, D45, D135, D113, D157, D203,
+# D67) — contiguous, so dirs[:, mode-1] indexes by PredictionMode directly
+DIR_MODE_IDS = (V, H, D45, D135, D113, D157, D203, D67)
+DIR_ANGLES = np.array([[ip.MODE_ANGLE[m] + 3 * d for d in range(-3, 4)]
+                       for m in DIR_MODE_IDS], np.int32)  # (8, 7)
+
+
+def dir_matrices(n: int) -> np.ndarray:
+    """Interpolation-weight matrices for ALL 56 directional variants
+    (8 modes x 7 angle deltas) of an n x n block, as one (E, 56*n*n)
+    float32 operand.  E = 4n+1 indexes the edge vector
+    concat(above[0..2n], left[1..2n]) (index 0 = top-left).
+
+    Every directional prediction is (e[i0]*w0 + e[i1]*w1 + 16) >> 5 with
+    static (i0, w0, i1, w1) per (angle, r, c) — so a whole wavefront's
+    directional search collapses to one MXU matmul.  Weights and 8-bit
+    edge samples are exactly representable in bf16 and products fit the
+    fp32 accumulator, so the matmul result is exact integer arithmetic."""
+    M = _DIR_MAT_CACHE.get(n)
+    if M is not None:
+        return M
+    E = 4 * n + 1
+    n_e = 2 * n  # edge length per side (w + h)
+    M = np.zeros((E, 56, n, n), np.float32)
+
+    def e_above(i):  # above[1 + i] (i = -1 -> top-left)
+        return 0 if i < 0 else 1 + i
+
+    def e_left(i):  # left[1 + i] (i = -1 -> top-left)
+        return 0 if i < 0 else 1 + n_e + i
+
+    for mi, mode in enumerate(DIR_MODE_IDS):
+        for dd in range(7):
+            p = int(DIR_ANGLES[mi, dd])
+            col = mi * 7 + dd
+            if p == 90:
+                for r in range(n):
+                    for c in range(n):
+                        M[e_above(c), col, r, c] = 32
+                continue
+            if p == 180:
+                for r in range(n):
+                    for c in range(n):
+                        M[e_left(r), col, r, c] = 32
+                continue
+            if p < 90:
+                dx = int(ip._DR[p])
+                mx = n_e - 1
+                for r in range(n):
+                    xpos = (r + 1) * dx
+                    bx = xpos >> 6
+                    s = (xpos >> 1) & 0x1F
+                    for c in range(n):
+                        b = bx + c
+                        if b >= mx:
+                            M[e_above(mx), col, r, c] = 32
+                        else:
+                            M[e_above(b), col, r, c] += 32 - s
+                            M[e_above(b + 1), col, r, c] += s
+            elif p < 180:
+                dx = int(ip._DR[180 - p])
+                dy = int(ip._DR[p - 90])
+                for r in range(n):
+                    for c in range(n):
+                        xpos = (c << 6) - (r + 1) * dx
+                        bx = xpos >> 6
+                        if bx >= -1:
+                            s = (xpos >> 1) & 0x1F
+                            M[e_above(bx), col, r, c] += 32 - s
+                            M[e_above(bx + 1), col, r, c] += s
+                        else:
+                            ypos = (r << 6) - (c + 1) * dy
+                            by = ypos >> 6
+                            s = (ypos >> 1) & 0x1F
+                            M[e_left(by), col, r, c] += 32 - s
+                            M[e_left(by + 1), col, r, c] += s
+            else:
+                dy = int(ip._DR[270 - p])
+                mx = n_e - 1
+                for c in range(n):
+                    ypos = (c + 1) * dy
+                    by = ypos >> 6
+                    s = (ypos >> 1) & 0x1F
+                    for r in range(n):
+                        b = by + r
+                        if b >= mx:
+                            M[e_left(mx), col, r, c] = 32
+                        else:
+                            M[e_left(b), col, r, c] += 32 - s
+                            M[e_left(b + 1), col, r, c] += s
+    M = M.reshape(E, 56 * n * n)
+    _DIR_MAT_CACHE[n] = M
+    return M
+
+
+def predict_dirs(above: jax.Array, left: jax.Array, n: int,
+                 mat: jax.Array | None = None) -> jax.Array:
+    """All 56 directional predictions: (B, 8, 7, n, n) int32, bit-exact
+    vs dr_predict_batch / intra_np.predict, via one matmul."""
+    B = above.shape[0]
+    if mat is None:
+        mat = jnp.asarray(dir_matrices(n))
+    e = jnp.concatenate([above, left[:, 1:]], axis=1).astype(jnp.float32)
+    mm = jnp.dot(e, mat, preferred_element_type=jnp.float32)
+    return ((mm.astype(jnp.int32) + 16) >> 5).reshape(B, 8, 7, n, n)
+
+
 def cfl_ac_420_batch(luma: jax.Array):
     """Batched CflAcValues for 4:2:0 (spec 7.11.5.2).  luma: (B, h, w)
     reconstructed samples -> (B, h/2, w/2) int32 AC values."""

@@ -494,7 +494,14 @@ def quantize(coeffs: jax.Array, dc_q, ac_q, shift: int) -> jax.Array:
     sign = jnp.sign(x)
     mag = jnp.abs(x)
     bias = (q * 13) >> 5
-    level = (mag + bias) // q
+    m = mag + bias
+    # exact integer division via fp32 reciprocal + one-step correction
+    # (integer divide lowers poorly on TPU; fp32 error is << 1 level here
+    # and the corrections make the result exact regardless)
+    level = (m.astype(jnp.float32) *
+             (1.0 / q.astype(jnp.float32))).astype(jnp.int32)
+    level = jnp.where((level + 1) * q <= m, level + 1, level)
+    level = jnp.where(level * q > m, level - 1, level)
     level = jnp.minimum(level, (1 << 15) - 1)
     return sign * level
 

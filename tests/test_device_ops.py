@@ -99,6 +99,32 @@ def test_edges_and_predict_exact(n):
                 assert np.array_equal(got[t], ref), (mode, d, t)
 
 
+@pytest.mark.parametrize("n", [16, 32])
+def test_predict_dirs_matmul_exact(n):
+    """The one-matmul 56-variant directional path must equal intra_np
+    across every (mode, delta) and availability combo."""
+    rec = RNG.integers(0, 256, (256, 320)).astype(np.int32)
+    B = 12
+    ys = (RNG.integers(1, (256 - 2 * n) // n, B) * n).astype(np.int32)
+    xs = (RNG.integers(1, (320 - 2 * n) // n, B) * n).astype(np.int32)
+    has = RNG.integers(0, 2, B).astype(bool)
+    hls = RNG.integers(0, 2, B).astype(bool)
+    ntr = (RNG.integers(0, 2, B) * n).astype(np.int32)
+    nbl = (RNG.integers(0, 2, B) * n).astype(np.int32)
+    aj, lj = ij.build_edges_batch(jnp.asarray(rec), jnp.asarray(ys),
+                                  jnp.asarray(xs), n, n, jnp.asarray(has),
+                                  jnp.asarray(hls), jnp.asarray(ntr),
+                                  jnp.asarray(nbl), 317, 253, 8)
+    dirs = np.asarray(ij.predict_dirs(aj, lj, n))
+    an, ln = np.asarray(aj), np.asarray(lj)
+    for mi, mode in enumerate(ij.DIR_MODE_IDS):
+        for dd, d in enumerate(range(-3, 4)):
+            for t in range(B):
+                ref = ip.predict(mode, an[t], ln[t], n, n, bool(has[t]),
+                                 bool(hls[t]), d, 8)
+                assert np.array_equal(dirs[t, mi, dd], ref), (mode, d, t)
+
+
 def test_cfl_helpers_exact():
     for n in (8, 16):
         blk = RNG.integers(0, 256, (5, 2 * n, 2 * n)).astype(np.int32)
