@@ -22,7 +22,7 @@ def main() -> None:
     # synthetic moving-gradient + noise content (same recipe as BASELINE.md)
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
-    nframes = 2
+    nframes = 4
     for t in range(nframes):
         y = ((xx + yy + 4 * t) % 256).astype(np.uint8)
         y = np.clip(y.astype(np.int16) + rng.integers(-8, 8, y.shape), 0, 255).astype(np.uint8)
@@ -40,10 +40,13 @@ def main() -> None:
         # warmup (jit compile)
         ctx.send_frame(frames[0])
         ctx.receive_packet()
+        # queue all frames first: the encoder overlaps frame N+1's device
+        # pass with frame N's host entropy pass (lookahead pipelining)
         t0 = time.perf_counter()
         nbytes = 0
         for f in frames:
             ctx.send_frame(f)
+        for _ in frames:
             pkt = ctx.receive_packet()
             nbytes += len(pkt.data)
         dt = time.perf_counter() - t0

@@ -18,6 +18,7 @@ struct MsacEnc;  // opaque (msac.cc)
 
 extern "C" {
 void msac_symbol(MsacEnc *e, uint16_t *icdf, int nsyms, int val, int adapt);
+void msac_bool(MsacEnc *e, int bit, unsigned f);
 int msac_encode_txb(MsacEnc *e, const int32_t *levels, int w, int h,
                     const int32_t *scan, int plane_type, int tx_class,
                     int txb_skip_ctx, int dc_sign_ctx, uint16_t *txb_skip_row,
@@ -809,6 +810,197 @@ int cached_block_peek(void *c, int x, int y, int bw, int bh) {
     if (bc->cursor + 14 > bc->buf.size()) return 0;
     const int32_t *h = &bc->buf[bc->cursor];
     return h[0] == x && h[1] == y && h[2] == bw && h[3] == bh;
+}
+
+namespace {
+
+// One cached block's symbols (shared by encode_cached_block and the
+// whole-SB walk).  Returns skip|(tt<<1) or -1 on cache desync.
+int replay_one(BlockCache *bc, MsacEnc *enc, const Ptrs &P,
+               int x, int y, int bw, int bh,
+               const uint64_t *scans,  // scans[(lw-2)*4 + (lh-2)]
+               int32_t *above_mode, int32_t *left_mode,
+               int32_t *above_skip, int32_t *left_skip,
+               const uint64_t *pctx, int mi_cols, int mi_rows, int adapt,
+               int q_nonzero) {
+    if (bc->cursor + 14 > bc->buf.size()) return -1;
+    const int32_t *hd = &bc->buf[bc->cursor];
+    if (hd[0] != x || hd[1] != y || hd[2] != bw || hd[3] != bh) return -1;
+    const int y_mode = hd[4], skip = hd[5], tt = hd[6], hal = hd[7];
+    const int au = hd[8], av = hd[9], y_delta = hd[10];
+    const int seg_symv = hd[11], seg_ctx = hd[12], seg_nsyms = hd[13];
+    bc->cursor += 14;
+    const int cw = bw >> 1, ch = bh >> 1;
+    const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
+    if (!skip) {
+        lv_y = &bc->buf[bc->cursor];
+        lv_u = lv_y + bw * bh;
+        lv_v = lv_u + cw * ch;
+        bc->cursor += (size_t)bw * bh + 2 * (size_t)cw * ch;
+    }
+    auto lg = [](int d) { return d >= 32 ? 3 : d >= 16 ? 2 : d >= 8 ? 1 : 0; };
+    const int32_t *scan_y = (const int32_t *)scans[lg(bw) * 4 + lg(bh)];
+    const int32_t *scan_c = (const int32_t *)scans[lg(cw) * 4 + lg(ch)];
+    return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
+                              y_delta, seg_symv, seg_ctx, seg_nsyms,
+                              lv_y, lv_u, lv_v, scan_y, scan_c,
+                              (hal >> 1) != 0, (hal & 1) != 0,
+                              above_mode, left_mode, above_skip, left_skip,
+                              pctx, mi_cols, mi_rows, adapt, q_nonzero);
+}
+
+// partition context bytes per (bw, bh): intra_frame._PART_CTX_RECT
+struct PartCtx { int ab, lf; };
+inline PartCtx part_ctx_rect(int bw, int bh) {
+    auto v = [](int n) { return n == 4 ? 31 : n == 8 ? 30 : n == 16 ? 28
+                                : n == 32 ? 24 : 16; };
+    return {v(bw), v(bh)};  // above byte keyed by width, left by height
+}
+
+struct SbWalk {
+    BlockCache *bc;
+    MsacEnc *enc;
+    const Ptrs *P;
+    const uint64_t *scans;
+    int32_t *above_part, *left_part;
+    int32_t *above_mode, *left_mode, *above_skip, *left_skip;
+    const uint64_t *pctx;
+    uint16_t *part_cdf;  // (20, 11)
+    const uint8_t *split32;
+    int split_stride;
+    int rdo_partition;
+    int mi_cols, mi_rows, adapt, q_nonzero;
+    int tx0, ty0, tx1, ty1;
+    int err = 0;
+
+    void gather_bool(int bit, const uint16_t *row, const int *pset, int nset,
+                     int nsyms) {
+        int total = 0;
+        for (int i = 0; i < nset; i++) {
+            int p = pset[i];
+            if (p >= nsyms) continue;
+            int hi = p == 0 ? 32768 : row[p - 1];
+            total += hi - row[p];
+        }
+        if (total < 1) total = 1;
+        if (total > 32767) total = 32767;
+        msac_bool(enc, bit, (unsigned)total);
+    }
+
+    void block(int x, int y, int bw, int bh) {
+        if (err) return;
+        int r = replay_one(bc, enc, *P, x, y, bw, bh, scans, above_mode,
+                           left_mode, above_skip, left_skip, pctx, mi_cols,
+                           mi_rows, adapt, q_nonzero);
+        if (r < 0) err = 1;
+    }
+
+    // intra_frame._partition, replay flavor (want_split from the split map)
+    void partition(int x, int y, int size) {
+        if (err) return;
+        const int mc = x / 4, mr = y / 4;
+        if (mc >= mi_cols || mr >= mi_rows) return;
+        const int bsl = size == 8 ? 1 : size == 16 ? 2 : size == 32 ? 3 : 4;
+        const int half_mi = size / 8;
+        const bool has_rows = (mr + half_mi) < mi_rows;
+        const bool has_cols = (mc + half_mi) < mi_cols;
+        const int ctx = (((left_part[mr] >> (bsl - 1)) & 1) << 1)
+                        | ((above_part[mc] >> (bsl - 1)) & 1);
+        uint16_t *row = part_cdf + ((int64_t)(bsl - 1) * 4 + ctx) * 11;
+        const int nsyms = size == 8 ? 4 : 10;
+        bool want_split;
+        if (size > 32) {
+            want_split = true;
+        } else if (size == 32 && rdo_partition && has_rows && has_cols) {
+            want_split = split32[(int64_t)(y / 32) * split_stride + x / 32] != 0;
+        } else {
+            want_split = false;
+        }
+        static const int TOP_SET[] = {2, 3, 4, 6, 7, 9};
+        static const int LEFT_SET[] = {1, 3, 4, 5, 6, 8};
+        int part;  // P_NONE=0 HORZ=1 VERT=2 SPLIT=3
+        if (has_rows && has_cols) {
+            part = want_split ? 3 : 0;
+            msac_symbol(enc, row, nsyms, part, adapt);
+        } else if (has_cols) {
+            part = want_split ? 3 : 1;
+            gather_bool(part == 3 ? 1 : 0, row, TOP_SET, 6, nsyms);
+        } else if (has_rows) {
+            part = want_split ? 3 : 2;
+            gather_bool(part == 3 ? 1 : 0, row, LEFT_SET, 6, nsyms);
+        } else {
+            part = 3;  // implied, nothing coded
+        }
+        const int half = size / 2;
+        if (part == 3) {
+            partition(x, y, half);
+            partition(x + half, y, half);
+            partition(x, y + half, half);
+            partition(x + half, y + half, half);
+            return;
+        }
+        int bw = size, bh = size;
+        if (part == 1) bh = half;
+        if (part == 2) bw = half;
+        block(x, y, bw, bh);
+        if (part == 1 && (mr + half_mi) < mi_rows) block(x, y + half, bw, bh);
+        if (part == 2 && (mc + half_mi) < mi_cols) block(x + half, y, bw, bh);
+        PartCtx pc = part_ctx_rect(bw, bh);
+        const int n4 = size / 4;
+        const int c1 = mc + n4 < mi_cols ? mc + n4 : mi_cols;
+        const int r1 = mr + n4 < mi_rows ? mr + n4 : mi_rows;
+        for (int i = mc; i < c1; i++) above_part[i] = pc.ab;
+        for (int i = mr; i < r1; i++) left_part[i] = pc.lf;
+    }
+};
+
+}  // namespace
+
+// Replay a whole superblock from the cache: partition symbols from the
+// live CDFs + cached block symbols (the pass-B hot path; the python walk
+// costs ~0.5s/frame at 1080p, this runs it in C++).  Returns 0, or -1 on
+// cache desync.
+int encode_sb_cached(
+    void *cache, MsacEnc *enc, const uint64_t *reg,
+    int sb_x, int sb_y, int mi_cols, int mi_rows, int adapt, int q_nonzero,
+    int tx0, int ty0, int tx1, int ty1,
+    const uint64_t *scans,
+    int32_t *above_part, int32_t *left_part,
+    int32_t *above_mode, int32_t *left_mode,
+    int32_t *above_skip, int32_t *left_skip,
+    const uint64_t *pctx, uint16_t *part_cdf,
+    const uint8_t *split32, int split_stride, int rdo_partition)
+{
+    Ptrs P;
+    for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
+    P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
+    P.dr = (const int32_t *)reg[R_DR];
+    SbWalk w;
+    w.bc = (BlockCache *)cache;
+    w.enc = enc;
+    w.P = &P;
+    w.scans = scans;
+    w.above_part = above_part;
+    w.left_part = left_part;
+    w.above_mode = above_mode;
+    w.left_mode = left_mode;
+    w.above_skip = above_skip;
+    w.left_skip = left_skip;
+    w.pctx = pctx;
+    w.part_cdf = part_cdf;
+    w.split32 = split32;
+    w.split_stride = split_stride;
+    w.rdo_partition = rdo_partition;
+    w.mi_cols = mi_cols;
+    w.mi_rows = mi_rows;
+    w.adapt = adapt;
+    w.q_nonzero = q_nonzero;
+    w.tx0 = tx0;
+    w.ty0 = ty0;
+    w.tx1 = tx1;
+    w.ty1 = ty1;
+    w.partition(sb_x, sb_y, 64);
+    return w.err ? -1 : 0;
 }
 
 // Replay the next cached block's symbols (pass B of the two-pass LR flow).

@@ -67,7 +67,10 @@ class Context:
         self._pending: list = []  # reordered packets awaiting delivery
         self._ftype_q: deque = deque()  # frame types aligned with frame_q
         self._sc = None
-        if not enc.speed_settings.no_scene_detection:
+        # every frame is a forced keyframe at interval 1: scene analysis
+        # would burn ~0.2s/frame at 1080p deciding nothing
+        if (not enc.speed_settings.no_scene_detection
+                and enc.max_key_frame_interval != 1):
             from rav1e_tpu.api.scenechange import SceneChangeDetector
 
             self._sc = SceneChangeDetector(
@@ -166,6 +169,7 @@ class Context:
             from rav1e_tpu.models.pipeline import FrameEncoder
 
             self._encoder = FrameEncoder(self.enc)
+            self._encoder.prefetch_hook = self._maybe_prefetch_next
             if self.enc.bitrate > 0:
                 from rav1e_tpu.api.rate import RCState
 
@@ -199,6 +203,21 @@ class Context:
                     raise EncoderError(EncoderStatus.FAILURE)
                 metrics = parse_twopass(self.enc.rc_stats)
                 self._tp_alloc = TwoPassAllocator(metrics, self._rc)
+
+    def _maybe_prefetch_next(self) -> None:
+        """Lookahead overlap: enqueue the next queued key frame's device
+        pass while the current frame's host entropy pass runs.  Only when
+        its quantizer is already known (constant-q, no rate control)."""
+        if self._rc is not None or self._tp_alloc is not None:
+            return
+        if not self.frame_q or self._ftype_q[0] != "key":
+            return
+        if getattr(self._encoder, "_prefetched", None) is not None:
+            return
+        try:
+            self._encoder.prefetch_key_frame(self.frame_q[0][1])
+        except Exception:
+            pass
 
     def _encode_frame(self, frameno: int, frame, ftype: str) -> Packet:
         """Single-frame (key or low-latency P) encode."""

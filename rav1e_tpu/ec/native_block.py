@@ -81,6 +81,16 @@ def _configure():
         _vp, _vp, _vp, _vp, _vp, _vp, _vp, _ci, _ci, _ci, _ci,
     ]
     _lib.encode_cached_block.restype = ctypes.c_int
+    _lib.encode_sb_cached.argtypes = [
+        _vp, _vp, _vp,                 # cache, enc, registry
+        _ci, _ci, _ci, _ci, _ci, _ci,  # sb_x, sb_y, mi_cols/rows, adapt, q
+        _ci, _ci, _ci, _ci,            # tile x0 y0 x1 y1
+        _vp,                           # scans pointer table
+        _vp, _vp, _vp, _vp, _vp, _vp,  # above/left part/mode/skip
+        _vp, _vp,                      # pctx, partition cdf
+        _vp, _ci, _ci,                 # split map, stride, rdo_partition
+    ]
+    _lib.encode_sb_cached.restype = ctypes.c_int
     _configured = True
 
 
@@ -168,6 +178,58 @@ class NativeBlockCoder:
     def cache_peek(self, x: int, y: int, bw: int, bh: int) -> bool:
         return bool(self._cache) and bool(
             _lib.cached_block_peek(self._cache, x, y, bw, bh))
+
+    def _scan_table(self):
+        """16 scan pointers indexed (log2(w)-2)*4 + (log2(h)-2)."""
+        t = getattr(self, "_scans16", None)
+        if t is None:
+            from rav1e_tpu.models.intra_frame import scan_for
+
+            keep = []
+            ptrs = []
+            for lw in range(4):
+                for lh in range(4):
+                    if abs(lw - lh) > 1:  # >2:1 tx ratios don't exist
+                        ptrs.append(0)
+                        continue
+                    s = np.ascontiguousarray(scan_for(4 << lw, 4 << lh),
+                                             np.int32)
+                    keep.append(s)
+                    ptrs.append(s.ctypes.data)
+            t = np.array(ptrs, dtype=np.uint64)
+            self._scans16 = t
+            self._scans16_keep = keep
+        return t
+
+    def replay_sb(self, sb_x: int, sb_y: int) -> None:
+        """Replay a whole superblock (partition symbols + cached blocks)
+        through the C++ walk; raises on cache desync."""
+        fe = self.fe
+        if fe.cdf is not self._cdf_obj:
+            self._refresh_registry()
+        split = fe._rd_maps["split32"]
+        if split.dtype != np.uint8:
+            split = split.view(np.uint8) if split.dtype == np.bool_ \
+                else split.astype(np.uint8)
+        assert split.flags.c_contiguous
+        part = fe.cdf.partition
+        assert part.dtype == np.uint16 and part.flags.c_contiguous
+        ret = _lib.encode_sb_cached(
+            self._cache, fe.enc._e, self._reg.ctypes.data,
+            sb_x, sb_y, fe.mi_cols, fe.mi_rows,
+            1 if fe.adapt else 0, 1 if fe.q > 0 else 0,
+            fe.tx0, fe.ty0, fe.tx1, fe.ty1,
+            self._scan_table().ctypes.data,
+            fe.above_part.ctypes.data, fe.left_part.ctypes.data,
+            fe.above_mode.ctypes.data, fe.left_mode.ctypes.data,
+            fe.above_skip.ctypes.data, fe.left_skip.ctypes.data,
+            self._pctx.ctypes.data, part.ctypes.data,
+            split.ctypes.data, split.shape[1],
+            1 if fe.rdo_partition else 0,
+        )
+        if ret < 0:
+            raise RuntimeError(
+                "block cache desync in SB (%d,%d)" % (sb_x, sb_y))
 
     def replay_block(self, x: int, y: int, bw: int, bh: int) -> tuple:
         """Code the next cached block's symbols (pass B)."""

@@ -144,6 +144,24 @@ class IntraFrameEncoder:
     def encode(self, planes: list) -> tuple:
         """planes: [Y, U, V] uint8/16 arrays at the REAL frame size.
         Returns (tile_bytes, recon) with recon cropped to the real size."""
+        if not getattr(self, "_prepared", False):
+            self.prepare(planes)
+        # lookahead-overlap hook: the orchestration may enqueue the NEXT
+        # frame's device pass now, so it executes while this frame's host
+        # entropy pass runs (SURVEY 2.6 lookahead pipelining)
+        cb = getattr(self, "_after_launch", None)
+        if cb is not None:
+            self._after_launch = None
+            try:
+                cb()
+            except Exception:
+                pass
+        return self._finish_encode()
+
+    def prepare(self, planes: list) -> None:
+        """Frame setup + async device-pass launch: pad sources, init CDFs
+        and per-frame maps, and enqueue the wavefront device encode (which
+        returns immediately under JAX async dispatch)."""
         w, h, bd = self.w, self.h, self.bd
         # pad source planes to coded (mi-aligned) dims by edge replication
         self.src = []
@@ -276,6 +294,21 @@ class IntraFrameEncoder:
                 logging.getLogger("rav1e_tpu").warning(
                     "native block coder unavailable (%s); python path", e
                 )
+        self._wf_launched = None
+        if self._nbc is not None and self._wavefront_eligible():
+            try:
+                from rav1e_tpu.models.wavefront import launch_wavefront
+
+                self._wf_launched = launch_wavefront(self, self._tile_grid())
+            except Exception:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "device wavefront launch failed; host fallback",
+                    exc_info=True)
+        self._prepared = True
+
+    def _finish_encode(self) -> tuple:
         data = self._encode_tiles()
         if self.lf_search and any(self.lf_levels):
             self.lf_levels = self._deblock_search()
@@ -496,11 +529,18 @@ class IntraFrameEncoder:
             if lr_emit:
                 self._lr_ref = [[3, -7, 15], [3, -7, 15]]
                 self._sgr_ref = [-32, 31]
+            # replay pass: the whole SB (partition symbols + cached block
+            # symbols) runs in C++; python only interleaves read_lr
+            fast = (self._lr_replay and self._nbc is not None
+                    and self._rd_maps is not None)
             for sy in range(self.ty0, self.ty1, 64):
                 for sx in range(self.tx0, self.tx1, 64):
                     if lr_emit:
                         self._lr_write(self.enc, sy // 64, sx // 64)
-                    self._partition(sx, sy, 64)
+                    if fast:
+                        self._nbc.replay_sb(sx, sy)
+                    else:
+                        self._partition(sx, sy, 64)
             datas.append(self.enc.done())
             if idx == 0:
                 self.cdf_saved = self.cdf  # context_update_tile_id == 0
@@ -612,18 +652,18 @@ class IntraFrameEncoder:
         When the device wavefront pass applies, the whole decision/recon
         datapath has already run on device (models/wavefront.py) and only
         the entropy passes run here."""
-        if self._nbc is not None and self._wavefront_eligible():
+        if self._nbc is not None and getattr(self, "_wf_launched", None) is not None:
             wf = None
             try:
-                from rav1e_tpu.models.wavefront import run_wavefront
-
-                wf = run_wavefront(self, self._tile_grid())
+                wf = self._wf_launched.collect()
             except Exception:
                 import logging
 
                 logging.getLogger("rav1e_tpu").warning(
                     "device wavefront unavailable; host fallback",
                     exc_info=True)
+            finally:
+                self._wf_launched = None
             if wf is not None:
                 return self._encode_tiles_wavefront(wf)
         tiles = self._tile_grid()

@@ -97,8 +97,12 @@ class FrameEncoder:
             return 0
         return 3 + (q_idx >> 6)
 
-    def encode_key_frame(self, frame, q_idx: int | None = None) -> bytes:
-        q = self.cfg.quantizer if q_idx is None else q_idx
+    # lookahead-overlap hook set by the Context: called right after this
+    # frame's device pass is enqueued, so the next frame's pass can queue
+    # behind it and execute during this frame's host entropy work
+    prefetch_hook = None
+
+    def _build_key_encoder(self, q: int) -> IntraFrameEncoder:
         lf = self.lf_levels_for(q)
         damping = self.cdef_damping_for(q)
         seg = ((-8, -3, 2, 7) if getattr(self.cfg, "segmentation_aq", False)
@@ -119,6 +123,27 @@ class FrameEncoder:
             chroma_sampling=tuple(self.cfg.chroma_sampling),
         )
         fe.lrf = self.seq.enable_restoration
+        return fe
+
+    def prefetch_key_frame(self, frame, q_idx: int | None = None) -> None:
+        """Prepare the next key frame's encoder and enqueue its device
+        pass (async); encode_key_frame picks it up when the frame's turn
+        comes.  Only valid when the quantizer is already known (CQ)."""
+        q = self.cfg.quantizer if q_idx is None else q_idx
+        fe = self._build_key_encoder(q)
+        fe.prepare([p.window() for p in frame.planes])
+        self._prefetched = (frame, q, fe)
+
+    def encode_key_frame(self, frame, q_idx: int | None = None) -> bytes:
+        q = self.cfg.quantizer if q_idx is None else q_idx
+        pre = getattr(self, "_prefetched", None)
+        if pre is not None and pre[0] is frame and pre[1] == q:
+            fe = pre[2]
+            self._prefetched = None
+        else:
+            fe = self._build_key_encoder(q)
+        damping = fe.cdef_damping
+        fe._after_launch = self.prefetch_hook
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
         self.last_recon = recon

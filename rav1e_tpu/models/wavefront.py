@@ -518,8 +518,36 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         ctx = ctx.at[:, 1 : n + 1, 1 : n + 1].set(own)
         return ctx
 
-    def run(srcY, srcU, srcV, sbr, sbc, valid, avail, allow,
-            lam_q, qdc_q, qac_q, part_bits, bits_uv, bits_sign, bits_alpha):
+    def run(upload, sbr, sbc, valid, avail, allow):
+        """One packed uint8 upload: src Y/U/V bytes followed by the
+        float32 parameter vector (lambda/quantizer grids + CDF-derived
+        mode-bit tables), and one packed uint8 download: int16 metadata +
+        levels, then uint8 recon planes.  The tunnel to the chip has
+        ~50-80 ms per-transfer latency, so everything rides in a single
+        array each way."""
+        nY = Hp * Wp
+        nC = (Hp >> 1) * (Wp >> 1)
+        srcY = upload[:nY].reshape(Hp, Wp).astype(jnp.int32)
+        srcU = upload[nY : nY + nC].reshape(Hp >> 1, Wp >> 1).astype(jnp.int32)
+        srcV = upload[nY + 2 * nC - nC : nY + 2 * nC].reshape(
+            Hp >> 1, Wp >> 1).astype(jnp.int32)
+        params = jax.lax.bitcast_convert_type(
+            upload[nY + 2 * nC :].reshape(-1, 4), jnp.float32)
+        KB4 = K * B * 4
+        o = 0
+        lam_q = params[o : o + KB4].reshape(K, B, 4)
+        o += KB4
+        qdc_q = params[o : o + KB4].reshape(K, B, 4).astype(jnp.int32)
+        o += KB4
+        qac_q = params[o : o + KB4].reshape(K, B, 4).astype(jnp.int32)
+        o += KB4
+        part_bits = params[o : o + 2]
+        o += 2
+        bits_uv = params[o : o + 26].reshape(13, 2)
+        o += 26
+        bits_sign = params[o : o + 8]
+        o += 8
+        bits_alpha = params[o : o + 96].reshape(6, 16)
         tabs = (bits_uv, bits_sign, bits_alpha)
         tY = jnp.zeros((R, C, 64, 64), jnp.int32)
         tU = jnp.zeros((R, C, 32, 32), jnp.int32)
@@ -623,11 +651,23 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         (tY, tU, tV), outs = jax.lax.scan(
             step, (tY, tU, tV),
             (sbr, sbc, valid, avail, allow, lam_q, qdc_q, qac_q))
-        odt = jnp.uint8 if bd == 8 else jnp.int32
-        recY = tY.transpose(0, 2, 1, 3).reshape(Hp, Wp).astype(odt)
-        recU = tU.transpose(0, 2, 1, 3).reshape(Hp >> 1, Wp >> 1).astype(odt)
-        recV = tV.transpose(0, 2, 1, 3).reshape(Hp >> 1, Wp >> 1).astype(odt)
-        return (recY, recU, recV), outs
+        split, out32, outs16, lv_y, lv_u, lv_v = outs
+        # pack: (K, 4, B, 31) int16 metadata + (K, 4, B, 1536) levels
+        m32 = jnp.stack([out32["mode"], out32["delta"], out32["tt"],
+                         out32["skip"].astype(jnp.int32), out32["au"],
+                         out32["av"]], axis=-1)
+        m16 = jnp.stack([outs16["mode"], outs16["delta"], outs16["tt"],
+                         outs16["skip"].astype(jnp.int32), outs16["au"],
+                         outs16["av"]], axis=-1)  # (K, 4, 4, B, 6)
+        m16 = m16.transpose(0, 1, 3, 2, 4).reshape(K, 4, B, 24)
+        meta = jnp.concatenate([split[..., None].astype(jnp.int32), m32, m16],
+                               axis=-1).astype(jnp.int16)
+        packed = jnp.concatenate([meta, lv_y, lv_u, lv_v], axis=-1)
+        p_u8 = jax.lax.bitcast_convert_type(packed, jnp.uint8).reshape(-1)
+        recY = tY.transpose(0, 2, 1, 3).reshape(Hp * Wp).astype(jnp.uint8)
+        recU = tU.transpose(0, 2, 1, 3).reshape(-1).astype(jnp.uint8)
+        recV = tV.transpose(0, 2, 1, 3).reshape(-1).astype(jnp.uint8)
+        return jnp.concatenate([p_u8, recY, recU, recV])
 
     return jax.jit(run)
 
@@ -706,9 +746,36 @@ class WavefrontResult:
         return recs
 
 
+class LaunchedWavefront:
+    """Handle to an in-flight device pass (JAX async dispatch): the jit
+    call has been enqueued on the chip; collect() blocks on the single
+    packed transfer.  Lets the orchestration overlap frame N+1's device
+    encode with frame N's host entropy pass (SURVEY 2.6 lookahead
+    pipelining)."""
+
+    def __init__(self, geom, fe, out):
+        self.geom = geom
+        self.fe = fe
+        self.out = out
+        try:  # schedule the D2H copy as soon as the compute finishes
+            out.copy_to_host_async()
+        except Exception:
+            pass
+
+    def collect(self) -> "WavefrontResult":
+        return _collect_wavefront(self)
+
+
 def run_wavefront(fe, tiles) -> WavefrontResult | None:
-    """Run the device pass for an IntraFrameEncoder-shaped host object.
-    Returns None when the frame has no full SB (pure host path)."""
+    """Launch + collect in one call (the non-pipelined path)."""
+    launched = launch_wavefront(fe, tiles)
+    return launched.collect() if launched is not None else None
+
+
+def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
+    """Enqueue the device pass for an IntraFrameEncoder-shaped host
+    object; returns immediately (async dispatch).  None when the frame
+    has no full SB (pure host path)."""
     geom = geometry_for(fe.coded_w, fe.coded_h, fe.w, fe.h, fe.mi_cols,
                         fe.mi_rows, tuple(tiles))
     if geom is None:
@@ -728,24 +795,26 @@ def run_wavefront(fe, tiles) -> WavefrontResult | None:
 
     # per-quadrant lambda / quantizers (activity AQ and segmentation maps)
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
-    qdc_q = np.full((K, B, 4), fe.dc_q, np.int32)
-    qac_q = np.full((K, B, 4), fe.ac_q, np.int32)
+    qdc_q = np.full((K, B, 4), fe.dc_q, np.float32)
+    qac_q = np.full((K, B, 4), fe.ac_q, np.float32)
     lam_map = getattr(fe, "_lam_map", None)
-    for k in range(K):
-        for li in range(B):
-            if not geom.valid[k, li]:
-                continue
-            r, c_ = int(geom.sbr[k, li]), int(geom.sbc[k, li])
-            for q in range(4):
-                y32 = r * 2 + (_QOFF[q][0] // 32)
-                x32 = c_ * 2 + (_QOFF[q][1] // 32)
-                if lam_map is not None:
-                    lam_q[k, li, q] = lam_map[min(y32, lam_map.shape[0] - 1),
-                                              min(x32, lam_map.shape[1] - 1)]
-                if fe.seg_map is not None:
-                    sid = int(fe.seg_map[y32 * 8, x32 * 8])
-                    qdc_q[k, li, q], qac_q[k, li, q] = fe._seg_q[sid]
-                    lam_q[k, li, q] = fe._seg_lam[sid]
+    if lam_map is not None or fe.seg_map is not None:
+        for k in range(K):
+            for li in range(B):
+                if not geom.valid[k, li]:
+                    continue
+                r, c_ = int(geom.sbr[k, li]), int(geom.sbc[k, li])
+                for q in range(4):
+                    y32 = r * 2 + (_QOFF[q][0] // 32)
+                    x32 = c_ * 2 + (_QOFF[q][1] // 32)
+                    if lam_map is not None:
+                        lam_q[k, li, q] = lam_map[
+                            min(y32, lam_map.shape[0] - 1),
+                            min(x32, lam_map.shape[1] - 1)]
+                    if fe.seg_map is not None:
+                        sid = int(fe.seg_map[y32 * 8, x32 * 8])
+                        qdc_q[k, li, q], qac_q[k, li, q] = fe._seg_q[sid]
+                        lam_q[k, li, q] = fe._seg_lam[sid]
 
     # mode-symbol bit tables from the frame's initial CDFs
     def sym_bits_row(row, n):
@@ -769,20 +838,49 @@ def run_wavefront(fe, tiles) -> WavefrontResult | None:
     pbits = sym_bits_row(prow, 10)
     part_bits = np.asarray([pbits[0], pbits[3]], np.float32)
 
-    (recY, recU, recV), (split, out32, out16, lv_y, lv_u, lv_v) = fn(
-        jnp.asarray(fe.src[0]), jnp.asarray(fe.src[1]), jnp.asarray(fe.src[2]),
-        jnp.asarray(geom.sbr), jnp.asarray(geom.sbc), jnp.asarray(geom.valid),
-        jnp.asarray(geom.avail), jnp.asarray(geom.allow_z1),
-        jnp.asarray(lam_q), jnp.asarray(qdc_q), jnp.asarray(qac_q),
-        jnp.asarray(part_bits), jnp.asarray(bits_uv), jnp.asarray(bits_sign),
-        jnp.asarray(bits_alpha))
+    # single packed upload: src planes as bytes + float32 params
+    params = np.concatenate([
+        lam_q.ravel(), qdc_q.ravel(), qac_q.ravel(), part_bits,
+        bits_uv.ravel(), bits_sign, bits_alpha.ravel()]).astype(np.float32)
+    upload = np.concatenate([
+        fe.src[0].astype(np.uint8).ravel(), fe.src[1].astype(np.uint8).ravel(),
+        fe.src[2].astype(np.uint8).ravel(), params.view(np.uint8)])
 
+    # geometry arrays live on device across frames (constant per geometry)
+    dev = getattr(geom, "_dev", None)
+    if dev is None:
+        import jax as _jax
+
+        dev = tuple(_jax.device_put(a) for a in
+                    (geom.sbr, geom.sbc, geom.valid, geom.avail,
+                     geom.allow_z1))
+        geom._dev = dev
+
+    return LaunchedWavefront(geom, fe, fn(jnp.asarray(upload), *dev))
+
+
+def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":
+    geom, fe = launched.geom, launched.fe
+    K, B = geom.steps, geom.width
+    out = np.asarray(launched.out)
+
+    # unpack: int16 metadata+levels block, then uint8 recon planes
+    rec_words = K * 4 * B * 1567
+    packed = out[: rec_words * 2].view(np.int16).reshape(K, 4, B, 1567)
+    meta = packed[..., :31]
+    split_np = meta[..., 0].astype(bool)
+    f32names = ("mode", "delta", "tt", "skip", "au", "av")
+    out32_np = {nm: meta[..., 1 + i] for i, nm in enumerate(f32names)}
+    m16 = meta[..., 7:31].reshape(K, 4, B, 4, 6).transpose(0, 1, 3, 2, 4)
+    out16_np = {nm: m16[..., i] for i, nm in enumerate(f32names)}
+    levels = (packed[..., 31:1055], packed[..., 1055:1311],
+              packed[..., 1311:1567])
+    nY = fe.h * fe.w
+    nC = (fe.h >> 1) * (fe.w >> 1)
+    o = rec_words * 2
     # writable int32 copies: the in-loop filters (deblock/CDEF/LRF) and the
-    # host partial-SB encode mutate these in place (transfer rides uint8)
-    rec = [np.array(recY, dtype=np.int32), np.array(recU, dtype=np.int32),
-           np.array(recV, dtype=np.int32)]
-    split_np = np.asarray(split)
-    out32_np = {k2: np.asarray(v) for k2, v in out32.items()}
-    out16_np = {k2: np.asarray(v) for k2, v in out16.items()}
-    levels = (np.asarray(lv_y), np.asarray(lv_u), np.asarray(lv_v))
+    # host partial-SB encode mutate these in place (transfer rode uint8)
+    rec = [out[o : o + nY].reshape(fe.h, fe.w).astype(np.int32),
+           out[o + nY : o + nY + nC].reshape(fe.h >> 1, fe.w >> 1).astype(np.int32),
+           out[o + nY + nC : o + nY + 2 * nC].reshape(fe.h >> 1, fe.w >> 1).astype(np.int32)]
     return WavefrontResult(geom, rec, split_np, out32_np, out16_np, levels)

@@ -260,6 +260,48 @@ def _make_search_kernel(bd: int, coded_w: int, coded_h: int):
 
 
 _SEARCH_KERNELS: dict = {}
+_SEARCH_KERNELS_PACKED: dict = {}
+
+
+def _make_search_kernel_packed(bd: int, coded_w: int, coded_h: int,
+                               skip_h: int, skip_w: int):
+    """8-bit variant with single-array I/O: the tunnel to the chip has
+    ~50-80 ms per-transfer latency, so the six planes ride one uint8
+    upload and the three filtered planes + strength choices ride one
+    uint8 download.  The device-resident deblocked/filtered luma come
+    back as extra (untransferred) outputs for the Wiener chain."""
+    jax = _get_jax()
+    jnp = jax.numpy
+    inner = _make_search_kernel(bd, coded_w, coded_h)
+
+    @partial(jax.jit, static_argnames=("damping",))
+    def kernel(upload, damping):
+        h, w = coded_h, coded_w
+        nY, nC = h * w, (h >> 1) * (w >> 1)
+        o = 0
+
+        def take(n, hh, ww):
+            nonlocal o
+            a = upload[o : o + n].reshape(hh, ww).astype(jnp.uint16)
+            o += n
+            return a
+
+        y = take(nY, h, w)
+        u = take(nC, h >> 1, w >> 1)
+        v = take(nC, h >> 1, w >> 1)
+        sy = take(nY, h, w)
+        su = take(nC, h >> 1, w >> 1)
+        sv = take(nC, h >> 1, w >> 1)
+        skip = upload[o : o + skip_h * skip_w].reshape(skip_h, skip_w) != 0
+        y_best, uv_best, y_out, u_out, v_out = inner(y, u, v, sy, su, sv,
+                                                     skip, damping=damping)
+        packed = jnp.concatenate([
+            y_out.astype(jnp.uint8).ravel(), u_out.astype(jnp.uint8).ravel(),
+            v_out.astype(jnp.uint8).ravel(),
+            y_best.astype(jnp.uint8)[None], uv_best.astype(jnp.uint8)[None]])
+        return packed, y, y_out
+
+    return kernel
 
 
 def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h):
@@ -269,6 +311,35 @@ def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h):
     luma planes, for chaining into the Wiener device pass.  Returns None on
     device failure (caller falls back to the sampled host search)."""
     try:
+        if bd == 8:
+            ch, cw = coded_h >> 1, coded_w >> 1
+            key = (bd, coded_w, coded_h, skip.shape[0], skip.shape[1])
+            k = _SEARCH_KERNELS_PACKED.get(key)
+            if k is None:
+                k = _make_search_kernel_packed(*key)
+                _SEARCH_KERNELS_PACKED[key] = k
+            import jax.numpy as jnp
+
+            upload = np.concatenate([
+                rec[0][:coded_h, :coded_w].astype(np.uint8).ravel(),
+                rec[1][:ch, :cw].astype(np.uint8).ravel(),
+                rec[2][:ch, :cw].astype(np.uint8).ravel(),
+                src[0][:coded_h, :coded_w].astype(np.uint8).ravel(),
+                src[1][:ch, :cw].astype(np.uint8).ravel(),
+                src[2][:ch, :cw].astype(np.uint8).ravel(),
+                np.asarray(skip, np.uint8).ravel()])
+            packed, db_y, y_dev = k(jnp.asarray(upload), damping=damping)
+            out = np.asarray(packed)
+            nY, nC = coded_h * coded_w, ch * cw
+            rec[0][:coded_h, :coded_w] = out[:nY].reshape(coded_h, coded_w)
+            rec[1][:ch, :cw] = out[nY : nY + nC].reshape(ch, cw)
+            rec[2][:ch, :cw] = out[nY + nC : nY + 2 * nC].reshape(ch, cw)
+            yb, uvb = int(out[-2]), int(out[-1])
+            y_pri, y_sec = Y_CANDIDATES[yb]
+            uv_pri, uv_sec = UV_CANDIDATES[uvb]
+            y_code = (y_pri << 2) | (3 if y_sec == 4 else y_sec)
+            uv_code = (uv_pri << 2) | uv_sec
+            return (y_code, uv_code), (db_y, y_dev)
         key = (bd, coded_w, coded_h)
         k = _SEARCH_KERNELS.get(key)
         if k is None:

@@ -185,57 +185,55 @@ def predict(
 
 
 def _dr_predict(A, L, tl, w, h, p_angle, bit_depth):
-    """Directional prediction, no upsampling / edge filter (spec 7.11.2.4)."""
-    out = np.zeros((h, w), dtype=np.int64)
+    """Directional prediction, no upsampling / edge filter (spec 7.11.2.4).
+    Vectorized (the scalar loops were the host encoder's hottest path for
+    partial-superblock mode search)."""
+    rr = np.arange(h, dtype=np.int64)[:, None]
+    cc = np.arange(w, dtype=np.int64)[None, :]
     # edge arrays indexed -1..: build with top-left at index 0
     az = np.concatenate(([tl], A))  # az[1+i] = above[i]
     lz = np.concatenate(([tl], L))
     if p_angle < 90:
         dx = int(_DR[p_angle])
-        max_base_x = w + h - 1
-        for r in range(h):
-            xpos = (r + 1) * dx
-            base_x = xpos >> 6
-            shift = (xpos >> 1) & 0x1F
-            for ci in range(w):
-                b = base_x + ci
-                if b >= max_base_x:
-                    out[r, ci] = A[max_base_x]
-                else:
-                    out[r, ci] = (A[b] * (32 - shift) + A[b + 1] * shift + 16) >> 5
+        mx = w + h - 1
+        xpos = (rr + 1) * dx
+        b = (xpos >> 6) + cc
+        sh = (xpos >> 1) & 0x1F
+        i0 = np.minimum(b, mx)
+        i1 = np.minimum(b + 1, mx)
+        v = (A[i0] * (32 - sh) + A[i1] * sh + 16) >> 5
+        out = np.where(b >= mx, A[mx], v)
     elif p_angle == 90:
-        out[:] = A[None, :w]
+        out = np.broadcast_to(A[None, :w], (h, w))
     elif p_angle < 180:
         dx = int(_DR[180 - p_angle])
         dy = int(_DR[p_angle - 90])
-        for r in range(h):
-            for ci in range(w):
-                xpos = (ci << 6) - (r + 1) * dx
-                base_x = xpos >> 6
-                if base_x >= -1:
-                    shift = (xpos >> 1) & 0x1F
-                    out[r, ci] = (az[1 + base_x] * (32 - shift) + az[2 + base_x] * shift + 16) >> 5
-                else:
-                    ypos = (r << 6) - (ci + 1) * dy
-                    base_y = ypos >> 6
-                    shift = (ypos >> 1) & 0x1F
-                    out[r, ci] = (lz[1 + base_y] * (32 - shift) + lz[2 + base_y] * shift + 16) >> 5
+        xpos = (cc << 6) - (rr + 1) * dx
+        bx = xpos >> 6
+        shx = (xpos >> 1) & 0x1F
+        i0 = np.clip(1 + bx, 0, len(az) - 1)
+        i1 = np.clip(2 + bx, 0, len(az) - 1)
+        va = (az[i0] * (32 - shx) + az[i1] * shx + 16) >> 5
+        ypos = (rr << 6) - (cc + 1) * dy
+        by = ypos >> 6
+        shy = (ypos >> 1) & 0x1F
+        j0 = np.clip(1 + by, 0, len(lz) - 1)
+        j1 = np.clip(2 + by, 0, len(lz) - 1)
+        vl = (lz[j0] * (32 - shy) + lz[j1] * shy + 16) >> 5
+        out = np.where(bx >= -1, va, vl)
     elif p_angle == 180:
-        out[:] = L[:h, None]
+        out = np.broadcast_to(L[:h, None], (h, w))
     else:
         dy = int(_DR[270 - p_angle])
-        max_base_y = w + h - 1
-        for ci in range(w):
-            ypos = (ci + 1) * dy
-            base_y = ypos >> 6
-            shift = (ypos >> 1) & 0x1F
-            for r in range(h):
-                b = base_y + r
-                if b >= max_base_y:
-                    out[r, ci] = L[max_base_y]
-                else:
-                    out[r, ci] = (L[b] * (32 - shift) + L[b + 1] * shift + 16) >> 5
-    return out.astype(np.int32)
+        mx = w + h - 1
+        ypos = (cc + 1) * dy
+        b = (ypos >> 6) + rr
+        sh = (ypos >> 1) & 0x1F
+        i0 = np.minimum(b, mx)
+        i1 = np.minimum(b + 1, mx)
+        v = (L[i0] * (32 - sh) + L[i1] * sh + 16) >> 5
+        out = np.where(b >= mx, L[mx], v)
+    return np.ascontiguousarray(out.astype(np.int32))
 
 
 def cfl_predict(dc_pred: np.ndarray, luma_ac: np.ndarray, alpha: int, bit_depth: int = 8) -> np.ndarray:
