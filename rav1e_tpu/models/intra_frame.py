@@ -310,6 +310,20 @@ class IntraFrameEncoder:
 
     def _finish_encode(self) -> tuple:
         data = self._encode_tiles()
+        chain_done = False
+        if not (self.lf_search and any(self.lf_levels)):
+            try:
+                from rav1e_tpu.ops.filter_chain_jax import filter_chain_device
+
+                chain_done = filter_chain_device(self)
+            except Exception:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "device filter chain failed; host path", exc_info=True)
+        if chain_done:
+            data2 = self._finish_lr(data)
+            return data2
         if self.lf_search and any(self.lf_levels):
             self.lf_levels = self._deblock_search()
         if any(self.lf_levels):
@@ -341,6 +355,11 @@ class IntraFrameEncoder:
                            y_s >> 2, [0, 1, 2, 4][y_s & 3],
                            uv_s >> 2, [0, 1, 2, 4][uv_s & 3],
                            self.cdef_damping, self.bd, self.coded_w, self.coded_h)
+        return self._finish_lr(data)
+
+    def _finish_lr(self, data):
+        """Loop restoration + output crop (shared by the host filter path
+        and the device filter chain)."""
         if self.lrf:
             self._lr_decide()
             data = self._emit_tiles_lr()
@@ -773,18 +792,25 @@ class IntraFrameEncoder:
             for si in self.SGR_CANDIDATE_SETS:
                 sgr_flt[si] = sg.sgr_flt_frame(cdef_p, db_p, si, self.bd,
                                                self.out_w, self.out_h)
+        # whole-plane squared-error maps once; the unit loop only slices
+        src_i = self.src[0][: self.out_h, : self.out_w].astype(np.int64)
+        d2_base = (cdef_p[: self.out_h, : self.out_w].astype(np.int64)
+                   - src_i) ** 2
+        d2_rest = None
+        if restored is not None:
+            d2_rest = (restored.astype(np.int64) - src_i) ** 2
         for ur, (y0, y1) in enumerate(rows):
             for uc, (x0, x1) in enumerate(cols):
-                src = self.src[0][y0:y1, x0:x1].astype(np.int64)
-                base = cdef_p[y0:y1, x0:x1].astype(np.int64)
-                best = int(((base - src) ** 2).sum())
+                best = int(d2_base[y0:y1, x0:x1].sum())
                 choice = None
                 if restored is not None:
-                    out = restored[y0:y1, x0:x1]
-                    sse1 = int(((out - src) ** 2).sum()) + self.lam * 12
+                    sse1 = int(d2_rest[y0:y1, x0:x1].sum()) + self.lam * 12
                     if sse1 < best:
                         best = sse1
-                        choice = ("wiener", vt, ht, out)
+                        choice = ("wiener", vt, ht, restored[y0:y1, x0:x1])
+                if self.sgr_search or sgr_flt:
+                    src = src_i[y0:y1, x0:x1]
+                    base = cdef_p[y0:y1, x0:x1].astype(np.int64)
                 if self.sgr_search:
                     # per-unit Wiener taps (thorough mode)
                     uvt, uht = lr.solve_wiener(base.astype(np.float64),

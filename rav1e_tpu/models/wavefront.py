@@ -856,7 +856,11 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
                      geom.allow_z1))
         geom._dev = dev
 
-    return LaunchedWavefront(geom, fe, fn(jnp.asarray(upload), *dev))
+    upload_dev = jnp.asarray(upload)
+    # keep the device-resident source for the downstream filter chain
+    # (deblock/CDEF need src for their searches; no re-upload)
+    fe._src_dev = upload_dev
+    return LaunchedWavefront(geom, fe, fn(upload_dev, *dev))
 
 
 def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":

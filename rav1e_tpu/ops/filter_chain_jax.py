@@ -1,0 +1,179 @@
+"""Fused in-loop filter chain on device: deblock -> CDEF search+apply in
+ONE jit call with one upload (recon + per-mi maps) and one download
+(filtered planes + strength codes).  The source planes are reused from
+the wavefront pass's device-resident upload (no re-upload), and the
+deblocked/CDEF'd luma stay on device for the Wiener (LRF) trial chain.
+
+Reference analog: the deblock/CDEF stages of encode_frame (src/encoder.rs)
++ rdo_loop_decision's CDEF search (src/rdo.rs) — serial and sampled there;
+whole-frame dense passes here.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from rav1e_tpu.ops.deblock_np import thresholds
+
+_log = logging.getLogger("rav1e_tpu")
+
+_KERNELS: dict = {}
+
+
+def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w):
+    import jax
+    import jax.numpy as jnp
+
+    from rav1e_tpu.ops import deblock_jax as dj
+    from rav1e_tpu.ops import cdef_jax as cj
+
+    h, w = coded_h, coded_w
+    ch, cw = h >> 1, w >> 1
+    nY_src = Hp * Wp
+    nC_src = (Hp >> 1) * (Wp >> 1)
+    nY, nC = h * w, ch * cw
+    n_mi = skip_h * skip_w
+
+    cdef_kernel = (cj._make_search_kernel(bd, w, h) if damping else None)
+
+    def run(src_pack, up, lims):
+        # src planes from the wavefront's packed upload (padded dims)
+        sY = src_pack[:nY_src].reshape(Hp, Wp)[:h, :w].astype(jnp.uint16)
+        sU = src_pack[nY_src : nY_src + nC_src].reshape(
+            Hp >> 1, Wp >> 1)[:ch, :cw].astype(jnp.uint16)
+        sV = src_pack[nY_src + nC_src : nY_src + 2 * nC_src].reshape(
+            Hp >> 1, Wp >> 1)[:ch, :cw].astype(jnp.uint16)
+        o = 0
+
+        def take(n):
+            nonlocal o
+            a = up[o : o + n]
+            o += n
+            return a
+
+        recY = take(nY).reshape(h, w).astype(jnp.int32)
+        recU = take(nC).reshape(ch, cw).astype(jnp.int32)
+        recV = take(nC).reshape(ch, cw).astype(jnp.int32)
+        txw = take(n_mi).reshape(skip_h, skip_w).astype(jnp.int32)
+        txh = take(n_mi).reshape(skip_h, skip_w).astype(jnp.int32)
+        bx = jax.lax.bitcast_convert_type(
+            take(2 * n_mi).reshape(n_mi, 2), jnp.int16
+        ).reshape(skip_h, skip_w).astype(jnp.int32)
+        by = jax.lax.bitcast_convert_type(
+            take(2 * n_mi).reshape(n_mi, 2), jnp.int16
+        ).reshape(skip_h, skip_w).astype(jnp.int32)
+        skip = take(n_mi).reshape(skip_h, skip_w) != 0
+
+        # ---- deblock (bit-exact jnp port; lims: (4, 4) limit/blimit/
+        # thresh/enabled per level slot, traced so q changes don't
+        # recompile) ----
+        def pass_dir(img, tx, bp, sk, slot, pi, s_along, s_across, ww, hh):
+            lim, bl, th, on = lims[slot, 0], lims[slot, 1], lims[slot, 2], \
+                lims[slot, 3]
+            out = dj._pass_dir(jnp, img, lim, bl, th, bd, pi, ww, hh,
+                               tx, bp, sk, s_along, s_across)
+            return jnp.where(on > 0, out, img)
+
+        def db_plane(img, pi, sx, sy, ww, hh, slot_v, slot_h):
+            img = pass_dir(img, txw >> sx, bx >> sx, skip, slot_v, pi,
+                           sy, sx, ww, hh)
+            img = pass_dir(img.T, (txh >> sy).T, (by >> sy).T, skip.T,
+                           slot_h, pi, sx, sy, hh, ww).T
+            return img
+
+        dbY = db_plane(recY, 0, 0, 0, w, h, 0, 1)
+        dbU = db_plane(recU, 1, 1, 1, cw, ch, 2, 2)
+        dbV = db_plane(recV, 2, 1, 1, cw, ch, 3, 3)
+
+        dbY16 = dbY.astype(jnp.uint16)
+        if cdef_kernel is None:
+            packed = jnp.concatenate([
+                dbY.astype(jnp.uint8).ravel(), dbU.astype(jnp.uint8).ravel(),
+                dbV.astype(jnp.uint8).ravel(),
+                dbY.astype(jnp.uint8).ravel()[:1] * 0,
+                dbY.astype(jnp.uint8).ravel()[:1] * 0])
+            return packed, dbY16, dbY16
+        yb, uvb, y_out, u_out, v_out = cdef_kernel(
+            dbY16, dbU.astype(jnp.uint16), dbV.astype(jnp.uint16),
+            sY, sU, sV, skip, damping=damping)
+        packed = jnp.concatenate([
+            y_out.astype(jnp.uint8).ravel(), u_out.astype(jnp.uint8).ravel(),
+            v_out.astype(jnp.uint8).ravel(),
+            # deblocked luma for the host (LR stripe boundaries)
+            dbY.astype(jnp.uint8).ravel(),
+            yb.astype(jnp.uint8)[None], uvb.astype(jnp.uint8)[None]])
+        return packed, dbY16, y_out
+
+    return jax.jit(run)
+
+
+def filter_chain_device(fe):
+    """Run deblock (+ CDEF search/apply when damping > 0) on device for an
+    IntraFrameEncoder with a device-resident source (fe._src_dev from the
+    wavefront launch).  Mutates fe.rec in place, sets fe._deblock_copy and
+    fe._dev_db/_dev_cdef, and returns the CDEF strength codes (or None
+    when CDEF is off).  Returns False if ineligible (caller keeps the host
+    path)."""
+    src_dev = getattr(fe, "_src_dev", None)
+    if src_dev is None or fe.bd != 8 or not fe._is420:
+        return False
+    import jax.numpy as jnp
+
+    h, w = fe.coded_h, fe.coded_w
+    ch, cw = h >> 1, w >> 1
+    info = fe.db_info
+    skip_h, skip_w = info.skip.shape
+    key = (fe.h, fe.w, w, h, fe.bd, fe.cdef_damping, skip_h, skip_w)
+    k = _KERNELS.get(key)
+    if k is None:
+        k = _make_kernel(*key)
+        _KERNELS[key] = k
+
+    lims = np.zeros((4, 4), np.float32)
+    for slot in range(4):
+        lv = fe.lf_levels[slot]
+        lim, bl, th = thresholds(lv, fe.lf_sharpness, fe.bd)
+        lims[slot] = (lim, bl, th, 1.0 if lv else 0.0)
+
+    upload = np.concatenate([
+        fe.rec[0][:h, :w].astype(np.uint8).ravel(),
+        fe.rec[1][:ch, :cw].astype(np.uint8).ravel(),
+        fe.rec[2][:ch, :cw].astype(np.uint8).ravel(),
+        info.txw.astype(np.uint8).ravel(), info.txh.astype(np.uint8).ravel(),
+        info.bx.astype(np.int16).ravel().view(np.uint8),
+        info.by.astype(np.int16).ravel().view(np.uint8),
+        info.skip.astype(np.uint8).ravel()])
+
+    try:
+        packed, db_y16, cdef_y16 = k(src_dev, jnp.asarray(upload),
+                                     jnp.asarray(lims))
+        out = np.asarray(packed)
+    except Exception as e:
+        _log.warning("device filter chain unavailable (%s); host path", e)
+        return False
+    nY, nC = h * w, ch * cw
+    fe.rec[0][:h, :w] = out[:nY].reshape(h, w)
+    fe.rec[1][:ch, :cw] = out[nY : nY + nC].reshape(ch, cw)
+    fe.rec[2][:ch, :cw] = out[nY + nC : nY + 2 * nC].reshape(ch, cw)
+    fe._dev_db = db_y16
+    fe._dev_cdef = cdef_y16
+    if fe.cdef_damping:
+        db_y = out[nY + 2 * nC : 2 * nY + 2 * nC].reshape(h, w)
+        if fe.lrf:
+            full = np.array(fe.rec[0])
+            full[:h, :w] = db_y
+            fe._deblock_copy = [full, fe.rec[1], fe.rec[2]]
+        yb, uvb = int(out[-2]), int(out[-1])
+        from rav1e_tpu.ops.cdef_jax import Y_CANDIDATES, UV_CANDIDATES
+
+        y_pri, y_sec = Y_CANDIDATES[yb]
+        uv_pri, uv_sec = UV_CANDIDATES[uvb]
+        fe.cdef_strengths = ((y_pri << 2) | (3 if y_sec == 4 else y_sec),
+                             (uv_pri << 2) | uv_sec)
+    else:
+        fe.cdef_strengths = None
+        if fe.lrf:
+            fe._deblock_copy = [p.copy() for p in fe.rec]
+    return True
