@@ -297,9 +297,16 @@ class IntraFrameEncoder:
         self._wf_launched = None
         if self._nbc is not None and self._wavefront_eligible():
             try:
-                from rav1e_tpu.models.wavefront import launch_wavefront
+                mesh = getattr(self, "wavefront_mesh", None)
+                if mesh is not None:
+                    from rav1e_tpu.parallel.tiles import launch_sharded
 
-                self._wf_launched = launch_wavefront(self, self._tile_grid())
+                    self._wf_launched = launch_sharded(
+                        self, self._tile_grid(), mesh)
+                if self._wf_launched is None:
+                    from rav1e_tpu.models.wavefront import launch_wavefront
+
+                    self._wf_launched = launch_wavefront(self, self._tile_grid())
             except Exception:
                 import logging
 

@@ -816,32 +816,10 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
                         qdc_q[k, li, q], qac_q[k, li, q] = fe._seg_q[sid]
                         lam_q[k, li, q] = fe._seg_lam[sid]
 
-    # mode-symbol bit tables from the frame's initial CDFs
-    def sym_bits_row(row, n):
-        out = np.empty(n, np.float32)
-        for s in range(n):
-            fl = 32768 if s == 0 else int(row[s - 1])
-            p = max(fl - int(row[s]), 1) / 32768.0
-            out[s] = -np.log2(p)
-        return out
-
-    cdf = fe.cdf
-    bits_uv = np.zeros((13, 2), np.float32)
-    for m in range(13):
-        rowb = sym_bits_row(cdf.uv_mode[1][m], 14)
-        bits_uv[m, 0] = rowb[0]
-        bits_uv[m, 1] = rowb[13]
-    bits_sign = sym_bits_row(cdf.cfl_sign[0], 8)
-    bits_alpha = np.stack([sym_bits_row(cdf.cfl_alpha[i], 16)
-                           for i in range(6)])
-    prow = cdf.partition[(3 - 1) * 4 + 0]
-    pbits = sym_bits_row(prow, 10)
-    part_bits = np.asarray([pbits[0], pbits[3]], np.float32)
-
     # single packed upload: src planes as bytes + float32 params
     params = np.concatenate([
-        lam_q.ravel(), qdc_q.ravel(), qac_q.ravel(), part_bits,
-        bits_uv.ravel(), bits_sign, bits_alpha.ravel()]).astype(np.float32)
+        lam_q.ravel(), qdc_q.ravel(), qac_q.ravel(),
+        _mode_bit_params(fe)]).astype(np.float32)
     upload = np.concatenate([
         fe.src[0].astype(np.uint8).ravel(), fe.src[1].astype(np.uint8).ravel(),
         fe.src[2].astype(np.uint8).ravel(), params.view(np.uint8)])
@@ -863,12 +841,43 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
     return LaunchedWavefront(geom, fe, fn(upload_dev, *dev))
 
 
-def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":
-    geom, fe = launched.geom, launched.fe
-    K, B = geom.steps, geom.width
-    out = np.asarray(launched.out)
+def _sym_bits_row(row, n):
+    out = np.empty(n, np.float32)
+    for s in range(n):
+        fl = 32768 if s == 0 else int(row[s - 1])
+        p = max(fl - int(row[s]), 1) / 32768.0
+        out[s] = -np.log2(p)
+    return out
 
-    # unpack: int16 metadata+levels block, then uint8 recon planes
+
+def _mode_bit_params(fe) -> np.ndarray:
+    """Mode-symbol bit tables from the frame's initial CDFs, as the fixed
+    float32 parameter tail the device pass unpacks: partition bits (2) +
+    uv-mode bits (13x2) + CFL sign (8) + CFL alpha (6x16)."""
+    cdf = fe.cdf
+    bits_uv = np.zeros((13, 2), np.float32)
+    for m in range(13):
+        rowb = _sym_bits_row(cdf.uv_mode[1][m], 14)
+        bits_uv[m, 0] = rowb[0]
+        bits_uv[m, 1] = rowb[13]
+    bits_sign = _sym_bits_row(cdf.cfl_sign[0], 8)
+    bits_alpha = np.stack([_sym_bits_row(cdf.cfl_alpha[i], 16)
+                           for i in range(6)])
+    pbits = _sym_bits_row(cdf.partition[(3 - 1) * 4 + 0], 10)
+    part_bits = np.asarray([pbits[0], pbits[3]], np.float32)
+    return np.concatenate([part_bits, bits_uv.ravel(), bits_sign,
+                           bits_alpha.ravel()]).astype(np.float32)
+
+
+def unpack_wavefront(geom, fe, out: np.ndarray,
+                     Wp: int | None = None) -> "WavefrontResult":
+    """Unpack one device pass's packed output array (int16 metadata +
+    levels, then uint8 recon planes).  Wp overrides the plane width for
+    tile-sharded runs (fe.w is the full-frame width)."""
+    K, B = geom.steps, geom.width
+    Hp = fe.h
+    if Wp is None:
+        Wp = fe.w
     rec_words = K * 4 * B * 1567
     packed = out[: rec_words * 2].view(np.int16).reshape(K, 4, B, 1567)
     meta = packed[..., :31]
@@ -879,12 +888,17 @@ def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":
     out16_np = {nm: m16[..., i] for i, nm in enumerate(f32names)}
     levels = (packed[..., 31:1055], packed[..., 1055:1311],
               packed[..., 1311:1567])
-    nY = fe.h * fe.w
-    nC = (fe.h >> 1) * (fe.w >> 1)
+    nY = Hp * Wp
+    nC = (Hp >> 1) * (Wp >> 1)
     o = rec_words * 2
     # writable int32 copies: the in-loop filters (deblock/CDEF/LRF) and the
     # host partial-SB encode mutate these in place (transfer rode uint8)
-    rec = [out[o : o + nY].reshape(fe.h, fe.w).astype(np.int32),
-           out[o + nY : o + nY + nC].reshape(fe.h >> 1, fe.w >> 1).astype(np.int32),
-           out[o + nY + nC : o + nY + 2 * nC].reshape(fe.h >> 1, fe.w >> 1).astype(np.int32)]
+    rec = [out[o : o + nY].reshape(Hp, Wp).astype(np.int32),
+           out[o + nY : o + nY + nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32),
+           out[o + nY + nC : o + nY + 2 * nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32)]
     return WavefrontResult(geom, rec, split_np, out32_np, out16_np, levels)
+
+
+def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":
+    return unpack_wavefront(launched.geom, launched.fe,
+                            np.asarray(launched.out))

@@ -123,9 +123,11 @@ def _filter_taps(jnp, p, q, limit, blimit, thresh, size, bd):
 
 
 def _pass_dir(jnp, img, limit, blimit, thresh, bd, plane_idx, w, h,
-              tx_across, bpos, skip, s_along, s_across):
+              tx_across, bpos, skip, s_along, s_across, edge_valid=None):
     """One direction over a (h, w) plane view (edges along axis 0).
-    tx_across/bpos/skip: per-mi maps oriented like img.  Pure shifts."""
+    tx_across/bpos/skip: per-mi maps oriented like img.  Pure shifts.
+    edge_valid: optional (E,) bool — sharded slabs mask the positions that
+    are not edges of the real plane (its boundary halo columns)."""
     E = w // 4 - 1  # edges at x = 4, 8, ..., 4E
     if E <= 0:
         return img
@@ -149,6 +151,8 @@ def _pass_dir(jnp, img, limit, blimit, thresh, bd, plane_idx, w, h,
     else:
         fsize = jnp.where(size_across >= 8, 6, 4)
     fsize = jnp.where(apply_, fsize, 0)
+    if edge_valid is not None:
+        fsize = jnp.where(edge_valid[None, :], fsize, 0)
     # expand to per-row: (h, E)
     size_r = jnp.repeat(fsize, 4, axis=0)[:h]
 
