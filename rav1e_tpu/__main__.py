@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     ap.add_argument("--first-pass", help="write pass-1 stats to FILE")
     ap.add_argument("--second-pass", help="read pass-1 stats from FILE")
     ap.add_argument("--reconstruction", help="write reconstruction to .y4m")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="per-stage timing + block statistics summary")
     args = ap.parse_args(argv)
 
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
@@ -130,6 +132,8 @@ def main(argv=None) -> int:
     if ssim_acc:
         msg += f", SSIM(Y) avg {np.mean(ssim_acc):.4f}"
     print(msg, file=sys.stderr)
+    if args.verbose:
+        print(ctx.stats.summary(), file=sys.stderr)
     return 0
 
 

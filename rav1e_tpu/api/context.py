@@ -339,6 +339,10 @@ class Context:
                     refs[mvp.LAST_FRAME] = mid_slot
                 else:
                     refs[mvp.LAST_FRAME] = base
+                if not self.enc.speed_settings.multiref:
+                    # multiref off (reference SpeedSettings): leaves search
+                    # LAST only; the pyramid refs still exist for display
+                    refs = {mvp.LAST_FRAME: refs[mvp.LAST_FRAME]}
                 data = enc.encode_inter(frame, q_leaf, frameno, refs,
                                         show_frame=True, refresh_flags=0,
                                         imp_scale=imp_scales[i])
@@ -350,6 +354,17 @@ class Context:
             self._rc.update_group("inter", n, total_bits)
 
     # -- two-pass API (reference analog: twopass_out / rc summary) ----------
+
+    @property
+    def stats(self):
+        """Aggregated EncoderStats (block-mode / tx counts, per-stage
+        wall time) over every frame encoded so far — the reference's
+        EncoderStats + -v summary analog."""
+        from rav1e_tpu.utils.stats import EncoderStats
+
+        if self._encoder is None:
+            return EncoderStats()
+        return self._encoder.stats
 
     def twopass_out(self) -> bytes:
         """Per-frame pass-1 records accumulated since the last call."""

@@ -79,7 +79,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  speed=6, use_native=True, init_cdf=None,
                  lf_levels=(0, 0, 0, 0), lf_sharpness=0, cdef_damping=0,
                  tile_cols_log2=0, tile_rows_log2=0, tune="psnr",
-                 chroma_sampling=(1, 1)):
+                 chroma_sampling=(1, 1), speed_settings=None):
         super().__init__(width, height, q_idx, bit_depth=bit_depth,
                          adapt_cdf=adapt_cdf, speed=speed, use_native=use_native,
                          device_modes=False, init_cdf=init_cdf,
@@ -87,7 +87,8 @@ class InterFrameEncoder(IntraFrameEncoder):
                          cdef_damping=cdef_damping,
                          tile_cols_log2=tile_cols_log2,
                          tile_rows_log2=tile_rows_log2, tune=tune,
-                         chroma_sampling=chroma_sampling)
+                         chroma_sampling=chroma_sampling,
+                         speed_settings=speed_settings)
         if not isinstance(refs, dict):
             refs = {mvp.LAST_FRAME: refs}
         self.refs = {

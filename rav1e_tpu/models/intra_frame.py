@@ -87,7 +87,8 @@ class IntraFrameEncoder:
                  lf_levels=(0, 0, 0, 0), lf_sharpness: int = 0,
                  cdef_damping: int = 0, tile_cols_log2: int = 0,
                  tile_rows_log2: int = 0, tune: str = "psnr",
-                 seg_deltas: tuple = (), chroma_sampling: tuple = (1, 1)):
+                 seg_deltas: tuple = (), chroma_sampling: tuple = (1, 1),
+                 speed_settings=None):
         self.tune = tune
         # chroma subsampling: (1,1)=4:2:0, (1,0)=4:2:2, (0,0)=4:4:4
         self.sub_x, self.sub_y = chroma_sampling
@@ -123,17 +124,35 @@ class IntraFrameEncoder:
         # RD lambda (SSE per bit); HEVC-style 0.06 * step^2 with the AV1
         # quantizer step ~ ac_q/8 in pixel units
         self.lam = 0.06 * (self.ac_q / 8.0) ** 2
-        self.rdo_partition = speed <= 8
-        self.tx_type_search = speed <= 7  # reference: rdo_tx_decision preset
-        self.sgr_search = speed <= 5  # reference: sgr_complexity preset
-        # CFL chroma prediction (reference: ComplexKeyframes prediction set);
-        # the CFL AC path here is 4:2:0 only
-        self.cfl_search = speed <= 5 and self._is420
-        # D45/D67/D203 + angle-delta search (reference: fine_directional_intra)
-        self.fine_dir = speed <= 7
-        # deblock level search vs from-q model (reference: fast_deblock off)
-        self.lf_search = speed <= 5
+        # per-feature toggles: honor an explicit SpeedSettings when given
+        # (reference: speedsettings.rs fields), else derive from the preset
+        ss = speed_settings
+        if ss is not None:
+            pmin, pmax = ss.partition_range
+            # leaf sizes here are {16, 32}: RD split only when both sides
+            # of the decision are inside the allowed partition range
+            self.rdo_partition = (ss.speed <= 8 and pmin <= 16 and pmax >= 32)
+            self.tx_type_search = ss.rdo_tx_decision
+            self.fine_dir = ss.fine_directional_intra
+            self.lf_search = ss.speed <= 5 and not ss.fast_deblock
+            complex_pred = ss.prediction_modes != "simple"
+            self.cfl_search = complex_pred and self._is420
+            self.sgr_search = ss.speed <= 5
+        else:
+            self.rdo_partition = speed <= 8
+            self.tx_type_search = speed <= 7  # reference: rdo_tx_decision
+            self.sgr_search = speed <= 5  # reference: sgr_complexity preset
+            # CFL chroma (reference: ComplexKeyframes prediction set);
+            # the CFL AC path here is 4:2:0 only
+            self.cfl_search = speed <= 5 and self._is420
+            # D45/D67/D203 + angle deltas (reference: fine_directional_intra)
+            self.fine_dir = speed <= 7
+            # deblock level search vs from-q model (reference: fast_deblock)
+            self.lf_search = speed <= 5
         self._scratch = None
+        from rav1e_tpu.utils.stats import EncoderStats
+
+        self.stats = EncoderStats(frames=1)
         # device (TPU) mode analysis: batched evaluation of all candidate
         # modes for all blocks in one jit pass; auto-on for larger frames
         if device_modes is None:
@@ -145,7 +164,8 @@ class IntraFrameEncoder:
         """planes: [Y, U, V] uint8/16 arrays at the REAL frame size.
         Returns (tile_bytes, recon) with recon cropped to the real size."""
         if not getattr(self, "_prepared", False):
-            self.prepare(planes)
+            with self.stats.stage("prepare"):
+                self.prepare(planes)
         # lookahead-overlap hook: the orchestration may enqueue the NEXT
         # frame's device pass now, so it executes while this frame's host
         # entropy pass runs (SURVEY 2.6 lookahead pipelining)
@@ -322,7 +342,8 @@ class IntraFrameEncoder:
             try:
                 from rav1e_tpu.ops.filter_chain_jax import filter_chain_device
 
-                chain_done = filter_chain_device(self)
+                with self.stats.stage("filters"):
+                    chain_done = filter_chain_device(self)
             except Exception:
                 import logging
 
@@ -368,9 +389,10 @@ class IntraFrameEncoder:
         """Loop restoration + output crop (shared by the host filter path
         and the device filter chain)."""
         if self.lrf:
-            self._lr_decide()
-            data = self._emit_tiles_lr()
-            self._lr_apply()
+            with self.stats.stage("lrf"):
+                self._lr_decide()
+                data = self._emit_tiles_lr()
+                self._lr_apply()
         ch = (self.out_h + self.sub_y) >> self.sub_y
         cw = (self.out_w + self.sub_x) >> self.sub_x
         recon = [
@@ -596,6 +618,7 @@ class IntraFrameEncoder:
         parts = []
         for (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta,
              lvy, lvu, lvv) in wf.sb_records(r, c):
+            self.stats.record_block(mode, bw, bh, skip, tt, bool(au or av))
             seg_symv = seg_ctx = seg_nsyms = 0
             if self.seg_map is not None:
                 mr, mc = y // 4, x // 4
@@ -635,6 +658,9 @@ class IntraFrameEncoder:
         self._nbc.cache_start()
         self.cdf = frame_cdf.copy()  # throwaway basis for pass-A symbols
         self._recon_only = True
+        import time as _time
+
+        _t0 = _time.perf_counter()
         try:
             for (sc0, sr0, sc1, sr1) in tiles:
                 self.tx0, self.ty0 = sc0 * 64, sr0 * 64
@@ -650,6 +676,7 @@ class IntraFrameEncoder:
                             self._partition(sx, sy, 64)
         finally:
             self._recon_only = False
+        self.stats.stage_seconds["cache_build"] += _time.perf_counter() - _t0
         self.cdf = frame_cdf
         if self.lrf:
             self._lrf_native = True
@@ -658,7 +685,8 @@ class IntraFrameEncoder:
         self._nbc.cache_rewind()
         self._lr_replay = True
         try:
-            tile_datas = self._run_tiles_native(lr_emit=False)
+            with self.stats.stage("entropy"):
+                tile_datas = self._run_tiles_native(lr_emit=False)
         finally:
             self._lr_replay = False
         if len(tile_datas) == 1:
@@ -681,7 +709,8 @@ class IntraFrameEncoder:
         if self._nbc is not None and getattr(self, "_wf_launched", None) is not None:
             wf = None
             try:
-                wf = self._wf_launched.collect()
+                with self.stats.stage("device_wait"):
+                    wf = self._wf_launched.collect()
             except Exception:
                 import logging
 
@@ -1372,13 +1401,15 @@ class IntraFrameEncoder:
                 seg = (0, 0, 0)
                 if self.seg_map is not None:
                     seg = self._seg_symbol_args(mr, mc)
-                skip, _ = self._nbc.encode_block(
+                skip, ntt = self._nbc.encode_block(
                     x, y, bw, bh, y_mode,
                     self._have_above(y), self._have_left(x),
                     recon_only=self._recon_only, seg=seg)
                 if self.seg_map is not None:
                     self._seg_after_block(mr, mc, bw, bh, skip)
                 self.db_info.set_block(x, y, bw, bh, skip)
+                self.stats.record_block(y_mode, bw, bh, skip,
+                                        int(ntt == tf.ADST_ADST), False)
                 return
 
         info = self._pending.pop((x, y), None)
@@ -1475,6 +1506,8 @@ class IntraFrameEncoder:
         self.above_skip[mc:c1] = 1 if skip else 0
         self.left_skip[mr:r1] = 1 if skip else 0
         self.mi_coded[mr : mr + n4h, mc : mc + n4w] = 1
+        self.stats.record_block(y_mode, bw, bh, bool(skip),
+                                int(tt_y == tf.ADST_ADST), uv_mode == UV_CFL)
 
     def _plane_rd_cost(self, resid, lv, dq, lam=None) -> float:
         """dist + lam*rate for one coded plane txb (the same coarse model

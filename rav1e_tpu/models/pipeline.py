@@ -47,6 +47,9 @@ class FrameEncoder:
             still_picture=enc_config.still_picture,
         )
         self.frame_count = 0
+        from rav1e_tpu.utils.stats import EncoderStats
+
+        self.stats = EncoderStats()  # aggregated over all frames
         self.last_recon = None  # decoder-visible LAST reference planes
         self.ref_cdf = None  # end-of-frame adapted CDFs saved in ref slot 0
         # reference slot state: slot -> {"recon", "hint", "cdf"}
@@ -115,6 +118,7 @@ class FrameEncoder:
             bit_depth=self.cfg.bit_depth,
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
+            speed_settings=self.cfg.speed_settings,
             lf_levels=lf,
             cdef_damping=damping,
             tile_cols_log2=self.tile_cols_log2,
@@ -146,6 +150,7 @@ class FrameEncoder:
         fe._after_launch = self.prefetch_hook
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
+        self.stats.merge(fe.stats)
         self.last_recon = recon
         self.ref_cdf = fe.cdf
         hint = self.frame_count & 0x7F
@@ -211,6 +216,7 @@ class FrameEncoder:
             bit_depth=self.cfg.bit_depth,
             adapt_cdf=True,
             speed=self.cfg.speed_settings.speed,
+            speed_settings=self.cfg.speed_settings,
             init_cdf=(None if (self.cfg.error_resilient or switch)
                       else self.slots[last_slot]["cdf"]),
             lf_levels=lf,
@@ -235,6 +241,7 @@ class FrameEncoder:
         fe.reference_select = len(set(fe.sign_bias.values())) > 1
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
+        self.stats.merge(fe.stats)
         self.last_recon = recon
         self.ref_cdf = fe.cdf
 
