@@ -37,9 +37,11 @@ def main() -> None:
                                        max_key_frame_interval=1,
                                        low_latency=True))
         ctx = cfg.new_context()
-        # warmup (jit compile)
-        ctx.send_frame(frames[0])
-        ctx.receive_packet()
+        # warmup x2: jit compiles AND the chip tunnel's first-transfer
+        # stall (it wakes slowly after idle periods)
+        for _ in range(2):
+            ctx.send_frame(frames[0])
+            ctx.receive_packet()
         # queue all frames first: the encoder overlaps frame N+1's device
         # pass with frame N's host entropy pass (lookahead pipelining)
         t0 = time.perf_counter()

@@ -166,9 +166,14 @@ class IntraFrameEncoder:
         if not getattr(self, "_prepared", False):
             with self.stats.stage("prepare"):
                 self.prepare(planes)
-        # lookahead-overlap hook: the orchestration may enqueue the NEXT
-        # frame's device pass now, so it executes while this frame's host
-        # entropy pass runs (SURVEY 2.6 lookahead pipelining)
+        return self._finish_encode()
+
+    def _fire_prefetch(self) -> None:
+        """Lookahead-overlap hook: enqueue the NEXT frame's device pass so
+        it executes while this frame's host entropy pass runs (SURVEY 2.6
+        lookahead pipelining).  Fired after THIS frame's last device use —
+        enqueueing earlier would put the next wavefront ahead of this
+        frame's filter chain in the chip's queue."""
         cb = getattr(self, "_after_launch", None)
         if cb is not None:
             self._after_launch = None
@@ -176,7 +181,6 @@ class IntraFrameEncoder:
                 cb()
             except Exception:
                 pass
-        return self._finish_encode()
 
     def prepare(self, planes: list) -> None:
         """Frame setup + async device-pass launch: pad sources, init CDFs
@@ -391,8 +395,11 @@ class IntraFrameEncoder:
         if self.lrf:
             with self.stats.stage("lrf"):
                 self._lr_decide()
+                self._fire_prefetch()  # after this frame's last device use
                 data = self._emit_tiles_lr()
                 self._lr_apply()
+        else:
+            self._fire_prefetch()
         ch = (self.out_h + self.sub_y) >> self.sub_y
         cw = (self.out_w + self.sub_x) >> self.sub_x
         recon = [
@@ -809,18 +816,24 @@ class IntraFrameEncoder:
         cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
         cdef_p = self.rec[0]
         db_p = self._deblock_copy[0]
-        src_f = self.src[0][: self.out_h, : self.out_w].astype(np.float64)
-        vt, ht = lr.solve_wiener(
-            cdef_p[: self.out_h, : self.out_w].astype(np.float64), src_f
-        )
-        restored = None
-        if vt != (0, 0, 0) or ht != (0, 0, 0):
-            from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
+        if getattr(self, "_chain_restored", None) is not None:
+            # taps solved + trial filtered on device inside the filter
+            # chain (no extra chip roundtrip)
+            restored = self._chain_restored
+            vt, ht = self._chain_taps
+        else:
+            src_f = self.src[0][: self.out_h, : self.out_w].astype(np.float64)
+            vt, ht = lr.solve_wiener(
+                cdef_p[: self.out_h, : self.out_w].astype(np.float64), src_f
+            )
+            restored = None
+            if vt != (0, 0, 0) or ht != (0, 0, 0):
+                from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
 
-            restored = wiener_filter_frame_device(
-                cdef_p, db_p, vt, ht, 64, self.bd, self.out_w, self.out_h,
-                dev_cdef=getattr(self, "_dev_cdef", None),
-                dev_db=getattr(self, "_dev_db", None))
+                restored = wiener_filter_frame_device(
+                    cdef_p, db_p, vt, ht, 64, self.bd, self.out_w, self.out_h,
+                    dev_cdef=getattr(self, "_dev_cdef", None),
+                    dev_db=getattr(self, "_dev_db", None))
         # guided-pass outputs for the SGR candidate sets (whole frame; the
         # per-unit choice is only the set + projection weights)
         sgr_flt = {}

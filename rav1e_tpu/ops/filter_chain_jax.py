@@ -89,22 +89,22 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w):
 
         dbY16 = dbY.astype(jnp.uint16)
         if cdef_kernel is None:
-            packed = jnp.concatenate([
-                dbY.astype(jnp.uint8).ravel(), dbU.astype(jnp.uint8).ravel(),
-                dbV.astype(jnp.uint8).ravel(),
-                dbY.astype(jnp.uint8).ravel()[:1] * 0,
-                dbY.astype(jnp.uint8).ravel()[:1] * 0])
-            return packed, dbY16, dbY16
-        yb, uvb, y_out, u_out, v_out = cdef_kernel(
-            dbY16, dbU.astype(jnp.uint16), dbV.astype(jnp.uint16),
-            sY, sU, sV, skip, damping=damping)
-        packed = jnp.concatenate([
+            y_out = dbY16
+            u_out = dbU.astype(jnp.uint16)
+            v_out = dbV.astype(jnp.uint16)
+            yb = uvb = jnp.zeros((), jnp.int32)
+        else:
+            yb, uvb, y_out, u_out, v_out = cdef_kernel(
+                dbY16, dbU.astype(jnp.uint16), dbV.astype(jnp.uint16),
+                sY, sU, sV, skip, damping=damping)
+        parts = [
             y_out.astype(jnp.uint8).ravel(), u_out.astype(jnp.uint8).ravel(),
             v_out.astype(jnp.uint8).ravel(),
             # deblocked luma for the host (LR stripe boundaries)
             dbY.astype(jnp.uint8).ravel(),
-            yb.astype(jnp.uint8)[None], uvb.astype(jnp.uint8)[None]])
-        return packed, dbY16, y_out
+            yb.astype(jnp.uint8).reshape(1),
+            uvb.astype(jnp.uint8).reshape(1)]
+        return jnp.concatenate(parts), dbY16, y_out
 
     return jax.jit(run)
 
@@ -149,6 +149,12 @@ def filter_chain_device(fe):
     try:
         packed, db_y16, cdef_y16 = k(src_dev, jnp.asarray(upload),
                                      jnp.asarray(lims))
+        # the chain is enqueued: this is the frame's last device use, so
+        # the orchestration may now pipeline the NEXT frame's wavefront
+        # behind it (it runs while we do the entropy pass)
+        fire = getattr(fe, "_fire_prefetch", None)
+        if fire is not None:
+            fire()
         out = np.asarray(packed)
     except Exception as e:
         _log.warning("device filter chain unavailable (%s); host path", e)
@@ -159,12 +165,19 @@ def filter_chain_device(fe):
     fe.rec[2][:ch, :cw] = out[nY + nC : nY + 2 * nC].reshape(ch, cw)
     fe._dev_db = db_y16
     fe._dev_cdef = cdef_y16
+    o = nY + 2 * nC
+    db_y = out[o : o + nY].reshape(h, w)
+    o += nY
+    fe._chain_restored = None
+    fe._chain_taps = None
+    if fe.lrf:
+        # LR stripe boundaries read the pre-CDEF (deblocked) rows; the
+        # Wiener trial itself stays a separate device call overlapped
+        # with host work (measured faster than folding it in here)
+        full = np.array(fe.rec[0])
+        full[:h, :w] = db_y
+        fe._deblock_copy = [full, fe.rec[1], fe.rec[2]]
     if fe.cdef_damping:
-        db_y = out[nY + 2 * nC : 2 * nY + 2 * nC].reshape(h, w)
-        if fe.lrf:
-            full = np.array(fe.rec[0])
-            full[:h, :w] = db_y
-            fe._deblock_copy = [full, fe.rec[1], fe.rec[2]]
         yb, uvb = int(out[-2]), int(out[-1])
         from rav1e_tpu.ops.cdef_jax import Y_CANDIDATES, UV_CANDIDATES
 
@@ -174,6 +187,4 @@ def filter_chain_device(fe):
                              (uv_pri << 2) | uv_sec)
     else:
         fe.cdef_strengths = None
-        if fe.lrf:
-            fe._deblock_copy = [p.copy() for p in fe.rec]
     return True
