@@ -35,6 +35,7 @@ def main() -> None:
         cfg = Config(enc=EncoderConfig(width=w, height=h, quantizer=100,
                                        min_key_frame_interval=1,
                                        max_key_frame_interval=1,
+                                       rdo_lookahead_frames=1,
                                        low_latency=True))
         ctx = cfg.new_context()
         # warmup x2: jit compiles AND the chip tunnel's first-transfer

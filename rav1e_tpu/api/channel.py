@@ -78,7 +78,13 @@ def new_channel(config):
                     drain()
                     pq.put(None)
                     return
-                ctx.send_frame(f)
+                try:
+                    ctx.send_frame(f)
+                except EncoderError as e:
+                    if e.status != EncoderStatus.ENOUGH_DATA:
+                        raise
+                    drain()  # backpressure: make progress, then retry
+                    ctx.send_frame(f)
                 drain()
         except Exception as e:  # surface worker failures to the receiver
             pq.put(e)

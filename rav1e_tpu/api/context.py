@@ -82,12 +82,22 @@ class Context:
 
     # -- API ---------------------------------------------------------------
 
+    @property
+    def _lookahead_depth(self) -> int:
+        """Frames buffered before encoding starts (reference analog:
+        rdo_lookahead_frames driving ContextInner's lookahead queue)."""
+        return max(1, min(self.enc.rdo_lookahead_frames, 64))
+
     def send_frame(self, frame) -> None:
         """frame: utils.Frame, or None to begin flushing."""
         if frame is None:
             self.flushing = True
             return
         if self.flushing:
+            raise EncoderError(EncoderStatus.ENOUGH_DATA)
+        # backpressure (reference: "The encoder received more frames than
+        # its internal limit allows"): the lookahead queue is bounded
+        if len(self.frame_q) >= self._lookahead_depth + self.GROUP + 1:
             raise EncoderError(EncoderStatus.ENOUGH_DATA)
         # scene analysis is causal: classify each frame as it arrives
         if self._sc is not None:
@@ -107,6 +117,10 @@ class Context:
         if not self.frame_q:
             if self.flushing:
                 raise EncoderError(EncoderStatus.LIMIT_REACHED)
+            raise EncoderError(EncoderStatus.NEED_MORE_DATA)
+        # lookahead discipline: hold encoding until the queue is deep
+        # enough for ahead-of-encode keyframe/GOP planning (or flushing)
+        if not self.flushing and len(self.frame_q) < self._lookahead_depth:
             raise EncoderError(EncoderStatus.NEED_MORE_DATA)
         self._init_encoder()
         # two-pass replays pass-1 frame types 1:1, so it runs low-latency

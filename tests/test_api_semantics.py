@@ -224,6 +224,32 @@ def test_packet_metadata():
     assert all(isinstance(p.data, bytes) and p.data for p in pkts)
 
 
+def test_lookahead_queue_discipline():
+    """receive_packet returns NEED_MORE_DATA until rdo_lookahead_frames
+    are queued (reference: the lookahead queue in ContextInner), and
+    send_frame applies ENOUGH_DATA backpressure at the queue bound."""
+    ctx = ctx_for(low_latency=True, rdo_lookahead_frames=5)
+    fs = frames(16)
+    for i in range(4):
+        ctx.send_frame(fs[i])
+        with pytest.raises(EncoderError) as ei:
+            ctx.receive_packet()
+        assert ei.value.status == EncoderStatus.NEED_MORE_DATA, i
+    ctx.send_frame(fs[4])
+    pkt = ctx.receive_packet()  # lookahead full: encoding starts
+    assert pkt.input_frameno == 0
+    # backpressure: the queue is bounded
+    sent = 5
+    with pytest.raises(EncoderError) as ei:
+        for i in range(5, 16):
+            ctx.send_frame(fs[i])
+            sent += 1
+    assert ei.value.status == EncoderStatus.ENOUGH_DATA
+    # draining packets makes room again
+    ctx.receive_packet()
+    ctx.send_frame(fs[sent - 1])
+
+
 def test_container_sequence_header():
     ctx = ctx_for(low_latency=True)
     hdr = ctx.container_sequence_header()

@@ -91,7 +91,8 @@ def test_two_pass():
     frames = clip(w, h, n, cut_at=8, seed=5)
     # pass 1 at CQ
     cfg1 = EncoderConfig(width=w, height=h, quantizer=120,
-                         min_key_frame_interval=2, low_latency=True)
+                         min_key_frame_interval=2, low_latency=True,
+                         rdo_lookahead_frames=1)
     ctx1 = Config(enc=cfg1).new_context()
     for f in frames:
         ctx1.send_frame(f)
@@ -108,7 +109,7 @@ def test_two_pass():
     # pass 2
     cfg2 = EncoderConfig(width=w, height=h, bitrate=target, time_base=(1, fps),
                          min_key_frame_interval=2, rc_stats=stats,
-                         low_latency=True)
+                         low_latency=True, rdo_lookahead_frames=1)
     ctx2 = Config(enc=cfg2).new_context()
     bits = []
     types = []
