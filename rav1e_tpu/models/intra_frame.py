@@ -132,6 +132,10 @@ class IntraFrameEncoder:
             # leaf sizes here are {16, 32}: RD split only when both sides
             # of the decision are inside the allowed partition range
             self.rdo_partition = (ss.speed <= 8 and pmin <= 16 and pmax >= 32)
+            # 8x8 leaves: thorough speeds only (host RD trials; the device
+            # wavefront covers the 16/32 range)
+            self.rdo_split8 = (ss.speed <= 3 and pmin <= 8
+                               and type(self) is IntraFrameEncoder)
             self.tx_type_search = ss.rdo_tx_decision
             self.fine_dir = ss.fine_directional_intra
             self.lf_search = ss.speed <= 5 and not ss.fast_deblock
@@ -140,6 +144,8 @@ class IntraFrameEncoder:
             self.sgr_search = ss.speed <= 5
         else:
             self.rdo_partition = speed <= 8
+            self.rdo_split8 = (speed <= 3
+                               and type(self) is IntraFrameEncoder)
             self.tx_type_search = speed <= 7  # reference: rdo_tx_decision
             self.sgr_search = speed <= 5  # reference: sgr_complexity preset
             # CFL chroma (reference: ComplexKeyframes prediction set);
@@ -232,7 +238,8 @@ class IntraFrameEncoder:
         ]
 
         self._rd_maps = None
-        if self.device_modes and not self._wavefront_eligible():
+        if (self.device_modes and not self._wavefront_eligible()
+                and not self.rdo_split8):
             try:
                 from rav1e_tpu.models.device_pipeline import frame_rd_maps
 
@@ -583,6 +590,8 @@ class IntraFrameEncoder:
             self.enc = NativeMsacEncoder()
             if lr_emit:
                 self._lr_ref = [[3, -7, 15], [3, -7, 15]]
+                self._lr_ref_c = {p: [[3, -7, 15], [3, -7, 15]]
+                                  for p in (1, 2)}
                 self._sgr_ref = [-32, 31]
             # replay pass: the whole SB (partition symbols + cached block
             # symbols) runs in C++; python only interleaves read_lr
@@ -608,6 +617,7 @@ class IntraFrameEncoder:
         pass's envelope (8-bit 4:2:0, lossy, native coder available)."""
         if not (self.device_modes and self.use_native and self.q > 0
                 and self.bd == 8 and self._is420
+                and not self.rdo_split8
                 and type(self) is IntraFrameEncoder):
             return False
         try:
@@ -882,6 +892,56 @@ class IntraFrameEncoder:
                         best = ss
                         choice = ("sgr", si, tuple(xqd), out)
                 self._lr_params[(ur, uc)] = choice
+        self._lr_decide_chroma()
+
+    def _lr_decide_chroma(self) -> None:
+        """Chroma restoration (reference: src/lrf.rs restores all 3
+        planes): frame-level Wiener taps per chroma plane (tap 0 is 0 by
+        spec), RESTORE_WIENER plane type with a per-unit on/off bool.
+        4:2:0 with lr_uv_shift=1: chroma units cover the same picture area
+        as the luma units."""
+        from rav1e_tpu.ops import lrf_np as lr
+
+        self._lr_chroma = {1: {}, 2: {}}
+        self._lr_chroma_taps = {}
+        self.lr_types = [1, 0, 0]
+        if not self._is420:
+            return
+        unit_c = self.LR_UNIT >> 1
+        cw = (self.out_w + 1) >> 1
+        ch = (self.out_h + 1) >> 1
+        rows_c = lr.unit_ranges(unit_c, ch, shifted=True)
+        cols_c = lr.unit_ranges(unit_c, cw)
+        for plane in (1, 2):
+            cdef_c = self.rec[plane]
+            db_c = self._deblock_copy[plane]
+            src_i = self.src[plane][:ch, :cw].astype(np.int64)
+            vtc, htc = lr.solve_wiener(
+                cdef_c[:ch, :cw].astype(np.float64), src_i.astype(np.float64))
+            vtc = (0, int(vtc[1]), int(vtc[2]))  # chroma outer tap is 0
+            htc = (0, int(htc[1]), int(htc[2]))
+            if vtc == (0, 0, 0) and htc == (0, 0, 0):
+                continue
+            restored = lr.wiener_filter_frame(
+                cdef_c[:ch, :cw], db_c[:ch, :cw], vtc, htc, unit_c,
+                self.bd, cw, ch)
+            d2_base = (cdef_c[:ch, :cw].astype(np.int64) - src_i) ** 2
+            d2_rest = (restored.astype(np.int64) - src_i) ** 2
+            units = {}
+            any_used = False
+            for ur, (y0, y1) in enumerate(rows_c):
+                for uc, (x0, x1) in enumerate(cols_c):
+                    sse0 = int(d2_base[y0:y1, x0:x1].sum())
+                    sse1 = int(d2_rest[y0:y1, x0:x1].sum()) + self.lam * 9
+                    if sse1 < sse0:
+                        units[(ur, uc)] = restored[y0:y1, x0:x1]
+                        any_used = True
+                    else:
+                        units[(ur, uc)] = None
+            if any_used:
+                self._lr_chroma[plane] = units
+                self._lr_chroma_taps[plane] = (vtc, htc)
+                self.lr_types[plane] = 2  # coded RESTORE_WIENER
 
     def _lr_apply(self) -> None:
         from rav1e_tpu.ops import lrf_np as lr
@@ -894,6 +954,20 @@ class IntraFrameEncoder:
             y0, y1 = rows[ur]
             x0, x1 = cols[uc]
             self.rec[0][y0:y1, x0:x1] = p[3]
+        unit_c = self.LR_UNIT >> 1
+        cw = (self.out_w + 1) >> 1
+        ch = (self.out_h + 1) >> 1
+        for plane in (1, 2):
+            if getattr(self, "lr_types", [1, 0, 0])[plane] != 2:
+                continue
+            rows_c = lr.unit_ranges(unit_c, ch, shifted=True)
+            cols_c = lr.unit_ranges(unit_c, cw)
+            for (ur, uc), out in self._lr_chroma[plane].items():
+                if out is None:
+                    continue
+                y0, y1 = rows_c[ur]
+                x0, x1 = cols_c[uc]
+                self.rec[plane][y0:y1, x0:x1] = out
 
     def _lr_write(self, enc, sb_row: int, sb_col: int) -> None:
         """read_lr for one superblock (spec 5.11.57), luma SWITCHABLE frame
@@ -943,6 +1017,38 @@ class IntraFrameEncoder:
                             # its reference with it — solve_xqd stores the
                             # same derived values in xqd
                             self._sgr_ref[i] = int(xqd[i])
+        # chroma planes (RESTORE_WIENER): per-unit on/off bool + taps
+        # (tap 0 implied zero for chroma; spec read_lr plane-major order)
+        lr_types = getattr(self, "lr_types", [1, 0, 0])
+        unit_c = unit >> 1
+        cw = (self.out_w + 1) >> 1
+        ch = (self.out_h + 1) >> 1
+        for plane in (1, 2):
+            if lr_types[plane] != 2:
+                continue
+            nr_c = lr.count_units(unit_c, ch)
+            nc_c = lr.count_units(unit_c, cw)
+            r_px, c_px = sb_row * 32, sb_col * 32
+            ur0 = (r_px + unit_c - 1) // unit_c
+            ur1 = min(nr_c, (r_px + 32 + unit_c - 1) // unit_c)
+            uc0 = (c_px + unit_c - 1) // unit_c
+            uc1 = min(nc_c, (c_px + 32 + unit_c - 1) // unit_c)
+            for ur in range(ur0, ur1):
+                for uc in range(uc0, uc1):
+                    use = self._lr_chroma[plane].get((ur, uc)) is not None
+                    enc.symbol_adapt(1 if use else 0,
+                                     self.cdf.wiener_restore[0])
+                    if not use:
+                        continue
+                    vt, ht = self._lr_chroma_taps[plane]
+                    for pass_i, taps in ((0, vt), (1, ht)):
+                        for i in (1, 2):
+                            se.write_signed_subexp_with_ref(
+                                enc, int(taps[i]), lr.WIENER_TAPS_MIN[i],
+                                lr.WIENER_TAPS_MAX[i] + 1,
+                                lr.WIENER_TAPS_K[i],
+                                int(self._lr_ref_c[plane][pass_i][i]))
+                            self._lr_ref_c[plane][pass_i][i] = int(taps[i])
 
     def _emit_tiles_lr(self) -> bytes:
         """Replay recorded tiles with read_lr symbols at SB anchors.  The
@@ -985,6 +1091,7 @@ class IntraFrameEncoder:
                 enc = MsacEncoder()
             self._lr_ref = [list(lr_default) for lr_default in
                             ((3, -7, 15), (3, -7, 15))]
+            self._lr_ref_c = {p: [[3, -7, 15], [3, -7, 15]] for p in (1, 2)}
             self._sgr_ref = [-32, 31]
             rec.replay(enc, self.cdf, lr_insert=self._lr_write)
             tile_datas.append(enc.done())
@@ -1142,6 +1249,12 @@ class IntraFrameEncoder:
                 want_split = self._rd_split_32(x, y, cdf_row)
             else:
                 want_split = False
+        elif (size == 16 and self.rdo_split8 and has_rows and has_cols
+              and self._rd_maps is None and self.use_native):
+            want_split = self._rd_split(x, y, 16, cdf_row)
+            if want_split:
+                # a 16-leaf candidate from the 32-level trial is obsolete
+                self._pending.pop((x, y), None)
         else:
             want_split = False
         if has_rows and has_cols:
@@ -1275,35 +1388,44 @@ class IntraFrameEncoder:
         return dist, rate, info
 
     def _rd_split_32(self, x: int, y: int, cdf_row) -> bool:
-        """Try NONE(32x32) vs SPLIT(4x 16x16); pick by SSE + lambda*bits."""
+        return self._rd_split(x, y, 32, cdf_row)
+
+    def _rd_split(self, x: int, y: int, size: int, cdf_row) -> bool:
+        """Try NONE(size) vs SPLIT(4x half); pick by SSE + lambda*bits.
+        Reference analog: rdo_partition_decision's NONE-vs-SPLIT arm
+        (src/rdo.rs); used for 32->16 and (at thorough speeds) 16->8."""
+        half = size // 2
         cx, cy = x >> self.sub_x, y >> self.sub_y
-        ccw, cch = 32 >> self.sub_x, 32 >> self.sub_y
+        ccw, cch = size >> self.sub_x, size >> self.sub_y
         mr, mc = y // 4, x // 4
+        n4 = size // 4
         saves = [
-            self.rec[0][y : y + 32, x : x + 32].copy(),
+            self.rec[0][y : y + size, x : x + size].copy(),
             self.rec[1][cy : cy + cch, cx : cx + ccw].copy(),
             self.rec[2][cy : cy + cch, cx : cx + ccw].copy(),
-            self.mi_coded[mr : mr + 8, mc : mc + 8].copy(),
+            self.mi_coded[mr : mr + n4, mc : mc + n4].copy(),
         ]
 
         def restore():
-            self.rec[0][y : y + 32, x : x + 32] = saves[0]
+            self.rec[0][y : y + size, x : x + size] = saves[0]
             self.rec[1][cy : cy + cch, cx : cx + ccw] = saves[1]
             self.rec[2][cy : cy + cch, cx : cx + ccw] = saves[2]
-            self.mi_coded[mr : mr + 8, mc : mc + 8] = saves[3]
+            self.mi_coded[mr : mr + n4, mc : mc + n4] = saves[3]
 
-        dist_n, rate_n, info_n = self._analyze_block(x, y, 32, 32)
+        dist_n, rate_n, info_n = self._analyze_block(x, y, size, size)
         rate_n += self._sym_bits(cdf_row[:11], self.P_NONE)
         cost_none = dist_n + self._lam_for(x, y) * rate_n
         restore()
 
         dist_s, rate_s = 0.0, self._sym_bits(cdf_row[:11], self.P_SPLIT)
         infos = {}
-        for (dx, dy) in ((0, 0), (16, 0), (0, 16), (16, 16)):
-            d, r, info = self._analyze_block(x + dx, y + dy, 16, 16)
+        for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+            # recursive 16->8 exploration happens through _partition's own
+            # want_split consult; here each child is tried as a leaf
+            d, r, info = self._analyze_block(x + dx, y + dy, half, half)
             infos[(x + dx, y + dy)] = info
             dist_s += d
-            rate_s += r + 2.0  # 16-level partition NONE symbols ~2 bits
+            rate_s += r + 2.0  # child partition NONE symbols ~2 bits
         cost_split = dist_s + self._lam_for(x, y) * rate_s
         restore()
         if cost_split < cost_none:

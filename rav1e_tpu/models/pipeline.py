@@ -172,8 +172,12 @@ class FrameEncoder:
             fp.cdef_y_strengths = (fe.cdef_strengths[0],)
             fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
         if fe.lrf:
-            fp.frame_restoration_type = (1, 0, 0)  # SWITCHABLE luma, none chroma
+            # SWITCHABLE luma; chroma planes RESTORE_WIENER when engaged
+            fp.frame_restoration_type = tuple(getattr(fe, "lr_types",
+                                                      (1, 0, 0)))
             fp.lr_unit_shift = 0
+            fp.lr_uv_shift = 1 if any(
+                t for t in fp.frame_restoration_type[1:]) else 0
         out = temporal_delimiter()
         out += write_sequence_header_obu(self.seq)
         out += write_frame_obu(self.seq, fp, tile)
@@ -277,8 +281,12 @@ class FrameEncoder:
             fp.cdef_y_strengths = (fe.cdef_strengths[0],)
             fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
         if fe.lrf:
-            fp.frame_restoration_type = (1, 0, 0)
+            # SWITCHABLE luma; chroma planes RESTORE_WIENER when engaged
+            fp.frame_restoration_type = tuple(getattr(fe, "lr_types",
+                                                      (1, 0, 0)))
             fp.lr_unit_shift = 0
+            fp.lr_uv_shift = 1 if any(
+                t for t in fp.frame_restoration_type[1:]) else 0
         out = temporal_delimiter()
         out += write_frame_obu(self.seq, fp, tile)
         for s_ in range(8):

@@ -100,8 +100,9 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w):
         parts = [
             y_out.astype(jnp.uint8).ravel(), u_out.astype(jnp.uint8).ravel(),
             v_out.astype(jnp.uint8).ravel(),
-            # deblocked luma for the host (LR stripe boundaries)
+            # deblocked planes for the host (LR stripe boundaries)
             dbY.astype(jnp.uint8).ravel(),
+            dbU.astype(jnp.uint8).ravel(), dbV.astype(jnp.uint8).ravel(),
             yb.astype(jnp.uint8).reshape(1),
             uvb.astype(jnp.uint8).reshape(1)]
         return jnp.concatenate(parts), dbY16, y_out
@@ -168,15 +169,22 @@ def filter_chain_device(fe):
     o = nY + 2 * nC
     db_y = out[o : o + nY].reshape(h, w)
     o += nY
+    db_u = out[o : o + nC].reshape(ch, cw)
+    o += nC
+    db_v = out[o : o + nC].reshape(ch, cw)
+    o += nC
     fe._chain_restored = None
     fe._chain_taps = None
     if fe.lrf:
         # LR stripe boundaries read the pre-CDEF (deblocked) rows; the
         # Wiener trial itself stays a separate device call overlapped
         # with host work (measured faster than folding it in here)
-        full = np.array(fe.rec[0])
-        full[:h, :w] = db_y
-        fe._deblock_copy = [full, fe.rec[1], fe.rec[2]]
+        copies = []
+        for plane, db in ((0, db_y), (1, db_u), (2, db_v)):
+            full = np.array(fe.rec[plane])
+            full[: db.shape[0], : db.shape[1]] = db
+            copies.append(full)
+        fe._deblock_copy = copies
     if fe.cdef_damping:
         yb, uvb = int(out[-2]), int(out[-1])
         from rav1e_tpu.ops.cdef_jax import Y_CANDIDATES, UV_CANDIDATES

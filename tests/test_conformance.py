@@ -222,3 +222,27 @@ def test_10bit_cdef_conformance():
     dec, _ = dav1d.Dav1dDecoder().decode_packet(data)
     for dp, rp in zip(dec, rec):
         assert np.array_equal(dp.astype(np.int32), rp)
+
+
+def test_8x8_partitions_speed2():
+    """Thorough speeds explore 16->8 splits (host RD); piecewise-flat 8px
+    patches force them.  Covers 8x8 luma + 4x4 chroma transforms and the
+    size-8 partition symbols."""
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+
+    rng = np.random.default_rng(3)
+    y = np.repeat(np.repeat(rng.integers(0, 256, (16, 16)), 8, 0), 8,
+                  1).astype(np.uint8)
+    u = np.full((64, 64), 120, np.uint8)
+    v = np.full((64, 64), 136, np.uint8)
+    fe = IntraFrameEncoder(128, 128, q_idx=100, speed=2)
+    tile, recon = fe.encode([y.astype(np.int32), u.astype(np.int32),
+                             v.astype(np.int32)])
+    seq = Sequence(width=128, height=128)
+    fp = FrameParams(base_q_idx=100, disable_cdf_update=False)
+    data = (temporal_delimiter() + write_sequence_header_obu(seq)
+            + write_frame_obu(seq, fp, tile))
+    dec, _ = dav1d.Dav1dDecoder().decode_packet(data)
+    for i in range(3):
+        assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
+    assert fe.stats.bsize_counts.get("8x8", 0) > 50, fe.stats.bsize_counts

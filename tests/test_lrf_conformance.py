@@ -158,3 +158,33 @@ def test_per_unit_wiener_taps_conform():
         run_clip(blurry_content(192, 128, 1, seed=3), q=140)
     finally:
         IntraFrameEncoder._lr_decide = orig
+
+
+def test_chroma_lr_engages_and_conforms():
+    """Chroma restoration (RESTORE_WIENER planes, lr_uv_shift=1): noisy
+    chroma must engage per-unit chroma Wiener and decode bit-exactly."""
+    import numpy as np
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+
+    rng = np.random.default_rng(7)
+    w, h, n = 192, 128, 1
+    yy, xx = np.mgrid[0 : h, 0 : w]
+    base = (128 + 70 * np.sin(xx / 15.0) * np.cos(yy / 21.0)).astype(np.int32)
+    y = np.clip(base + rng.integers(-8, 8, (h, w)), 0, 255).astype(np.uint8)
+    cb = (120 + 50 * np.sin(xx[::2, ::2] / 9.0)).astype(np.int32)
+    u = np.clip(cb + rng.integers(-14, 14, (h // 2, w // 2)), 0, 255).astype(np.uint8)
+    v = np.clip(255 - cb + rng.integers(-14, 14, (h // 2, w // 2)), 0, 255).astype(np.uint8)
+
+    engaged = []
+    orig = IntraFrameEncoder._lr_decide_chroma
+
+    def probe(self):
+        orig(self)
+        engaged.append(tuple(self.lr_types))
+
+    IntraFrameEncoder._lr_decide_chroma = probe
+    try:
+        run_clip([(y, u, v)], q=160)
+    finally:
+        IntraFrameEncoder._lr_decide_chroma = orig
+    assert any(t[1] == 2 or t[2] == 2 for t in engaged), engaged
