@@ -91,6 +91,7 @@ class EncoderConfig:
     low_latency: bool = False
     error_resilient: bool = False
     rdo_lookahead_frames: int = 40
+    reservoir_frame_delay: int = 24  # bit-reservoir horizon (frames)
     # two-pass: pass-1 stats blob (summary + per-frame records) for pass 2
     rc_stats: bytes | None = None
     speed_settings: SpeedSettings = field(

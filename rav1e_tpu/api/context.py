@@ -194,6 +194,7 @@ class Context:
                     bit_depth=self.enc.bit_depth,
                     target_bitrate=self.enc.bitrate,
                     fps=den / num,
+                    reservoir_frame_delay=self.enc.reservoir_frame_delay,
                     min_q=max(1, self.enc.min_quantizer),
                 )
             else:
@@ -321,7 +322,10 @@ class Context:
             record(alt_no, data, q)
             enc.base_slot = alt_slot
         else:
-            q_alt = max(1, q0 - 6)
+            from rav1e_tpu.api.rate import RCState as _RC
+
+            q_alt, q_mid_v, q_leaf_v = _RC.group_qis(
+                q0, max(1, self.enc.min_quantizer), 255)
             data = enc.encode_inter(alt_frame, q_alt, alt_no, {mvp.LAST_FRAME: base},
                                     show_frame=False, refresh_flags=1 << alt_slot,
                                     imp_scale=imp_scales[n - 1])
@@ -330,7 +334,7 @@ class Context:
             mid_i = (n - 1) // 2 if n >= 3 else None
             if mid_i is not None:
                 mid_no, mid_frame = group[mid_i]
-                q_mid = max(1, q0 - 3)
+                q_mid = q_mid_v
                 data = enc.encode_inter(
                     mid_frame, q_mid, mid_no,
                     {mvp.LAST_FRAME: base, mvp.ALTREF_FRAME: alt_slot},
@@ -338,7 +342,7 @@ class Context:
                     imp_scale=imp_scales[mid_i])
                 emit(mid_no, data, False)
                 record(mid_no, data, q_mid)
-            q_leaf = min(255, q0 + 3)
+            q_leaf = q_leaf_v
             for i in range(n - 1):
                 frameno, frame = group[i]
                 if mid_i is not None and i == mid_i:

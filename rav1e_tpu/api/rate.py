@@ -101,6 +101,26 @@ class RCState:
             self._qi[other] += 0.3 * delta
             self._qi[other] = float(np.clip(self._qi[other], self.min_q, self.max_q))
 
+    # -- pyramid quantizers ---------------------------------------------------
+
+    # per-level qstep offsets in octaves around the group base selection
+    # (reference analog: the per-pyramid-level quantizer derivation in
+    # src/rate.rs select_qi; deeper references get finer quantizers)
+    PYR_ALT_OCT = -0.18
+    PYR_MID_OCT = -0.09
+    PYR_LEAF_OCT = 0.09
+
+    @classmethod
+    def group_qis(cls, q0: int, min_q: int = 1, max_q: int = 255) -> tuple:
+        """(q_alt, q_mid, q_leaf) for a pyramid sub-GOP coded around base
+        selection q0, spaced in octaves on the qstep curve rather than
+        fixed qi deltas (so the ladder scales with the operating point)."""
+        def at(oct_):
+            return int(np.clip(round(q0 + oct_ * cls.QI_PER_OCTAVE),
+                               min_q, max_q))
+
+        return at(cls.PYR_ALT_OCT), at(cls.PYR_MID_OCT), at(cls.PYR_LEAF_OCT)
+
     def update_group(self, frame_type: str, n: int, total_bits: int) -> None:
         """One controller step for an n-frame pyramid group coded around the
         group's base selection: the reservoir absorbs every frame, the

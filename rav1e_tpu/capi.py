@@ -78,7 +78,11 @@ def rav1e_config_parse(cfg: _CConfig, key: str, value: str) -> int:
             cfg.enc.tune = value
         elif key in ("width", "height", "quantizer", "min_quantizer",
                      "bitrate", "rdo_lookahead_frames", "tile_cols",
-                     "tile_rows", "tiles"):
+                     "tile_rows", "tiles", "reservoir_frame_delay",
+                     "key_frame_interval", "min_key_frame_interval",
+                     "switch_frame_interval"):
+            if key == "key_frame_interval":
+                key = "max_key_frame_interval"
             setattr(cfg.enc, key, int(value))
         else:
             return RA_ENCODER_STATUS_FAILURE
@@ -199,6 +203,46 @@ def rav1e_twopass_bytes_needed(ctx: _CContext) -> int:
     from rav1e_tpu.api.rate import FRAME_REC_SIZE, SUMMARY_SIZE
 
     return SUMMARY_SIZE + FRAME_REC_SIZE
+
+
+def rav1e_twopass_summary(ctx: _CContext) -> bytes:
+    """Pass-1 summary header (prepend to the concatenated twopass_out
+    records to form the pass-2 stats blob)."""
+    return ctx.ctx.twopass_summary()
+
+
+def rav1e_config_set_rc_summary(cfg, data: bytes) -> int:
+    """Install pass-1 stats for a pass-2 encode (validates the blob;
+    reference: rav1e_config_set_rc_summary + rc_send_pass_data)."""
+    from rav1e_tpu.api.rate import TwoPassError, parse_twopass
+
+    try:
+        parse_twopass(bytes(data))
+    except TwoPassError:
+        return RA_ENCODER_STATUS_FAILURE
+    cfg.enc.rc_stats = bytes(data)
+    return 0
+
+
+def rav1e_rc_summary_size() -> int:
+    from rav1e_tpu.api.rate import SUMMARY_SIZE
+
+    return SUMMARY_SIZE
+
+
+def rav1e_rc_send_pass_data(cfg, data: bytes) -> int:
+    return rav1e_config_set_rc_summary(cfg, data)
+
+
+def rav1e_rc_receive_pass_data(ctx: _CContext) -> bytes:
+    """Summary + all records accumulated so far (pass-1 side)."""
+    return ctx.ctx.twopass_summary() + ctx.ctx.twopass_out()
+
+
+def rav1e_rc_second_pass_data_required(ctx: _CContext) -> int:
+    """0 when the context already has its pass-1 stats (they are
+    installed whole via the config in this implementation)."""
+    return 0 if getattr(ctx.ctx.enc, "rc_stats", None) else 1
 
 
 def rav1e_version_short() -> str:

@@ -69,3 +69,45 @@ def test_capi_roundtrip():
     assert capi.rav1e_status_to_str(0) == "success"
     dec = dav1d.decode_stream([p.data for p in pkts])
     assert len(dec) == 3
+
+
+def test_capi_twopass_roundtrip():
+    """C-style two-pass surface: twopass_out/summary on pass 1,
+    set_rc_summary installing the blob for pass 2 (reference symbols:
+    rav1e_twopass_*, rav1e_rc_*)."""
+    from rav1e_tpu import capi
+
+    def mk(bitrate_stats=None):
+        cfg = capi.rav1e_config_default()
+        for k, v in (("width", "64"), ("height", "64"), ("bitrate", "150000"),
+                     ("low_latency", "1"), ("rdo_lookahead_frames", "1")):
+            assert capi.rav1e_config_parse(cfg, k, v) == 0
+        if bitrate_stats is not None:
+            assert capi.rav1e_config_set_rc_summary(cfg, bitrate_stats) == 0
+        return cfg, capi.rav1e_context_new(cfg)
+
+    cfg1, ctx1 = mk()
+    assert capi.rav1e_rc_second_pass_data_required(ctx1) == 1
+    for f in _frames(4):
+        capi.rav1e_send_frame(ctx1, f)
+        while capi.rav1e_receive_packet(ctx1)[0] == 0:
+            pass
+    stats = capi.rav1e_rc_receive_pass_data(ctx1)
+    assert len(stats) > capi.rav1e_rc_summary_size()
+    # corrupt stats must be rejected at install time
+    bad_cfg = capi.rav1e_config_default()
+    assert capi.rav1e_config_set_rc_summary(bad_cfg, b"XX" + stats[2:]) != 0
+    cfg2, ctx2 = mk(stats)
+    assert capi.rav1e_rc_second_pass_data_required(ctx2) == 0
+    n = 0
+    for f in _frames(4):
+        capi.rav1e_send_frame(ctx2, f)
+        while True:
+            st, pkt = capi.rav1e_receive_packet(ctx2)
+            if st != 0:
+                break
+            n += 1
+    capi.rav1e_send_frame(ctx2, None)
+    while capi.rav1e_receive_packet(ctx2)[0] == 0:
+        n += 1
+    assert n == 4
