@@ -29,7 +29,8 @@ int msac_encode_txb(MsacEnc *e, const int32_t *levels, int w, int h,
                     int tx_type_ns);
 void fdct_quant(const int32_t *resid, int w, int h, const double *Fv,
                 const double *FhT, double scale, int dc_q, int ac_q, int shift,
-                int bias_num, int bd, int32_t *levels_out, int32_t *dq_out);
+                int bias_num, int bd, int32_t *levels_out, int32_t *dq_out,
+                double thr1);
 void inv_txfm(const int32_t *coeffs, int w, int h, int tx_type, int bd,
               int32_t *out);
 }
@@ -539,14 +540,14 @@ int encode_intra_block(
     const int shift_y = (bw * bh > 256 ? 1 : 0) + (bw * bh > 1024 ? 1 : 0);
     int tt = 0;
     fdct_quant(res, bw, bh, fy_v, fy_h, fy_s, dc_q, ac_q, shift_y, 13, bd,
-               lv_y, dq_y);
+               lv_y, dq_y, 0.0);
     if (tx_search && (bw > bh ? bw : bh) <= 16 && q_nonzero) {
         double best = -1.0;
         for (int cand = 0; cand < 2; cand++) {
             const int32_t *lv = lv_y, *dq = dq_y;
             if (cand) {
                 fdct_quant(res, bw, bh, fya_v, fya_h, fya_s, dc_q, ac_q,
-                           shift_y, 13, bd, lv_t, dq_t);
+                           shift_y, 13, bd, lv_t, dq_t, 0.0);
                 lv = lv_t;
                 dq = dq_t;
             }
@@ -593,7 +594,7 @@ int encode_intra_block(
         for (int c = 0; c < cw; c++)
             res_u[r * cw + c] =
                 src_u[(int64_t)(cy + r) * stride_c + cx + c] - pred_u[r * cw + c];
-    fdct_quant(res_u, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u);
+    fdct_quant(res_u, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u, 0.0);
     build_edges(rec_v, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
                 above, left);
     predict(P, DC_PRED, 0, above, left, cw, ch, ha, hl, bd, pred_v);
@@ -601,7 +602,7 @@ int encode_intra_block(
         for (int c = 0; c < cw; c++)
             res_v[r * cw + c] =
                 src_v[(int64_t)(cy + r) * stride_c + cx + c] - pred_v[r * cw + c];
-    fdct_quant(res_v, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v);
+    fdct_quant(res_v, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v, 0.0);
 
     // ---- CFL decision (intra_frame.py _decide_chroma mirror) ----
     int au = 0, av = 0;
@@ -687,7 +688,7 @@ int encode_intra_block(
                     res_c[r * cw + c] = sp[(int64_t)(cy + r) * stride_c + cx + c]
                                         - cand_p[pi][r * cw + c];
             fdct_quant(res_c, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd,
-                       cand_l[pi], cand_q[pi]);
+                       cand_l[pi], cand_q[pi], 0.0);
             cost_cfl += plane_cost(res_c, cand_l[pi], cand_q[pi]);
             alphas[pi] = alpha;
         }

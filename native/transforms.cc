@@ -561,10 +561,16 @@ void inv_txfm(const int32_t *coeffs, int w, int h, int tx_type, int bit_depth,
 // ops.quantize_np (deadzone bias_num/32, normative dequant).
 // ---------------------------------------------------------------------------
 
+// thr1: RD coefficient-thinning threshold in the shifted coefficient
+// domain (|c|<<shift units).  AC coefficients that quantize to +-1 with
+// magnitude below thr1 are zeroed: the distortion saved by coding them
+// (~q*(2|x|-q) in x^2 units) is not worth the coefficient rate.  0 keeps
+// every level (legacy deadzone-only behaviour).
 extern "C" void fdct_quant(const int32_t *resid, int w, int h,
                            const double *Fv, const double *FhT, double scale,
                            int dc_q, int ac_q, int shift, int bias_num,
-                           int bd, int32_t *levels_out, int32_t *dq_out) {
+                           int bd, int32_t *levels_out, int32_t *dq_out,
+                           double thr1) {
     // tmp = Fv (h x h) @ resid (h x w).  ikj loop order: the inner j loop
     // is contiguous (auto-vectorizes); per-element accumulation order over
     // k is unchanged, so results are bit-identical to the naive form.
@@ -599,6 +605,8 @@ extern "C" void fdct_quant(const int32_t *resid, int w, int h,
             int64_t bias = (q * bias_num) >> 5;
             int64_t level = (mag + bias) / q;
             if (level > 32767) level = 32767;
+            if (level == 1 && !(i == 0 && j == 0) && (double)mag < thr1)
+                level = 0;
             int64_t slevel = x < 0 ? -level : level;
             levels_out[(size_t)i * w + j] = (int32_t)slevel;
             int64_t dmag = (level * q) & 0xFFFFFF;

@@ -114,6 +114,7 @@ class InterFrameEncoder(IntraFrameEncoder):
 
     def _pre_encode(self) -> None:
         self.grid = mvp.MiGrid(self.mi_rows, self.mi_cols)
+        self._m64 = {}  # (x, y) -> cached merge-to-64 decision
         # device (TPU) hierarchical full-search ME maps, one per reference
         self._me_maps = {}
         if self.out_w * self.out_h >= 320 * 240:
@@ -161,17 +162,35 @@ class InterFrameEncoder(IntraFrameEncoder):
         )
         return mc.avg_compound(p0, p1, self.bd)
 
+    def _thin_thr1(self, tw: int, th: int) -> float:
+        """RD threshold for level-1 AC coefficient thinning, in the shifted
+        coefficient domain: keep a +-1 only when the distortion it removes
+        (alpha*q*(2|x|-q) in pixel SSE) beats its rate cost lam*r.  Inter
+        residuals are dominated by noise/quant-error; coding those +-1s is
+        the main bit bloat vs the reference (src/quantize.rs deadzone +
+        rdo skip modelling)."""
+        alpha = tf.tx_alpha(min(tw, 32), min(th, 32), self.bd)
+        q = float(self.ac_q)
+        r = self._thin_rate_bits
+        return (self.lam * r / (alpha * q) + q) / 2.0
+
     def _code_inter_tx(self, plane, px, py, tw, th, pred):
         src = self.src[plane][py : py + th, px : px + tw]
         resid = (src - pred).astype(np.int32)
+        thr1 = self._thin_thr1(tw, th)
         if max(tw, th) <= 32:
             return tf.fdct_quant_native(resid, tf.DCT_DCT, self.dc_q,
-                                        self.ac_q, self.bd)
+                                        self.ac_q, self.bd, thr1=thr1)
         coeffs = tf.forward_transform(resid, tf.DCT_DCT, self.bd)
         we, he = min(tw, 32), min(th, 32)
         coeffs[he:, :] = 0
         coeffs[:, we:] = 0
         levels = qz.quantize(coeffs, self.dc_q, self.ac_q, tw, th)
+        shift = qz.tx_scale(tw, th)
+        mag = np.abs(coeffs.astype(np.int64)) << shift
+        drop = (np.abs(levels) == 1) & (mag < thr1)
+        drop.flat[0] = False
+        levels = np.where(drop, 0, levels)
         dq = qz.dequantize(levels, self.dc_q, self.ac_q, tw, th, self.bd)
         return levels[:he, :we], dq
 
@@ -240,9 +259,100 @@ class InterFrameEncoder(IntraFrameEncoder):
 
     # -- block coding --------------------------------------------------------
 
+    # bit-overhead estimates for the merge-to-64 RD compare: per-block
+    # mode-info cost (skip + is_inter + mode + ref + drl) and the partition
+    # signaling a split adds
+    _B64_BLOCK_BITS = 11.0
+    _B64_SPLIT_BITS = 4.0
+
+    def _merge64_ok(self, x: int, y: int, has_rows: bool,
+                    has_cols: bool) -> bool:
+        """RD-decide whether the whole 64x64 SB codes better as ONE inter
+        block than as the forced 32x32 split.  The trial shares one
+        motion-compensated prediction: cost64 = dist + lam*(txb rate +
+        one block's mode-info bits) vs the split proxy = per-quadrant
+        32-tx dist/rate off the same prediction + 4 blocks' mode-info and
+        partition bits.  A quadrant whose own device-ME motion materially
+        beats the shared MV vetoes the merge (a real split would recover
+        it).  Reference: encode_partition_topdown trying BLOCK_64X64
+        before SPLIT in src/encoder.rs / rdo_partition_decision."""
+        if not (has_rows and has_cols):
+            return False
+        tile = (self.ty0 // 4, self.tx0 // 4,
+                min(self.ty1, self.mi_rows * 4) // 4,
+                min(self.tx1, self.mi_cols * 4) // 4)
+        dec = self._decide_inter(x, y, 64, 64, tile)
+        rid, mode, mv, idx, res = dec
+        if mode is None:
+            return False
+        comp = isinstance(rid, tuple)
+        if comp:
+            pred_y = self._mc_pred_comp(rid, 0, x, y, 64, 64, mv)
+        else:
+            pred_y = self._mc_pred(rid, 0, x, y, 64, 64, mv)
+        src = self.src[0][y : y + 64, x : x + 64].astype(np.int64)
+        # quadrant motion veto (single-ref only: the device map is per-ref)
+        if not comp and self._me_maps.get(rid) is not None:
+            m = self._me_maps[rid]
+            for qy in (0, 32):
+                for qx in (0, 32):
+                    r0 = min((y + qy) // 32, m.shape[0] - 1)
+                    c0 = min((x + qx) // 32, m.shape[1] - 1)
+                    own = (int(m[r0][c0][0]), int(m[r0][c0][1]))
+                    if own == mv:
+                        continue
+                    pq = pred_y[qy : qy + 32, qx : qx + 32]
+                    sq = src[qy : qy + 32, qx : qx + 32]
+                    sad_shared = int(np.abs(sq - pq).sum())
+                    sad_own = self._sad(rid, x + qx, y + qy, 32, 32, own)
+                    if sad_own * 8 < sad_shared * 7 - 512:
+                        return False
+        # 64-tx trial
+        lv_y, dq_y = self._code_inter_tx(0, x, y, 64, 64, pred_y)
+        lim = (1 << self.bd) - 1
+        if lv_y.any():
+            resid64 = tf.inverse_transform_native(dq_y, tf.DCT_DCT, self.bd)
+            coded = np.clip(pred_y + resid64, 0, lim)
+            rate64 = self._trial_rate_txb(0, x, y, 64, 64, lv_y, 0)
+        else:
+            coded = pred_y
+            rate64 = 1.0
+        d64 = coded - src
+        cost64 = float((d64 * d64).sum()) + self.lam * (
+            rate64 + self._B64_BLOCK_BITS)
+        # split proxy: 32-tx per quadrant off the same prediction
+        cost_split = self.lam * (4 * self._B64_BLOCK_BITS
+                                 + self._B64_SPLIT_BITS)
+        for qy in (0, 32):
+            for qx in (0, 32):
+                pq = pred_y[qy : qy + 32, qx : qx + 32].astype(np.int32)
+                lv, dq = self._code_inter_tx(0, x + qx, y + qy, 32, 32, pq)
+                sq = src[qy : qy + 32, qx : qx + 32]
+                if lv.any():
+                    r32 = tf.inverse_transform_native(dq, tf.DCT_DCT, self.bd)
+                    cq = np.clip(pq + r32, 0, lim)
+                    cost_split += self.lam * self._trial_rate_txb(
+                        0, x + qx, y + qy, 32, 32, lv, 0)
+                else:
+                    cq = pq
+                dq_ = cq - sq
+                cost_split += float((dq_ * dq_).sum())
+                if cost_split >= cost64:
+                    break
+            if cost_split >= cost64:
+                break
+        if cost64 > cost_split:
+            return False
+        self._m64[(x, y)] = dec
+        return True
+
     def _decide_inter(self, x, y, bw, bh, tile):
         """Pick (rid, ymode, mv, ref_mv_idx, stack_res) for the block over
         every available reference; rid None means intra."""
+        if bw == 64:
+            cached = self._m64.pop((x, y), None)
+            if cached is not None:
+                return cached
         mr, mc_ = y // 4, x // 4
         best = None  # (cost, rid, mode, mv, idx, res)
         singles = {}  # rid -> (mv_me, sad_me) for compound reuse
@@ -572,9 +682,11 @@ class InterFrameEncoder(IntraFrameEncoder):
         tctx = self._txb_skip_ctx(plane, px, py, tw, th)
         dctx = self._dc_sign_ctx(plane, px, py, tw, th)
         tx_type_row = None
-        if plane == 0 and self.q > 0:
+        if plane == 0 and self.q > 0 and max(tw, th) <= 32:
             # inter + reduced_tx_set: EXT_TX_SET_DCT_IDTX {IDTX, DCT}; we
-            # always pick DCT_DCT = symbol 1, cdf indexed by square-size class
+            # always pick DCT_DCT = symbol 1, cdf indexed by square-size
+            # class.  64-dim transforms are EXT_TX_SET_DCTONLY: the decoder
+            # reads no tx_type symbol (spec compute_tx_type).
             txsqr = min(3, int(np.log2(min(tw, th))) - 2)
             tx_type_row = self.cdf.inter_tx_type_set3[txsqr]
         cul, dc_cat = self.enc.encode_txb(

@@ -121,9 +121,17 @@ class IntraFrameEncoder:
         self.speed = speed
         self.dc_q = qz.dc_q(q_idx, 0, bit_depth)
         self.ac_q = qz.ac_q(q_idx, 0, bit_depth)
-        # RD lambda (SSE per bit); HEVC-style 0.06 * step^2 with the AV1
-        # quantizer step ~ ac_q/8 in pixel units
-        self.lam = 0.06 * (self.ac_q / 8.0) ** 2
+        # RD lambda (SSE per bit) with the AV1 quantizer step ~ dc_q/8 in
+        # pixel units.  Multiplier follows the reference (src/rate.rs
+        # QuantizerParameters: lambda = ln2/6 * qstep^2); overridable for
+        # calibration experiments via RAV1E_TPU_LAMBDA_MULT.
+        import os as _os
+        _lm = float(_os.environ.get("RAV1E_TPU_LAMBDA_MULT", "0.1155"))
+        self.lam = _lm * (self.dc_q / 8.0) ** 2
+        # approximate bits a lone +-1 AC coefficient costs (sign + base +
+        # scan-position overhead); drives RD coefficient thinning
+        self._thin_rate_bits = float(
+            _os.environ.get("RAV1E_TPU_THIN_RATE", "4.0"))
         # per-feature toggles: honor an explicit SpeedSettings when given
         # (reference: speedsettings.rs fields), else derive from the preset
         ss = speed_settings
@@ -302,7 +310,8 @@ class IntraFrameEncoder:
                 qi = int(np.clip(self.q + d, 1, 255))
                 self._seg_q.append((qz.dc_q(qi, 0, self.bd),
                                     qz.ac_q(qi, 0, self.bd)))
-                self._seg_lam.append(0.06 * (self._seg_q[-1][1] / 8.0) ** 2)
+                self._seg_lam.append(
+                    self.lam * (self._seg_q[-1][0] / self.dc_q) ** 2)
             self._lam_map = None  # the segment lambdas subsume activity AQ
 
         from rav1e_tpu.ops.deblock_np import DeblockInfo
@@ -1241,7 +1250,11 @@ class IntraFrameEncoder:
         nsyms = 4 if size == 8 else 10
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
         if size > 32:
-            want_split = True  # 64 always splits to 32 (64x64 tx later)
+            # 64x64 leaves: subclasses may claim the whole SB as one block
+            # (inter merge-to-64; reference: rdo_partition_decision walking
+            # up to BLOCK_64X64 in src/rdo.rs)
+            want_split = not (size == 64
+                              and self._merge64_ok(x, y, has_rows, has_cols))
         elif size == 32 and self.rdo_partition and has_rows and has_cols:
             if self._rd_maps is not None:
                 want_split = bool(self._rd_maps["split32"][y // 32][x // 32])
@@ -1296,6 +1309,13 @@ class IntraFrameEncoder:
         n4 = size // 4
         self.above_part[x // 4 : min(x // 4 + n4, self.mi_cols)] = ab
         self.left_part[y // 4 : min(y // 4 + n4, self.mi_rows)] = lf
+
+    def _merge64_ok(self, x: int, y: int, has_rows: bool,
+                    has_cols: bool) -> bool:
+        """Hook: return True to code the 64x64 region as ONE block instead
+        of splitting.  Base intra encoder never merges (the wavefront/device
+        analysis operates on the 32x32 grid)."""
+        return False
 
     # -- RD partition decision -------------------------------------------------
 

@@ -577,11 +577,43 @@ def forward_transform(residual: np.ndarray, tx_type: int, bit_depth: int = 8) ->
 _FQ_CACHE: dict = {}
 
 
+_TX_ALPHA_CACHE: dict = {}
+
+
+def tx_alpha(w: int, h: int, bit_depth: int = 8) -> float:
+    """Pixel-SSE per unit of squared shifted-coefficient error for a (w, h)
+    transform: pixel_sse ~= alpha * sum((dx)^2) where dx is measured in the
+    |c|<<tx_scale domain the quantizer compares against.  Calibrated once
+    per size by random probing of the normative inverse transform."""
+    key = (w, h)
+    a = _TX_ALPHA_CACHE.get(key)
+    if a is None:
+        from rav1e_tpu.ops.quantize_np import tx_scale
+
+        rng = np.random.default_rng(1234)
+        num = 0.0
+        den = 0.0
+        for _ in range(4):
+            c = rng.integers(-64, 65, size=(h, w)).astype(np.int32)
+            px = inverse_transform_native(c, DCT_DCT, bit_depth).astype(np.float64)
+            num += float((px * px).sum())
+            den += float((c.astype(np.float64) ** 2).sum())
+        a = (num / den) / float(4 ** tx_scale(w, h))
+        _TX_ALPHA_CACHE[key] = a
+    return a
+
+
 def fdct_quant_native(resid: np.ndarray, tx_type: int, dc_q: int, ac_q: int,
-                      bit_depth: int = 8, bias_num: int = 13):
+                      bit_depth: int = 8, bias_num: int = 13,
+                      thr1: float = 0.0):
     """Fused forward transform + quantize + dequantize via native/transforms.cc.
     Returns (levels, dq) int32 (h, w); exact match of forward_transform +
-    quantize_np.quantize/dequantize for tx dims <= 32."""
+    quantize_np.quantize/dequantize for tx dims <= 32.
+
+    thr1 > 0 enables RD coefficient thinning: AC levels of +-1 whose
+    shifted coefficient magnitude is below thr1 are zeroed (noise not
+    worth its rate; reference analog: deadzone tuning in src/quantize.rs
+    and libaom's optimize_txb)."""
     import ctypes
 
     h, w = resid.shape
@@ -591,6 +623,12 @@ def fdct_quant_native(resid: np.ndarray, tx_type: int, dc_q: int, ac_q: int,
 
         coeffs = forward_transform(resid, tx_type, bit_depth)
         levels = qz.quantize(coeffs, dc_q, ac_q, w, h)
+        if thr1 > 0.0:
+            shift = qz.tx_scale(w, h)
+            mag = np.abs(coeffs.astype(np.int64)) << shift
+            drop = (np.abs(levels) == 1) & (mag < thr1)
+            drop.flat[0] = False
+            levels = np.where(drop, 0, levels)
         return levels, qz.dequantize(levels, dc_q, ac_q, w, h, bit_depth)
     lib = nat[0]
     key = (tx_type, w, h)
@@ -616,6 +654,7 @@ def fdct_quant_native(resid: np.ndarray, tx_type: int, dc_q: int, ac_q: int,
         ctypes.c_void_p(Fv.ctypes.data), ctypes.c_void_p(FhT.ctypes.data),
         ctypes.c_double(scale), dc_q, ac_q, shift, bias_num, bit_depth,
         ctypes.c_void_p(levels.ctypes.data), ctypes.c_void_p(dq.ctypes.data),
+        ctypes.c_double(thr1),
     )
     return levels, dq
 
@@ -642,7 +681,7 @@ def _native_inv():
             lib.fdct_quant.argtypes = [
                 vp, ctypes.c_int, ctypes.c_int, vp, vp, ctypes.c_double,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, vp, vp,
+                ctypes.c_int, vp, vp, ctypes.c_double,
             ]
             _NATIVE_INV = (lib, p32)
         except Exception:
