@@ -931,7 +931,11 @@ class IntraFrameEncoder:
             htc = (0, int(htc[1]), int(htc[2]))
             if vtc == (0, 0, 0) and htc == (0, 0, 0):
                 continue
-            restored = lr.wiener_filter_frame(
+            # device Wiener (bit-exact; host fallback inside) — the host
+            # frame filter costs ~1.6s/plane at 1080p chroma on one vCPU
+            from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
+
+            restored = wiener_filter_frame_device(
                 cdef_c[:ch, :cw], db_c[:ch, :cw], vtc, htc, unit_c,
                 self.bd, cw, ch)
             d2_base = (cdef_c[:ch, :cw].astype(np.int64) - src_i) ** 2
