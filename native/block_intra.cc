@@ -19,6 +19,7 @@ struct MsacEnc;  // opaque (msac.cc)
 extern "C" {
 void msac_symbol(MsacEnc *e, uint16_t *icdf, int nsyms, int val, int adapt);
 void msac_bool(MsacEnc *e, int bit, unsigned f);
+void msac_literal(MsacEnc *e, unsigned value, int bits);
 int msac_encode_txb(MsacEnc *e, const int32_t *levels, int w, int h,
                     const int32_t *scan, int plane_type, int tx_class,
                     int txb_skip_ctx, int dc_sign_ctx, uint16_t *txb_skip_row,
@@ -310,7 +311,8 @@ int code_block_symbols(
     bool ha, bool hl,
     int32_t *above_mode, int32_t *left_mode,
     int32_t *above_skip, int32_t *left_skip,
-    const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero)
+    const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero,
+    int cdef_bits, int cdef_idx)
 {
     const int cx = x >> 1, cy = y >> 1, cw = bw >> 1, ch = bh >> 1;
     const int mc = x / 4, mr = y / 4;
@@ -323,6 +325,10 @@ int code_block_symbols(
     if (seg_nsyms > 0 && !skip)
         msac_symbol(enc, P.c[R_SEG_ID] + (int64_t)seg_ctx * 9, seg_nsyms,
                     seg_symv, adapt);
+    // cdef_idx literal at the first non-skip block of the 64x64 unit
+    // (spec read_cdef: after skip/segment, before the mode symbols)
+    if (cdef_bits > 0 && cdef_idx >= 0 && !skip)
+        msac_literal(enc, (unsigned)cdef_idx, cdef_bits);
 
     int actx = ha ? INTRA_MODE_CTX[above_mode[mc]] : 0;
     int lctx = hl ? INTRA_MODE_CTX[left_mode[mr]] : 0;
@@ -757,7 +763,7 @@ int encode_intra_block(
                            y_delta, seg_symv, seg_ctx, seg_nsyms,
                            lv_y, lv_u, lv_v, scan_y, scan_c, ha, hl,
                            above_mode, left_mode, above_skip, left_skip,
-                           pctx, mi_cols, mi_rows, adapt, q_nonzero);
+                           pctx, mi_cols, mi_rows, adapt, q_nonzero, 0, -1);
         if (skip) {
             memset(dq_u, 0, sizeof(int32_t) * cw * ch);
             memset(dq_v, 0, sizeof(int32_t) * cw * ch);
@@ -823,7 +829,7 @@ int replay_one(BlockCache *bc, MsacEnc *enc, const Ptrs &P,
                int32_t *above_mode, int32_t *left_mode,
                int32_t *above_skip, int32_t *left_skip,
                const uint64_t *pctx, int mi_cols, int mi_rows, int adapt,
-               int q_nonzero) {
+               int q_nonzero, int cdef_bits, int *cdef_pending, int cdef_idx) {
     if (bc->cursor + 14 > bc->buf.size()) return -1;
     const int32_t *hd = &bc->buf[bc->cursor];
     if (hd[0] != x || hd[1] != y || hd[2] != bw || hd[3] != bh) return -1;
@@ -842,12 +848,18 @@ int replay_one(BlockCache *bc, MsacEnc *enc, const Ptrs &P,
     auto lg = [](int d) { return d >= 32 ? 3 : d >= 16 ? 2 : d >= 8 ? 1 : 0; };
     const int32_t *scan_y = (const int32_t *)scans[lg(bw) * 4 + lg(bh)];
     const int32_t *scan_c = (const int32_t *)scans[lg(cw) * 4 + lg(ch)];
+    int clit = -1;
+    if (!skip && cdef_bits > 0 && cdef_pending && *cdef_pending) {
+        clit = cdef_idx;
+        *cdef_pending = 0;
+    }
     return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
                               y_delta, seg_symv, seg_ctx, seg_nsyms,
                               lv_y, lv_u, lv_v, scan_y, scan_c,
                               (hal >> 1) != 0, (hal & 1) != 0,
                               above_mode, left_mode, above_skip, left_skip,
-                              pctx, mi_cols, mi_rows, adapt, q_nonzero);
+                              pctx, mi_cols, mi_rows, adapt, q_nonzero,
+                              cdef_bits, clit);
 }
 
 // partition context bytes per (bw, bh): intra_frame._PART_CTX_RECT
@@ -872,6 +884,7 @@ struct SbWalk {
     int rdo_partition;
     int mi_cols, mi_rows, adapt, q_nonzero;
     int tx0, ty0, tx1, ty1;
+    int cdef_bits = 0, cdef_pending = 0, cdef_idx = -1;
     int err = 0;
 
     void gather_bool(int bit, const uint16_t *row, const int *pset, int nset,
@@ -892,7 +905,8 @@ struct SbWalk {
         if (err) return;
         int r = replay_one(bc, enc, *P, x, y, bw, bh, scans, above_mode,
                            left_mode, above_skip, left_skip, pctx, mi_cols,
-                           mi_rows, adapt, q_nonzero);
+                           mi_rows, adapt, q_nonzero,
+                           cdef_bits, &cdef_pending, cdef_idx);
         if (r < 0) err = 1;
     }
 
@@ -970,7 +984,8 @@ int encode_sb_cached(
     int32_t *above_mode, int32_t *left_mode,
     int32_t *above_skip, int32_t *left_skip,
     const uint64_t *pctx, uint16_t *part_cdf,
-    const uint8_t *split32, int split_stride, int rdo_partition)
+    const uint8_t *split32, int split_stride, int rdo_partition,
+    int cdef_bits, int cdef_idx)
 {
     Ptrs P;
     for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
@@ -1000,6 +1015,9 @@ int encode_sb_cached(
     w.ty0 = ty0;
     w.tx1 = tx1;
     w.ty1 = ty1;
+    w.cdef_bits = cdef_bits;
+    w.cdef_pending = cdef_bits > 0 && cdef_idx >= 0 ? 1 : 0;
+    w.cdef_idx = cdef_idx;
     w.partition(sb_x, sb_y, 64);
     return w.err ? -1 : 0;
 }
@@ -1012,7 +1030,8 @@ int encode_cached_block(
     const int32_t *scan_y, const int32_t *scan_c,
     int32_t *above_mode, int32_t *left_mode,
     int32_t *above_skip, int32_t *left_skip,
-    const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero)
+    const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero,
+    int cdef_bits, int cdef_idx)
 {
     BlockCache *bc = (BlockCache *)c;
     if (bc->cursor + 14 > bc->buf.size()) return -1;
@@ -1039,7 +1058,8 @@ int encode_cached_block(
                               lv_y, lv_u, lv_v, scan_y, scan_c,
                               (hal >> 1) != 0, (hal & 1) != 0,
                               above_mode, left_mode, above_skip, left_skip,
-                              pctx, mi_cols, mi_rows, adapt, q_nonzero);
+                              pctx, mi_cols, mi_rows, adapt, q_nonzero,
+                              cdef_bits, cdef_idx);
 }
 
 }  // extern "C"

@@ -79,6 +79,7 @@ def _configure():
     _lib.encode_cached_block.argtypes = [
         _vp, _vp, _vp, _ci, _ci, _ci, _ci,
         _vp, _vp, _vp, _vp, _vp, _vp, _vp, _ci, _ci, _ci, _ci,
+        _ci, _ci,                      # cdef_bits, cdef_idx
     ]
     _lib.encode_cached_block.restype = ctypes.c_int
     _lib.encode_sb_cached.argtypes = [
@@ -89,6 +90,7 @@ def _configure():
         _vp, _vp, _vp, _vp, _vp, _vp,  # above/left part/mode/skip
         _vp, _vp,                      # pctx, partition cdf
         _vp, _ci, _ci,                 # split map, stride, rdo_partition
+        _ci, _ci,                      # cdef_bits, cdef_idx
     ]
     _lib.encode_sb_cached.restype = ctypes.c_int
     _configured = True
@@ -201,9 +203,12 @@ class NativeBlockCoder:
             self._scans16_keep = keep
         return t
 
-    def replay_sb(self, sb_x: int, sb_y: int) -> None:
+    def replay_sb(self, sb_x: int, sb_y: int,
+                  cdef_bits: int = 0, cdef_idx: int = -1) -> None:
         """Replay a whole superblock (partition symbols + cached blocks)
-        through the C++ walk; raises on cache desync."""
+        through the C++ walk; raises on cache desync.  With cdef_bits > 0
+        the cdef_idx literal is written at the SB's first non-skip block
+        (spec read_cdef)."""
         fe = self.fe
         if fe.cdf is not self._cdf_obj:
             self._refresh_registry()
@@ -226,13 +231,16 @@ class NativeBlockCoder:
             self._pctx.ctypes.data, part.ctypes.data,
             split.ctypes.data, split.shape[1],
             1 if fe.rdo_partition else 0,
+            cdef_bits, cdef_idx,
         )
         if ret < 0:
             raise RuntimeError(
                 "block cache desync in SB (%d,%d)" % (sb_x, sb_y))
 
-    def replay_block(self, x: int, y: int, bw: int, bh: int) -> tuple:
-        """Code the next cached block's symbols (pass B)."""
+    def replay_block(self, x: int, y: int, bw: int, bh: int,
+                     cdef_bits: int = 0, cdef_idx: int = -1) -> tuple:
+        """Code the next cached block's symbols (pass B).  cdef_idx >= 0
+        writes the cdef_idx literal if this block is non-skip."""
         fe = self.fe
         if fe.cdf is not self._cdf_obj:
             self._refresh_registry()
@@ -246,6 +254,7 @@ class NativeBlockCoder:
             self._pctx.ctypes.data,
             fe.mi_cols, fe.mi_rows, 1 if fe.adapt else 0,
             1 if fe.q > 0 else 0,
+            cdef_bits, cdef_idx,
         )
         if ret < 0:
             raise RuntimeError("block cache desync at (%d,%d,%dx%d)" % (x, y, bw, bh))

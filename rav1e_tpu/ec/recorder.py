@@ -26,6 +26,12 @@ class RecordingEncoder:
         """Mark a superblock start (read_lr insertion point)."""
         self.ops.append(("anchor", sb_row, sb_col))
 
+    def cdef_anchor(self, sb_row: int, sb_col: int) -> None:
+        """Mark the read_cdef position (first non-skip block of a 64x64
+        unit); the replay writes the cdef_idx literal here when the frame
+        ends up with cdef_bits > 0."""
+        self.ops.append(("cdef", sb_row, sb_col))
+
     # -- Writer API (mirrors NativeMsacEncoder) -------------------------------
 
     def symbol(self, s: int, icdf) -> None:
@@ -58,14 +64,20 @@ class RecordingEncoder:
         dc_cat = 0 if dc == 0 else (1 if dc < 0 else 2)
         return cul, dc_cat
 
-    def replay(self, enc, cdf, lr_insert=None) -> None:
+    def replay(self, enc, cdf, lr_insert=None, cdef_insert=None) -> None:
         """Re-issue the recorded stream into a real encoder.  lr_insert:
-        optional callback(enc, sb_row, sb_col) run at each SB anchor."""
+        optional callback(enc, sb_row, sb_col) run at each SB anchor.
+        cdef_insert: optional callback(enc, sb_row, sb_col) run at each
+        read_cdef anchor (writes the cdef_idx literal, or nothing when the
+        frame settled on cdef_bits == 0)."""
         for op in self.ops:
             kind = op[0]
             if kind == "anchor":
                 if lr_insert is not None:
                     lr_insert(enc, op[1], op[2])
+            elif kind == "cdef":
+                if cdef_insert is not None:
+                    cdef_insert(enc, op[1], op[2])
             elif kind == "sym":
                 _, s, icdf, adapt = op
                 (enc.symbol_adapt if adapt else enc.symbol)(s, icdf)

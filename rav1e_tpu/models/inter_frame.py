@@ -534,6 +534,9 @@ class InterFrameEncoder(IntraFrameEncoder):
         # skip_mode_present == 0 -> no skip_mode symbol
         skip_ctx = int(self.above_skip[mc_] + self.left_skip[mr])
         sym(1 if skip else 0, self.cdf.skip[skip_ctx])
+        # read_cdef sits between skip and is_inter on inter frames
+        # (SegIdPreSkip == 0 and segmentation is intra-only here)
+        self._cdef_hook(x, y, skip)
 
         ii_ctx = mvp.intra_inter_ctx(self.grid, mr, mc_, tile=tile)
         sym(1 if is_inter else 0, self.cdf.intra_inter[ii_ctx])

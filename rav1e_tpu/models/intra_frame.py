@@ -28,6 +28,10 @@ _TBL = np.load(__file__.rsplit("/", 2)[0] + "/ops/av1_tables.npz")
 
 # partition context bytes (above, left) per block size, from the AV1 spec
 # (verified against the libaom binary's partition_context_lookup)
+# below this frame area the device CDEF search's upload overhead beats
+# its win over the sampled host search (patchable in tests)
+DEV_CDEF_MIN_AREA = 640 * 480
+
 _PART_CTX = {4: (31, 31), 8: (30, 30), 16: (28, 28), 32: (24, 24), 64: (16, 16)}
 _PART_CTX_RECT = {
     (4, 4): (31, 31), (4, 8): (31, 30), (8, 4): (30, 31), (8, 8): (30, 30),
@@ -101,6 +105,8 @@ class IntraFrameEncoder:
         self.lf_levels = tuple(lf_levels)
         self.lf_sharpness = lf_sharpness
         self.cdef_damping = cdef_damping  # 0: CDEF off; 3..6 per spec
+        self.cdef_sb = None  # (bits, y_codes, uv_codes, idx_map) per-SB CDEF
+        self._cdef_done = None  # per-SB "cdef_idx emitted" map (read_cdef)
         self.lrf = False  # loop restoration (Wiener, luma); set by pipeline
         self.use_native = use_native
         self.out_w = width
@@ -383,17 +389,21 @@ class IntraFrameEncoder:
             # LR stripe boundaries read the pre-CDEF (deblocked) rows
             self._deblock_copy = [p.copy() for p in self.rec]
         self.cdef_strengths = None
+        self.cdef_sb = None
         self._dev_db = self._dev_cdef = None
         if self.cdef_damping:
             res = None
-            if self.device_modes and self.coded_w * self.coded_h >= 640 * 480:
+            if (self.device_modes
+                    and self.coded_w * self.coded_h >= DEV_CDEF_MIN_AREA):
                 from rav1e_tpu.ops.cdef_jax import cdef_search_apply_device
 
                 res = cdef_search_apply_device(
                     self.rec, self.src, self.db_info.skip, self.cdef_damping,
-                    self.bd, self.coded_w, self.coded_h)
+                    self.bd, self.coded_w, self.coded_h,
+                    sb_lam=(self.lam if self.lrf else None))
             if res is not None:
-                self.cdef_strengths, (self._dev_db, self._dev_cdef) = res
+                (self.cdef_strengths, (self._dev_db, self._dev_cdef),
+                 self.cdef_sb) = res
             else:
                 self.cdef_strengths = self._cdef_search()
                 y_s, uv_s = self.cdef_strengths
@@ -574,6 +584,42 @@ class IntraFrameEncoder:
             ctx.above_dc[pc0:pc1] = 0
             ctx.left_dc[pr0:pr1] = 0
 
+    def _cdef_reset(self) -> None:
+        """Arm per-64x64 read_cdef tracking for an encode/replay sweep.
+        Active only when the deferred entropy pass exists (the LRF
+        two-pass flow) — per-SB cdef_idx can only be interleaved there."""
+        if self.lrf and self.cdef_damping:
+            nsby, nsbx = -(-self.coded_h // 64), -(-self.coded_w // 64)
+            self._cdef_done = np.zeros((nsby, nsbx), bool)
+        else:
+            self._cdef_done = None
+
+    def _cdef_hook(self, x: int, y: int, skip) -> None:
+        """read_cdef position (spec 5.11.56): at the first non-skip block
+        of each 64x64 unit, record a cdef anchor (recording pass) or write
+        the cdef_idx literal (replay pass with per-SB CDEF chosen)."""
+        if skip or self._cdef_done is None:
+            return
+        r, c = y // 64, x // 64
+        if self._cdef_done[r, c]:
+            return
+        if self._lr_replay:
+            sb = self.cdef_sb
+            if sb is not None:
+                self.enc.literal(int(sb[3][r, c]), sb[0])
+            self._cdef_done[r, c] = True
+        else:
+            anchor = getattr(self.enc, "cdef_anchor", None)
+            if anchor is not None:
+                anchor(r, c)
+                self._cdef_done[r, c] = True
+
+    def _cdef_write(self, enc, sb_row: int, sb_col: int) -> None:
+        """Recorder-replay callback for cdef anchors."""
+        sb = self.cdef_sb
+        if sb is not None:
+            enc.literal(int(sb[3][sb_row, sb_col]), sb[0])
+
     def _run_tiles_native(self, lr_emit: bool) -> list:
         """One native encode sweep over all tiles from the current self.cdf
         basis.  With lr_emit, read_lr symbols are written at each SB anchor
@@ -606,12 +652,19 @@ class IntraFrameEncoder:
             # symbols) runs in C++; python only interleaves read_lr
             fast = (self._lr_replay and self._nbc is not None
                     and self._rd_maps is not None)
+            self._cdef_reset()
+            sb_info = self.cdef_sb if self._lr_replay else None
             for sy in range(self.ty0, self.ty1, 64):
                 for sx in range(self.tx0, self.tx1, 64):
                     if lr_emit:
                         self._lr_write(self.enc, sy // 64, sx // 64)
                     if fast:
-                        self._nbc.replay_sb(sx, sy)
+                        if sb_info is not None:
+                            self._nbc.replay_sb(
+                                sx, sy, sb_info[0],
+                                int(sb_info[3][sy // 64, sx // 64]))
+                        else:
+                            self._nbc.replay_sb(sx, sy)
                     else:
                         self._partition(sx, sy, 64)
             datas.append(self.enc.done())
@@ -767,6 +820,7 @@ class IntraFrameEncoder:
             return None  # bytes come from pass B (_emit_tiles_lr)
         tile_datas = []
         self._tile_recorders = []
+        self._cdef_reset()
         for idx, (sc0, sr0, sc1, sr1) in enumerate(tiles):
             self.tx0, self.ty0 = sc0 * 64, sr0 * 64
             self.tx1 = min(sc1 * 64, self.coded_w)
@@ -1106,7 +1160,8 @@ class IntraFrameEncoder:
                             ((3, -7, 15), (3, -7, 15))]
             self._lr_ref_c = {p: [[3, -7, 15], [3, -7, 15]] for p in (1, 2)}
             self._sgr_ref = [-32, 31]
-            rec.replay(enc, self.cdf, lr_insert=self._lr_write)
+            rec.replay(enc, self.cdf, lr_insert=self._lr_write,
+                       cdef_insert=self._cdef_write)
             tile_datas.append(enc.done())
             if idx == 0:
                 saved = frame_cdf.copy() if multi else frame_cdf
@@ -1545,7 +1600,15 @@ class IntraFrameEncoder:
                 # pass B of the two-pass LR flow: symbols from the pass-A
                 # cache (incl. the segment id), no prediction/transform
                 # repeat
-                skip, _ = self._nbc.replay_block(x, y, bw, bh)
+                cb, ci = 0, -1
+                if self.cdef_sb is not None and self._cdef_done is not None:
+                    sr, sc = y // 64, x // 64
+                    if not self._cdef_done[sr, sc]:
+                        cb = self.cdef_sb[0]
+                        ci = int(self.cdef_sb[3][sr, sc])
+                skip, _ = self._nbc.replay_block(x, y, bw, bh, cb, ci)
+                if ci >= 0 and not skip:
+                    self._cdef_done[sr, sc] = True
                 if self.seg_map is not None:
                     self._seg_after_block(mr, mc, bw, bh, skip)
                 self.db_info.set_block(x, y, bw, bh, skip)
@@ -1606,6 +1669,7 @@ class IntraFrameEncoder:
             if not skip:
                 self._write_segment_id(mr, mc)
             self._seg_after_block(mr, mc, bw, bh, skip)
+        self._cdef_hook(x, y, skip)
 
         above_ctx = INTRA_MODE_CTX[int(self.above_mode[mc])] if self._have_above(y) else 0
         left_ctx = INTRA_MODE_CTX[int(self.left_mode[mr])] if self._have_left(x) else 0

@@ -168,9 +168,14 @@ class FrameEncoder:
         )
         if fe.cdef_strengths is not None:
             fp.cdef_damping = damping
-            fp.cdef_bits = 0
-            fp.cdef_y_strengths = (fe.cdef_strengths[0],)
-            fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
+            sb = getattr(fe, "cdef_sb", None)
+            if sb is not None:
+                fp.cdef_bits, fp.cdef_y_strengths, fp.cdef_uv_strengths = \
+                    sb[0], sb[1], sb[2]
+            else:
+                fp.cdef_bits = 0
+                fp.cdef_y_strengths = (fe.cdef_strengths[0],)
+                fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
         if fe.lrf:
             # SWITCHABLE luma; chroma planes RESTORE_WIENER when engaged
             fp.frame_restoration_type = tuple(getattr(fe, "lr_types",
@@ -277,9 +282,14 @@ class FrameEncoder:
         )
         if fe.cdef_strengths is not None:
             fp.cdef_damping = damping
-            fp.cdef_bits = 0
-            fp.cdef_y_strengths = (fe.cdef_strengths[0],)
-            fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
+            sb = getattr(fe, "cdef_sb", None)
+            if sb is not None:
+                fp.cdef_bits, fp.cdef_y_strengths, fp.cdef_uv_strengths = \
+                    sb[0], sb[1], sb[2]
+            else:
+                fp.cdef_bits = 0
+                fp.cdef_y_strengths = (fe.cdef_strengths[0],)
+                fp.cdef_uv_strengths = (fe.cdef_strengths[1],)
         if fe.lrf:
             # SWITCHABLE luma; chroma planes RESTORE_WIENER when engaged
             fp.frame_restoration_type = tuple(getattr(fe, "lr_types",

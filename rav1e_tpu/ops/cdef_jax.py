@@ -211,24 +211,50 @@ def cdef_frame_device(rec, skip, y_pri, y_sec, uv_pri, uv_sec, damping, bd,
 Y_CANDIDATES = tuple((pri, sec) for pri in (0, 1, 2, 4) for sec in (0, 2))
 UV_CANDIDATES = ((0, 0), (1, 0), (2, 0))
 
+# Per-superblock mode (cdef_bits = 3): the 8 header strength pairs are the
+# 8 Y_CANDIDATES in order; each pairs with the UV candidate below (the
+# cdef_idx selects BOTH the luma and chroma strengths — spec 5.9.19).
+PAIR_UV_IDX = (0, 0, 1, 1, 2, 2, 2, 2)
+
+# extra header bits of per-SB mode vs one pair: 7 more (y,uv) pairs x 12 bits
+_SB_HDR_BITS = 84.0
+
+
+def strength_codes(sb: bool, frame_best: int):
+    """Header (y, uv) strength code lists for a search result: the fixed
+    8-pair table in per-SB mode, or the single winning pair."""
+    y_codes = [(pri << 2) | (3 if sec == 4 else sec) for pri, sec in Y_CANDIDATES]
+    uv_codes = [(UV_CANDIDATES[i][0] << 2) | UV_CANDIDATES[i][1]
+                for i in PAIR_UV_IDX]
+    if sb:
+        return 3, tuple(y_codes), tuple(uv_codes)
+    return 0, (y_codes[frame_best],), (uv_codes[frame_best],)
+
 
 def _make_search_kernel(bd: int, coded_w: int, coded_h: int):
     jax = _get_jax()
     jnp = jax.numpy
 
     @partial(jax.jit, static_argnames=("damping",))
-    def kernel(y, u, v, sy, su, sv, skip, damping):
+    def kernel(y, u, v, sy, su, sv, skip, sb_lam, damping):
         damping = damping + bd - 8  # spec: damping scales with bit depth
         h, w = coded_h, coded_w
+        ch, cw = h >> 1, w >> 1
         nby, nbx = h // 8, w // 8
+        nsby, nsbx = -(-h // 64), -(-w // 64)
         dirs, var = _find_dir_all_jnp(jnp, y, bd, h, w)
         s4 = skip[: nby * 2, : nbx * 2].reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3)
         active = ~s4.reshape(nby, nbx, 4).all(axis=2)
         scale = bd - 8
 
-        def sse(out, src):
+        def sse_sb(out, src, sub):
+            """Per-64x64-superblock SSE map (edge SBs zero-padded)."""
             d = out.astype(jnp.float32) - src.astype(jnp.float32)
-            return (d * d).sum()
+            sq = d * d
+            bs = 64 >> sub
+            hh, ww = sq.shape
+            sq = jnp.pad(sq, ((0, nsby * bs - hh), (0, nsbx * bs - ww)))
+            return sq.reshape(nsby, bs, nsbx, bs).sum(axis=(1, 3))
 
         y_outs, y_sses = [], []
         for pri, sec in Y_CANDIDATES:
@@ -237,24 +263,53 @@ def _make_search_kernel(bd: int, coded_w: int, coded_h: int):
             out = _filter_plane_jnp(jnp, y, cdirs, pri_map, sec << scale,
                                     damping, bd, w, h, active, 0)
             y_outs.append(out.astype(jnp.uint16))
-            y_sses.append(sse(out, sy))
-        y_best = jnp.argmin(jnp.stack(y_sses))
-        y_out = jnp.stack(y_outs)[y_best]
+            y_sses.append(sse_sb(out, sy, 0))
 
         uv_outs, uv_sses = [], []
         for pri, sec in UV_CANDIDATES:
             uv_map = jnp.full(dirs.shape, pri << scale, jnp.int32)
             cdirs = dirs if pri else jnp.zeros_like(dirs)
             uo = _filter_plane_jnp(jnp, u, cdirs, uv_map, sec << scale,
-                                   damping - 1, bd, w >> 1, h >> 1, active, 1)
+                                   damping - 1, bd, cw, ch, active, 1)
             vo = _filter_plane_jnp(jnp, v, cdirs, uv_map, sec << scale,
-                                   damping - 1, bd, w >> 1, h >> 1, active, 1)
+                                   damping - 1, bd, cw, ch, active, 1)
             uv_outs.append((uo.astype(jnp.uint16), vo.astype(jnp.uint16)))
-            uv_sses.append(sse(uo, su) + sse(vo, sv))
-        uv_best = jnp.argmin(jnp.stack(uv_sses))
-        u_out = jnp.stack([o[0] for o in uv_outs])[uv_best]
-        v_out = jnp.stack([o[1] for o in uv_outs])[uv_best]
-        return y_best, uv_best, y_out, u_out, v_out
+            uv_sses.append(sse_sb(uo, su, 1) + sse_sb(vo, sv, 1))
+
+        # joint per-SB cost over the 8 fixed (y, uv) pairs
+        ysse = jnp.stack(y_sses)                      # [8, nsby, nsbx]
+        uvsse = jnp.stack(uv_sses)                    # [3, nsby, nsbx]
+        cost = ysse + uvsse[jnp.asarray(PAIR_UV_IDX)]  # [8, nsby, nsbx]
+        sb_idx = jnp.argmin(cost, axis=0).astype(jnp.int32)
+
+        # cdef_idx is only coded for SBs with a non-skip block (spec
+        # read_cdef); count them for the per-SB rate term
+        mi = skip[: nby * 2, : nbx * 2]
+        mi = jnp.pad(mi, ((0, nsby * 16 - mi.shape[0]),
+                          (0, nsbx * 16 - mi.shape[1])), constant_values=True)
+        sb_coded = ~mi.reshape(nsby, 16, nsbx, 16).transpose(0, 2, 1, 3) \
+            .reshape(nsby, nsbx, 256).all(axis=2)
+        n_coded = sb_coded.sum().astype(jnp.float32)
+
+        frame_cost = cost.sum(axis=(1, 2))            # [8]
+        frame_best = jnp.argmin(frame_cost).astype(jnp.int32)
+        persb_total = cost.min(axis=0).sum()
+        use_sb = (persb_total + sb_lam * (_SB_HDR_BITS + 3.0 * n_coded)
+                  < frame_cost[frame_best])
+        idx_map = jnp.where(use_sb, sb_idx, frame_best)
+
+        # gather the chosen candidate per SB (CDEF reads only pre-CDEF
+        # pixels, so per-8x8 outputs are independent of neighbors'
+        # strengths — per-SB gather == per-SB decode)
+        ypix = jnp.repeat(jnp.repeat(idx_map, 64, 0), 64, 1)[:h, :w]
+        y_out = jnp.take_along_axis(jnp.stack(y_outs), ypix[None], axis=0)[0]
+        uv_map_sb = jnp.asarray(PAIR_UV_IDX, jnp.int32)[idx_map]
+        cpix = jnp.repeat(jnp.repeat(uv_map_sb, 32, 0), 32, 1)[:ch, :cw]
+        u_out = jnp.take_along_axis(
+            jnp.stack([o[0] for o in uv_outs]), cpix[None], axis=0)[0]
+        v_out = jnp.take_along_axis(
+            jnp.stack([o[1] for o in uv_outs]), cpix[None], axis=0)[0]
+        return use_sb, frame_best, idx_map, y_out, u_out, v_out
 
     return kernel
 
@@ -275,7 +330,7 @@ def _make_search_kernel_packed(bd: int, coded_w: int, coded_h: int,
     inner = _make_search_kernel(bd, coded_w, coded_h)
 
     @partial(jax.jit, static_argnames=("damping",))
-    def kernel(upload, damping):
+    def kernel(upload, sb_lam, damping):
         h, w = coded_h, coded_w
         nY, nC = h * w, (h >> 1) * (w >> 1)
         o = 0
@@ -293,23 +348,39 @@ def _make_search_kernel_packed(bd: int, coded_w: int, coded_h: int,
         su = take(nC, h >> 1, w >> 1)
         sv = take(nC, h >> 1, w >> 1)
         skip = upload[o : o + skip_h * skip_w].reshape(skip_h, skip_w) != 0
-        y_best, uv_best, y_out, u_out, v_out = inner(y, u, v, sy, su, sv,
-                                                     skip, damping=damping)
+        use_sb, frame_best, idx_map, y_out, u_out, v_out = inner(
+            y, u, v, sy, su, sv, skip, sb_lam, damping=damping)
         packed = jnp.concatenate([
             y_out.astype(jnp.uint8).ravel(), u_out.astype(jnp.uint8).ravel(),
             v_out.astype(jnp.uint8).ravel(),
-            y_best.astype(jnp.uint8)[None], uv_best.astype(jnp.uint8)[None]])
+            use_sb.astype(jnp.uint8)[None], frame_best.astype(jnp.uint8)[None],
+            idx_map.astype(jnp.uint8).ravel()])
         return packed, y, y_out
 
     return kernel
 
 
-def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h):
+def _sb_result(use_sb: bool, frame_best: int, idx_map):
+    """(strengths, sb_info) from a search kernel's selection outputs.
+    strengths is the frame-level (y, uv) code pair (for cdef_bits = 0
+    emission); sb_info is (bits, y_codes, uv_codes, idx_map) when the
+    per-SB mode won, else None."""
+    bits, y_codes, uv_codes = strength_codes(use_sb, frame_best)
+    if use_sb:
+        return (y_codes[0], uv_codes[0]), (bits, y_codes, uv_codes, idx_map)
+    return (y_codes[0], uv_codes[0]), None
+
+
+def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h,
+                             sb_lam=None):
     """Search strengths over the whole frame and apply the winner, in one
-    device call.  Mutates rec in place; returns ((y_code, uv_code),
-    (dev_db_y, dev_cdef_y)) — the device-resident deblocked and filtered
-    luma planes, for chaining into the Wiener device pass.  Returns None on
-    device failure (caller falls back to the sampled host search)."""
+    device call.  Mutates rec in place; returns (strengths,
+    (dev_db_y, dev_cdef_y), sb_info) — the device-resident deblocked and
+    filtered luma planes for chaining into the Wiener device pass, and the
+    per-SB selection (see _sb_result) when sb_lam enables it.  With
+    sb_lam=None the frame-level single pair is forced (cdef_bits = 0).
+    Returns None on device failure (caller falls back to the host search)."""
+    lam = np.float32(np.inf if sb_lam is None else sb_lam)
     try:
         if bd == 8:
             ch, cw = coded_h >> 1, coded_w >> 1
@@ -328,18 +399,19 @@ def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h):
                 src[1][:ch, :cw].astype(np.uint8).ravel(),
                 src[2][:ch, :cw].astype(np.uint8).ravel(),
                 np.asarray(skip, np.uint8).ravel()])
-            packed, db_y, y_dev = k(jnp.asarray(upload), damping=damping)
+            packed, db_y, y_dev = k(jnp.asarray(upload), lam, damping=damping)
             out = np.asarray(packed)
             nY, nC = coded_h * coded_w, ch * cw
+            nsby, nsbx = -(-coded_h // 64), -(-coded_w // 64)
             rec[0][:coded_h, :coded_w] = out[:nY].reshape(coded_h, coded_w)
             rec[1][:ch, :cw] = out[nY : nY + nC].reshape(ch, cw)
             rec[2][:ch, :cw] = out[nY + nC : nY + 2 * nC].reshape(ch, cw)
-            yb, uvb = int(out[-2]), int(out[-1])
-            y_pri, y_sec = Y_CANDIDATES[yb]
-            uv_pri, uv_sec = UV_CANDIDATES[uvb]
-            y_code = (y_pri << 2) | (3 if y_sec == 4 else y_sec)
-            uv_code = (uv_pri << 2) | uv_sec
-            return (y_code, uv_code), (db_y, y_dev)
+            o = nY + 2 * nC
+            use_sb, frame_best = bool(out[o]), int(out[o + 1])
+            idx_map = out[o + 2 : o + 2 + nsby * nsbx].reshape(nsby, nsbx)
+            strengths, sb_info = _sb_result(use_sb, frame_best,
+                                            idx_map.astype(np.int32))
+            return strengths, (db_y, y_dev), sb_info
         key = (bd, coded_w, coded_h)
         k = _SEARCH_KERNELS.get(key)
         if k is None:
@@ -348,7 +420,7 @@ def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h):
         import jax.numpy as jnp
 
         db_y = jnp.asarray(rec[0][:coded_h, :coded_w].astype(np.uint16))
-        yb, uvb, y, u, v = k(
+        use_sb, frame_best, idx_map, y, u, v = k(
             db_y,
             rec[1][: coded_h >> 1, : coded_w >> 1].astype(np.uint16),
             rec[2][: coded_h >> 1, : coded_w >> 1].astype(np.uint16),
@@ -356,6 +428,7 @@ def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h):
             src[1][: coded_h >> 1, : coded_w >> 1].astype(np.uint16),
             src[2][: coded_h >> 1, : coded_w >> 1].astype(np.uint16),
             np.asarray(skip, bool),
+            lam,
             damping=damping,
         )
     except Exception as e:
@@ -365,11 +438,9 @@ def cdef_search_apply_device(rec, src, skip, damping, bd, coded_w, coded_h):
             "device CDEF search unavailable (%s); host fallback", e
         )
         return None
-    y_pri, y_sec = Y_CANDIDATES[int(yb)]
-    uv_pri, uv_sec = UV_CANDIDATES[int(uvb)]
-    y_code = (y_pri << 2) | (3 if y_sec == 4 else y_sec)
-    uv_code = (uv_pri << 2) | uv_sec
     rec[0][:coded_h, :coded_w] = np.asarray(y)
     rec[1][: coded_h >> 1, : coded_w >> 1] = np.asarray(u)
     rec[2][: coded_h >> 1, : coded_w >> 1] = np.asarray(v)
-    return (y_code, uv_code), (db_y, y)
+    strengths, sb_info = _sb_result(bool(use_sb), int(frame_best),
+                                    np.asarray(idx_map, np.int32))
+    return strengths, (db_y, y), sb_info

@@ -38,7 +38,9 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w):
 
     cdef_kernel = (cj._make_search_kernel(bd, w, h) if damping else None)
 
-    def run(src_pack, up, lims):
+    nsby, nsbx = -(-h // 64), -(-w // 64)
+
+    def run(src_pack, up, lims, sb_lam):
         # src planes from the wavefront's packed upload (padded dims)
         sY = src_pack[:nY_src].reshape(Hp, Wp)[:h, :w].astype(jnp.uint16)
         sU = src_pack[nY_src : nY_src + nC_src].reshape(
@@ -92,19 +94,21 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w):
             y_out = dbY16
             u_out = dbU.astype(jnp.uint16)
             v_out = dbV.astype(jnp.uint16)
-            yb = uvb = jnp.zeros((), jnp.int32)
+            use_sb = frame_best = jnp.zeros((), jnp.int32)
+            idx_map = jnp.zeros((nsby, nsbx), jnp.int32)
         else:
-            yb, uvb, y_out, u_out, v_out = cdef_kernel(
+            use_sb, frame_best, idx_map, y_out, u_out, v_out = cdef_kernel(
                 dbY16, dbU.astype(jnp.uint16), dbV.astype(jnp.uint16),
-                sY, sU, sV, skip, damping=damping)
+                sY, sU, sV, skip, sb_lam, damping=damping)
         parts = [
             y_out.astype(jnp.uint8).ravel(), u_out.astype(jnp.uint8).ravel(),
             v_out.astype(jnp.uint8).ravel(),
             # deblocked planes for the host (LR stripe boundaries)
             dbY.astype(jnp.uint8).ravel(),
             dbU.astype(jnp.uint8).ravel(), dbV.astype(jnp.uint8).ravel(),
-            yb.astype(jnp.uint8).reshape(1),
-            uvb.astype(jnp.uint8).reshape(1)]
+            use_sb.astype(jnp.uint8).reshape(1),
+            frame_best.astype(jnp.uint8).reshape(1),
+            idx_map.astype(jnp.uint8).ravel()]
         return jnp.concatenate(parts), dbY16, y_out
 
     return jax.jit(run)
@@ -147,9 +151,12 @@ def filter_chain_device(fe):
         info.by.astype(np.int16).ravel().view(np.uint8),
         info.skip.astype(np.uint8).ravel()])
 
+    # per-SB CDEF needs the deferred entropy pass (pass B) to interleave
+    # cdef_idx literals; only the LRF two-pass flow provides that
+    sb_lam = np.float32(fe.lam if (fe.lrf and fe.cdef_damping) else np.inf)
     try:
         packed, db_y16, cdef_y16 = k(src_dev, jnp.asarray(upload),
-                                     jnp.asarray(lims))
+                                     jnp.asarray(lims), sb_lam)
         # the chain is enqueued: this is the frame's last device use, so
         # the orchestration may now pipeline the NEXT frame's wavefront
         # behind it (it runs while we do the entropy pass)
@@ -186,13 +193,14 @@ def filter_chain_device(fe):
             copies.append(full)
         fe._deblock_copy = copies
     if fe.cdef_damping:
-        yb, uvb = int(out[-2]), int(out[-1])
-        from rav1e_tpu.ops.cdef_jax import Y_CANDIDATES, UV_CANDIDATES
+        from rav1e_tpu.ops.cdef_jax import _sb_result
 
-        y_pri, y_sec = Y_CANDIDATES[yb]
-        uv_pri, uv_sec = UV_CANDIDATES[uvb]
-        fe.cdef_strengths = ((y_pri << 2) | (3 if y_sec == 4 else y_sec),
-                             (uv_pri << 2) | uv_sec)
+        nsby, nsbx = -(-h // 64), -(-w // 64)
+        use_sb, frame_best = bool(out[o]), int(out[o + 1])
+        idx_map = out[o + 2 : o + 2 + nsby * nsbx].reshape(nsby, nsbx)
+        fe.cdef_strengths, fe.cdef_sb = _sb_result(
+            use_sb, frame_best, idx_map.astype(np.int32))
     else:
         fe.cdef_strengths = None
+        fe.cdef_sb = None
     return True
