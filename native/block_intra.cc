@@ -521,16 +521,45 @@ int encode_intra_block(
                 above, left, n_tr, n_bl);
     int y_delta = 0;
     if (fine_dir && y_dir && (bw < bh ? bw : bh) >= 8) {
-        // intra_frame.py _choose_delta: SAD over spec-exact edges
+        // intra_frame.py _choose_delta: SATD (8x8 Hadamard) over
+        // spec-exact edges; SATD separates structured (rate-expensive)
+        // residuals from noise in a way SAD cannot (src/dist.rs get_satd)
         int64_t best_cost = -1;
         for (int d = -3; d <= 3; d++) {
             predict(P, y_mode, d, above, left, bw, bh, ha, hl, bd, pred_y);
             int64_t cost = 0;
-            for (int r = 0; r < bh; r++)
-                for (int c = 0; c < bw; c++) {
-                    int64_t df = src_y[(int64_t)(y + r) * stride_y + x + c]
-                                 - pred_y[r * bw + c];
-                    cost += df < 0 ? -df : df;
+            for (int r0 = 0; r0 < bh; r0 += 8)
+                for (int c0 = 0; c0 < bw; c0 += 8) {
+                    int64_t t[8][8];
+                    for (int r = 0; r < 8; r++)
+                        for (int c = 0; c < 8; c++)
+                            t[r][c] = src_y[(int64_t)(y + r0 + r) * stride_y
+                                            + x + c0 + c]
+                                      - pred_y[(r0 + r) * bw + c0 + c];
+                    // butterfly Hadamard along rows then columns
+                    for (int r = 0; r < 8; r++)
+                        for (int s = 1; s < 8; s <<= 1)
+                            for (int c = 0; c < 8; c += s << 1)
+                                for (int k = 0; k < s; k++) {
+                                    int64_t a0 = t[r][c + k],
+                                            b0 = t[r][c + k + s];
+                                    t[r][c + k] = a0 + b0;
+                                    t[r][c + k + s] = a0 - b0;
+                                }
+                    for (int c = 0; c < 8; c++)
+                        for (int s = 1; s < 8; s <<= 1)
+                            for (int r = 0; r < 8; r += s << 1)
+                                for (int k = 0; k < s; k++) {
+                                    int64_t a0 = t[r + k][c],
+                                            b0 = t[r + k + s][c];
+                                    t[r + k][c] = a0 + b0;
+                                    t[r + k + s][c] = a0 - b0;
+                                }
+                    int64_t acc = 0;
+                    for (int r = 0; r < 8; r++)
+                        for (int c = 0; c < 8; c++)
+                            acc += t[r][c] < 0 ? -t[r][c] : t[r][c];
+                    cost += acc >> 2;
                 }
             if (best_cost < 0 || cost < best_cost) {
                 best_cost = cost;

@@ -154,20 +154,18 @@ def _fwd_mats_np(n: int):
 
 @partial(jax.jit, static_argnums=(1, 2))
 def rd_analysis(y: jax.Array, n: int, q: tuple, lam: float) -> tuple:
-    """Per-block best mode + RD cost for n x n blocks.
+    """Per-block best mode + RD cost for n x n blocks: the tx-domain RD
+    (forward DCT + quantize + rate model) is evaluated for EVERY candidate
+    mode and the argmin taken over true RD cost — the device analog of
+    rdo_mode_decision (src/rdo.rs), not a SAD prefilter.  The per-mode
+    transforms are batched MXU matmuls, which is exactly the work the
+    systolic array is for; a SAD argmin measurably mispicks between
+    structured (expensive) and noise-like (cheap) residuals.
     q: (dc_q, ac_q) static.  Returns (mode, cost, nnz) maps (by, bx)."""
     blocks, stack = _predict_all(y, n)
-    sads = jnp.abs(stack - blocks[None]).sum((-1, -2))
-    best = jnp.argmin(sads, axis=0)
-    mode_ids = jnp.asarray(CANDIDATES, jnp.int32)
-    # gather best prediction per block
-    by, bx = best.shape
-    pred = jnp.take_along_axis(
-        stack, best[None, :, :, None, None], axis=0
-    )[0]  # (by,bx,n,n)
-    resid = (blocks - pred).astype(jnp.float32)
+    resid = (blocks[None] - stack).astype(jnp.float32)  # (m,by,bx,n,n)
     Fv, FhT = (jnp.asarray(m) for m in _fwd_mats_np(n))
-    coeffs = jnp.einsum("ij,byjk,kl->byil", Fv, resid, FhT)
+    coeffs = jnp.einsum("ij,mbyjk,kl->mbyil", Fv, resid, FhT)
     # quantize (deadzone 13/32, tx_scale shift folded into q)
     shift = 1 if n == 32 else 0
     dc_q, ac_q = q
@@ -179,10 +177,14 @@ def rd_analysis(y: jax.Array, n: int, q: tuple, lam: float) -> tuple:
         level = level.at[..., 32:, :].set(0).at[..., :, 32:].set(0)
     dq = level * qm
     err = (mag - dq) * (1 << shift)
-    dist = (err * err).sum((-1, -2)) * DIST_SCALE[n]
-    nnz = (level > 0).sum((-1, -2))
-    rate = RATE_NZ * nnz + RATE_MAG * jnp.log2(1.0 + level).sum((-1, -2))
-    cost = dist + lam * (rate + 6.0)  # + mode/skip signaling ballpark
+    dist = (err * err).sum((-1, -2)) * DIST_SCALE[n]  # (m,by,bx)
+    nnz_all = (level > 0).sum((-1, -2))
+    rate = RATE_NZ * nnz_all + RATE_MAG * jnp.log2(1.0 + level).sum((-1, -2))
+    cost_all = dist + lam * (rate + 6.0)  # + mode/skip signaling ballpark
+    best = jnp.argmin(cost_all, axis=0)  # (by,bx)
+    mode_ids = jnp.asarray(CANDIDATES, jnp.int32)
+    cost = jnp.take_along_axis(cost_all, best[None], axis=0)[0]
+    nnz = jnp.take_along_axis(nnz_all, best[None], axis=0)[0]
     return mode_ids[best], cost, nnz
 
 

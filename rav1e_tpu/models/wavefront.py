@@ -57,6 +57,9 @@ from rav1e_tpu.ops import transforms_np as tn
 # native path): bits ~ RATE_NZ per significant coeff + RATE_MAG per octave
 RATE_NZ = 1.45
 RATE_MAG = 0.95
+# tx-domain sse -> pixel sse for the mode-RD argmin (device_pipeline's
+# measured 0.0164 +- 0.0003 for the 16/32 DCT with these matrices)
+DIST_SCALE = 0.0164
 
 _QOFF = ((0, 0), (0, 32), (32, 0), (32, 32))  # quadrant z-order
 _SOFF = ((0, 0), (0, 16), (16, 0), (16, 16))  # 16-leaf z-order
@@ -351,14 +354,26 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         nd = _nondir_preds(above, left, n)  # (B, 4, n, n): SM, SMV, SMH, PAETH
         stack = jnp.concatenate(
             [dc[:, None], dirs[:, :, 3], nd], axis=1)  # enum order 0..12
-        sads = jnp.abs(stack - src[:, None]).sum((-1, -2))
+        # mode selection by tx-domain RD over ALL candidates (device
+        # rdo_mode_decision): forward-DCT every candidate residual (one
+        # batched MXU matmul), quantize, and argmin dist + lam*rate.  A
+        # SAD argmin cannot separate structured (rate-expensive) from
+        # noise-like (cheap) residuals; this measurably mispicks modes.
+        Fv, FhT = mats[(n, 0)]
+        resid_all = src[:, None] - stack  # (B, 13, n, n)
+        cf_all = tj.fdct_batch(resid_all, Fv, FhT)
+        lv_all = tj.quantize(cf_all, qdc[:, None], qac[:, None], shift)
+        dq_all = tj.dequantize(lv_all, qdc[:, None], qac[:, None], shift, bd)
+        qerr = ((cf_all - dq_all) << shift).astype(jnp.float32)
+        dist_all = (qerr * qerr).sum((-1, -2)) * DIST_SCALE
+        cost_all = dist_all + lam[:, None] * coeff_rate(lv_all)
         # candidate masking: static speed set + dynamic zone-1 restriction
         # (D45/D67 read above-right pixels a partial-column SB provides)
         mask = jnp.asarray(base_mask)[None, :] & (
             allow_z1[:, None] | ~jnp.asarray((np.arange(13) == ij.D45)
                                              | (np.arange(13) == ij.D67))[None, :])
-        sads = jnp.where(mask, sads, BIG)
-        mode = jnp.argmin(sads, axis=1).astype(jnp.int32)
+        cost_all = jnp.where(mask, cost_all, BIG)
+        mode = jnp.argmin(cost_all, axis=1).astype(jnp.int32)
 
         pred0 = jnp.take_along_axis(
             stack, mode[:, None, None, None], axis=1)[:, 0]

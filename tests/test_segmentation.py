@@ -94,10 +94,13 @@ def test_seg_improves_smooth_region_quality():
     u = np.full((64, 96), 120, np.int32)
     v = np.full((64, 96), 136, np.int32)
     outs = {}
-    for deltas in ((), (-16, -6, 4, 12)):
+    # deltas large enough that the q effect dominates mode tie-break
+    # variation (at small deltas a single RD mode flip can swamp the
+    # ~8% quantizer-step difference in region MSE)
+    for deltas in ((), (-40, -12, 8, 24)):
         fe = IntraFrameEncoder(192, 128, q_idx=180, device_modes=False,
                                seg_deltas=deltas)
         tile, rec = fe.encode([y.copy(), u.copy(), v.copy()])
         smooth_mse = float(((rec[0][:, :96] - y[:, :96]) ** 2).mean())
         outs[deltas] = (len(tile), smooth_mse)
-    assert outs[(-16, -6, 4, 12)][1] < outs[()][1], outs
+    assert outs[(-40, -12, 8, 24)][1] < outs[()][1], outs

@@ -18,6 +18,7 @@ import argparse
 import ctypes
 import json
 import sys
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -235,7 +236,10 @@ def main():
 
     results = {}
     for kind in ("gradient", "texture", "detail"):
-        frames = make_clip(kind, w, h, args.frames, seed=hash(kind) & 0xFFFF)
+        # stable seed: str hash() is salted per process, which would make
+        # every run encode a different clip
+        seed = zlib.crc32(kind.encode()) & 0xFFFF
+        frames = make_clip(kind, w, h, args.frames, seed=seed)
         ra_r, ra_p = run(frames, ladder, args.speed, "rav1e")
         us_r, us_p = run(frames, ladder, args.speed, "ours")
         bd = bd_rate(ra_r, ra_p, us_r, us_p)
