@@ -911,6 +911,9 @@ struct SbWalk {
     const uint8_t *split32;
     int split_stride;
     int rdo_partition;
+    const uint8_t *split16 = nullptr;
+    int split16_stride = 0;
+    int rdo_split8 = 0;
     int mi_cols, mi_rows, adapt, q_nonzero;
     int tx0, ty0, tx1, ty1;
     int cdef_bits = 0, cdef_pending = 0, cdef_idx = -1;
@@ -957,6 +960,10 @@ struct SbWalk {
             want_split = true;
         } else if (size == 32 && rdo_partition && has_rows && has_cols) {
             want_split = split32[(int64_t)(y / 32) * split_stride + x / 32] != 0;
+        } else if (size == 16 && rdo_split8 && split16 && has_rows
+                   && has_cols) {
+            want_split =
+                split16[(int64_t)(y / 16) * split16_stride + x / 16] != 0;
         } else {
             want_split = false;
         }
@@ -1014,6 +1021,7 @@ int encode_sb_cached(
     int32_t *above_skip, int32_t *left_skip,
     const uint64_t *pctx, uint16_t *part_cdf,
     const uint8_t *split32, int split_stride, int rdo_partition,
+    const uint8_t *split16, int split16_stride, int rdo_split8,
     int cdef_bits, int cdef_idx)
 {
     Ptrs P;
@@ -1036,6 +1044,9 @@ int encode_sb_cached(
     w.split32 = split32;
     w.split_stride = split_stride;
     w.rdo_partition = rdo_partition;
+    w.split16 = split16;
+    w.split16_stride = split16_stride;
+    w.rdo_split8 = rdo_split8;
     w.mi_cols = mi_cols;
     w.mi_rows = mi_rows;
     w.adapt = adapt;

@@ -90,6 +90,7 @@ def _configure():
         _vp, _vp, _vp, _vp, _vp, _vp,  # above/left part/mode/skip
         _vp, _vp,                      # pctx, partition cdf
         _vp, _ci, _ci,                 # split map, stride, rdo_partition
+        _vp, _ci, _ci,                 # split16 map, stride, rdo_split8
         _ci, _ci,                      # cdef_bits, cdef_idx
     ]
     _lib.encode_sb_cached.restype = ctypes.c_int
@@ -212,11 +213,20 @@ class NativeBlockCoder:
         fe = self.fe
         if fe.cdf is not self._cdf_obj:
             self._refresh_registry()
-        split = fe._rd_maps["split32"]
-        if split.dtype != np.uint8:
-            split = split.view(np.uint8) if split.dtype == np.bool_ \
-                else split.astype(np.uint8)
-        assert split.flags.c_contiguous
+        def _u8(m):
+            if m.dtype != np.uint8:
+                m = m.view(np.uint8) if m.dtype == np.bool_ \
+                    else m.astype(np.uint8)
+            assert m.flags.c_contiguous
+            return m
+        split = _u8(fe._rd_maps["split32"])
+        split16 = fe._rd_maps.get("split16")
+        if split16 is not None:
+            split16 = _u8(split16)
+            self._split16_keep = split16
+            s16_ptr, s16_stride = split16.ctypes.data, split16.shape[1]
+        else:
+            s16_ptr, s16_stride = None, 0
         part = fe.cdf.partition
         assert part.dtype == np.uint16 and part.flags.c_contiguous
         ret = _lib.encode_sb_cached(
@@ -231,6 +241,8 @@ class NativeBlockCoder:
             self._pctx.ctypes.data, part.ctypes.data,
             split.ctypes.data, split.shape[1],
             1 if fe.rdo_partition else 0,
+            s16_ptr, s16_stride,
+            1 if (getattr(fe, "rdo_split8", False) and s16_ptr) else 0,
             cdef_bits, cdef_idx,
         )
         if ret < 0:

@@ -679,7 +679,6 @@ class IntraFrameEncoder:
         pass's envelope (8-bit 4:2:0, lossy, native coder available)."""
         if not (self.device_modes and self.use_native and self.q > 0
                 and self.bd == 8 and self._is420
-                and not self.rdo_split8
                 and type(self) is IntraFrameEncoder):
             return False
         try:
@@ -733,6 +732,11 @@ class IntraFrameEncoder:
         smap = wf.split_map
         sm[: smap.shape[0], : smap.shape[1]] = smap
         self._rd_maps = {"split32": sm}
+        smap16 = getattr(wf, "split16_map", None)
+        if smap16 is not None and self.rdo_split8:
+            sm16 = np.zeros((self.h // 16, self.w // 16), bool)
+            sm16[: smap16.shape[0], : smap16.shape[1]] = smap16
+            self._rd_maps["split16"] = sm16
 
         self._nbc.cache_start()
         self.cdf = frame_cdf.copy()  # throwaway basis for pass-A symbols
@@ -1321,12 +1325,18 @@ class IntraFrameEncoder:
                 want_split = self._rd_split_32(x, y, cdf_row)
             else:
                 want_split = False
-        elif (size == 16 and self.rdo_split8 and has_rows and has_cols
-              and self._rd_maps is None and self.use_native):
-            want_split = self._rd_split(x, y, 16, cdf_row)
-            if want_split:
-                # a 16-leaf candidate from the 32-level trial is obsolete
-                self._pending.pop((x, y), None)
+        elif size == 16 and self.rdo_split8 and has_rows and has_cols:
+            if self._rd_maps is not None:
+                sm16 = self._rd_maps.get("split16")
+                want_split = (sm16 is not None
+                              and bool(sm16[y // 16][x // 16]))
+            elif self.use_native:
+                want_split = self._rd_split(x, y, 16, cdf_row)
+                if want_split:
+                    # a 16-leaf candidate from the 32-level trial is obsolete
+                    self._pending.pop((x, y), None)
+            else:
+                want_split = False
         else:
             want_split = False
         if has_rows and has_cols:

@@ -63,6 +63,7 @@ DIST_SCALE = 0.0164
 
 _QOFF = ((0, 0), (0, 32), (32, 0), (32, 32))  # quadrant z-order
 _SOFF = ((0, 0), (0, 16), (16, 0), (16, 16))  # 16-leaf z-order
+_SOFF8 = ((0, 0), (0, 8), (8, 0), (8, 8))  # 8-leaf z-order
 
 
 # ---------------------------------------------------------------------------
@@ -84,6 +85,7 @@ class WavefrontGeometry:
     sbc: np.ndarray
     valid: np.ndarray  # (K, B) bool
     avail: np.ndarray  # (K, B, 4, 5, 4) int32: ha, hl, n_tr, n_bl
+    avail8: np.ndarray  # (K, B, 4, 4, 4, 4): per (quad, 16-leaf, 8-leaf)
     allow_z1: np.ndarray  # (K, B) bool: zone-1 directional modes allowed
     device_sb: np.ndarray  # (sb_rows, sb_cols) bool over the FULL SB grid
     sb_step: np.ndarray  # (sb_rows, sb_cols) int32 -> (step, lane) packed
@@ -139,6 +141,7 @@ def geometry_for(coded_w: int, coded_h: int, w: int, h: int, mi_cols: int,
     valid = np.zeros((K, B), bool)
     allow = np.ones((K, B), bool)
     avail = np.zeros((K, B, 4, 5, 4), np.int32)
+    avail8 = np.zeros((K, B, 4, 4, 4, 4), np.int32)
     sb_step = np.full((sb_rows, sb_cols), -1, np.int32)
     sb_lane = np.full((sb_rows, sb_cols), -1, np.int32)
 
@@ -175,6 +178,7 @@ def geometry_for(coded_w: int, coded_h: int, w: int, h: int, mi_cols: int,
                              sx // 4 : min((sx + 64) // 4, mi_cols)] = 1
                     continue
                 slots = np.zeros((4, 5, 4), np.int32)
+                slots8 = np.zeros((4, 4, 4, 4), np.int32)
                 for q in range(4):
                     qy, qx = sy + _QOFF[q][0], sx + _QOFF[q][1]
                     slots[q, 0] = edge_avail(qx, qy, 32, 32, ty0, tx0, ty1, tx1)
@@ -182,16 +186,25 @@ def geometry_for(coded_w: int, coded_h: int, w: int, h: int, mi_cols: int,
                         yy, xx = qy + _SOFF[s][0], qx + _SOFF[s][1]
                         slots[q, 1 + s] = edge_avail(xx, yy, 16, 16,
                                                      ty0, tx0, ty1, tx1)
-                        mi_coded[yy // 4 : (yy + 16) // 4,
-                                 xx // 4 : (xx + 16) // 4] = 1
-                av_by_sb[(r, c_)] = slots
+                        # 8x8 sub-leaves in z-order: availability is a pure
+                        # function of decode position (spec 7.11.2), so it
+                        # can be simulated here regardless of whether the
+                        # split is chosen (marking mi per-8 reproduces the
+                        # per-16 marking when all four are done)
+                        for e in range(4):
+                            ey, ex = yy + _SOFF8[e][0], xx + _SOFF8[e][1]
+                            slots8[q, s, e] = edge_avail(ex, ey, 8, 8,
+                                                         ty0, tx0, ty1, tx1)
+                            mi_coded[ey // 4 : (ey + 8) // 4,
+                                     ex // 4 : (ex + 8) // 4] = 1
+                av_by_sb[(r, c_)] = (slots, slots8)
 
     for ki, k in enumerate(ks):
         for li, (r, c_) in enumerate(steps_map[k]):
             sbr[ki, li] = r
             sbc[ki, li] = c_
             valid[ki, li] = True
-            avail[ki, li] = av_by_sb[(r, c_)]
+            avail[ki, li], avail8[ki, li] = av_by_sb[(r, c_)]
             sb_step[r, c_] = ki
             sb_lane[r, c_] = li
             if partial_col and dev[r].any() and c_ == np.nonzero(dev[r])[0][-1]:
@@ -199,8 +212,8 @@ def geometry_for(coded_w: int, coded_h: int, w: int, h: int, mi_cols: int,
 
     geom = WavefrontGeometry(h=h, w=w, mi_cols=mi_cols, mi_rows=mi_rows,
                              steps=K, width=B, sbr=sbr, sbc=sbc, valid=valid,
-                             avail=avail, allow_z1=allow, device_sb=dev,
-                             sb_step=sb_step, sb_lane=sb_lane)
+                             avail=avail, avail8=avail8, allow_z1=allow,
+                             device_sb=dev, sb_step=sb_step, sb_lane=sb_lane)
     _GEOM_CACHE[key] = geom
     return geom
 
@@ -221,10 +234,11 @@ _IS_DIR[_DIR_MODES] = True
 
 def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
                tx_search: bool, fine_dir: bool, mode_mask: tuple,
-               mi_cols: int, mi_rows: int, allow_split: bool):
+               mi_cols: int, mi_rows: int, allow_split: bool,
+               allow_split8: bool = False):
     """Build (cached) the jitted wavefront pass for one geometry/config."""
     key = (Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
-           mi_cols, mi_rows, allow_split)
+           mi_cols, mi_rows, allow_split, allow_split8)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = _make_pass(*key)
@@ -233,7 +247,7 @@ def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
 
 
 def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
-               mi_cols, mi_rows, allow_split):
+               mi_cols, mi_rows, allow_split, allow_split8):
     """Build the jitted tiled wavefront pass.
 
     Memory layout is the perf-critical choice: reconstruction lives as
@@ -253,11 +267,12 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
     base = 1 << (bd - 1)
 
     mats = {}
-    for n in (16, 32):
+    for n in (4, 8, 16, 32):
         mats[(n, 0)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_DCT, n, n))
-    mats[(16, 1)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.ADST_ADST, 16, 16))
-    mats[(8, 0)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_DCT, 8, 8))
-    dir_mats = {n: jnp.asarray(ij.dir_matrices(n)) for n in (16, 32)}
+    for n in (8, 16):
+        mats[(n, 1)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.ADST_ADST, n, n))
+    dir_sizes = (8, 16, 32) if allow_split8 else (16, 32)
+    dir_mats = {n: jnp.asarray(ij.dir_matrices(n)) for n in dir_sizes}
 
     def _nondir_preds(above, left, n):
         """SMOOTH / SMOOTH_V / SMOOTH_H / PAETH (enum 9..12): (B, 4, n, n)."""
@@ -533,7 +548,7 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         ctx = ctx.at[:, 1 : n + 1, 1 : n + 1].set(own)
         return ctx
 
-    def run(upload, sbr, sbc, valid, avail, allow):
+    def run(upload, sbr, sbc, valid, avail, avail8, allow):
         """One packed uint8 upload: src Y/U/V bytes followed by the
         float32 parameter vector (lambda/quantizer grids + CDF-derived
         mode-bit tables), and one packed uint8 download: int16 metadata +
@@ -558,6 +573,8 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         o += KB4
         part_bits = params[o : o + 2]
         o += 2
+        part_bits16 = params[o : o + 2]
+        o += 2
         bits_uv = params[o : o + 26].reshape(13, 2)
         o += 26
         bits_sign = params[o : o + 8]
@@ -572,13 +589,15 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         srcVt = srcV.reshape(R, 32, C, 32).transpose(0, 2, 1, 3)
         qoff = jnp.asarray(_QOFF, jnp.int32)
         soff = jnp.asarray(_SOFF, jnp.int32)
+        soff8 = jnp.asarray(_SOFF8, jnp.int32)
 
         def gtile(t, rr, cc):
             return t[jnp.clip(rr, 0, R - 1), jnp.clip(cc, 0, C - 1)]
 
         def step(carry, xs):
             tY, tU, tV = carry
-            (sbr_k, sbc_k, val_k, av_k, allow_k, lam_k, qdc_k, qac_k) = xs
+            (sbr_k, sbc_k, val_k, av_k, av8_k, allow_k,
+             lam_k, qdc_k, qac_k) = xs
             ctxY = compose_ctx(tY, sbr_k, sbc_k, 64, 32)
             ctxU = compose_ctx(tU, sbr_k, sbc_k, 32, 16)
             ctxV = compose_ctx(tV, sbr_k, sbc_k, 32, 16)
@@ -588,7 +607,7 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
 
             def quad(carry_q, xs_q):
                 ctxY, ctxU, ctxV = carry_q
-                (qi, av_q, lam_2, qdc_2, qac_2) = xs_q
+                (qi, av_q, av8_q, lam_2, qdc_2, qac_2) = xs_q
                 qy = qoff[qi, 0]
                 qx = qoff[qi, 1]
                 cY32, cU32, cV32, out32, lv32, cost32 = encode_leaf(
@@ -597,20 +616,101 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
 
                 def sixteen(carry_s, xs_s):
                     ctxY, ctxU, ctxV, acc = carry_s
-                    (si, av_s) = xs_s
-                    ctxY, ctxU, ctxV, out16, lv16, c16 = encode_leaf(
-                        ctxY, ctxU, ctxV, sYt, sUt, sVt,
-                        qy + soff[si, 0], qx + soff[si, 1], 16,
+                    (si, av_s, av8_s) = xs_s
+                    ly = qy + soff[si, 0]
+                    lx = qx + soff[si, 1]
+                    cY16, cU16, cV16, out16, lv16, c16 = encode_leaf(
+                        ctxY, ctxU, ctxV, sYt, sUt, sVt, ly, lx, 16,
                         av_s, lam_2, qdc_2, qac_2, allow_k, tabs)
-                    return (ctxY, ctxU, ctxV, acc + c16), (out16, lv16)
+                    Bn = c16.shape[0]
+                    if allow_split8:
+                        # nested 16 -> 4x8 partition RD: the 8-chain runs
+                        # from the same pre-leaf context snapshot, so both
+                        # alternatives see identical neighbors (reference:
+                        # rdo_partition_decision recursion, src/rdo.rs)
+                        def eight(carry_e, xs_e):
+                            cY, cU, cV, acc8 = carry_e
+                            (ei, av8_e) = xs_e
+                            cY, cU, cV, out8, lv8, c8 = encode_leaf(
+                                cY, cU, cV, sYt, sUt, sVt,
+                                ly + soff8[ei, 0], lx + soff8[ei, 1], 8,
+                                av8_e, lam_2, qdc_2, qac_2, allow_k, tabs)
+                            return (cY, cU, cV, acc8 + c8), (out8, lv8)
 
-                (ctxY16, ctxU16, ctxV16, c16sum), (outs16, lvs16) = jax.lax.scan(
+                        (cY8, cU8, cV8, c8sum), (outs8, lvs8) = jax.lax.scan(
+                            eight, (ctxY, ctxU, ctxV, jnp.zeros_like(c16)),
+                            (jnp.arange(4, dtype=jnp.int32),
+                             av8_s.swapaxes(0, 1)))
+                        cost_n = c16 + lam_2 * part_bits16[0]
+                        cost_s = c8sum + lam_2 * part_bits16[1]
+                        split8 = cost_s < cost_n
+                        s3 = split8[:, None, None]
+                        ly2 = ly >> 1
+                        lx2 = lx >> 1
+                        selY = jnp.where(
+                            s3,
+                            jax.lax.dynamic_slice(cY8, (0, 1 + ly, 1 + lx),
+                                                  (Bn, 16, 16)),
+                            jax.lax.dynamic_slice(cY16, (0, 1 + ly, 1 + lx),
+                                                  (Bn, 16, 16)))
+                        selU = jnp.where(
+                            s3,
+                            jax.lax.dynamic_slice(cU8, (0, 1 + ly2, 1 + lx2),
+                                                  (Bn, 8, 8)),
+                            jax.lax.dynamic_slice(cU16, (0, 1 + ly2, 1 + lx2),
+                                                  (Bn, 8, 8)))
+                        selV = jnp.where(
+                            s3,
+                            jax.lax.dynamic_slice(cV8, (0, 1 + ly2, 1 + lx2),
+                                                  (Bn, 8, 8)),
+                            jax.lax.dynamic_slice(cV16, (0, 1 + ly2, 1 + lx2),
+                                                  (Bn, 8, 8)))
+                        ctxY = jax.lax.dynamic_update_slice(
+                            cY8, selY, (0, 1 + ly, 1 + lx))
+                        ctxU = jax.lax.dynamic_update_slice(
+                            cU8, selU, (0, 1 + ly2, 1 + lx2))
+                        ctxV = jax.lax.dynamic_update_slice(
+                            cV8, selV, (0, 1 + ly2, 1 + lx2))
+                        lv_y_m = jnp.where(
+                            split8[:, None],
+                            lvs8[0].transpose(1, 0, 2, 3).reshape(Bn, 256),
+                            lv16[0].reshape(Bn, 256))
+                        lv_u_m = jnp.where(
+                            split8[:, None],
+                            lvs8[1].transpose(1, 0, 2, 3).reshape(Bn, 64),
+                            lv16[1].reshape(Bn, 64))
+                        lv_v_m = jnp.where(
+                            split8[:, None],
+                            lvs8[2].transpose(1, 0, 2, 3).reshape(Bn, 64),
+                            lv16[2].reshape(Bn, 64))
+                        c_sel = jnp.minimum(cost_n, cost_s)
+                    else:
+                        ctxY, ctxU, ctxV = cY16, cU16, cV16
+                        split8 = jnp.zeros((Bn,), bool)
+                        zi = jnp.zeros((4, Bn), jnp.int32)
+                        outs8 = dict(mode=zi, delta=zi, tt=zi,
+                                     skip=jnp.zeros((4, Bn), bool),
+                                     au=zi, av=zi)
+                        lv_y_m = lv16[0].reshape(Bn, 256)
+                        lv_u_m = lv16[1].reshape(Bn, 64)
+                        lv_v_m = lv16[2].reshape(Bn, 64)
+                        c_sel = c16
+                    return (ctxY, ctxU, ctxV, acc + c_sel), (
+                        split8, out16, outs8, lv_y_m, lv_u_m, lv_v_m)
+
+                (ctxY16, ctxU16, ctxV16, c16sum), (
+                    split8s, outs16, outs8, lv_y_s, lv_u_s,
+                    lv_v_s) = jax.lax.scan(
                     sixteen, (ctxY, ctxU, ctxV, jnp.zeros_like(cost32)),
                     (jnp.arange(4, dtype=jnp.int32),
-                     av_q[:, 1:5].swapaxes(0, 1)))
+                     av_q[:, 1:5].swapaxes(0, 1), av8_q.swapaxes(0, 1)))
+                lvs16 = (lv_y_s, lv_u_s, lv_v_s)
 
                 cost_none = cost32 + lam_2 * part_bits[0]
-                cost_split = c16sum + lam_2 * (part_bits[1] + 4 * 2.0)
+                # when the 8-level RD ran, c16sum already carries each
+                # leaf's own partition bits; else approximate 4 NONE syms
+                cost_split = c16sum + lam_2 * (
+                    part_bits[1] + (0.0 if allow_split8 else 4 * 2.0))
                 split = cost_split < cost_none
                 if not allow_split:  # rdo_partition off (speed >= 9)
                     split = jnp.zeros_like(split)
@@ -635,23 +735,24 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
 
                 # merged level transfer: the split side and the NONE side
                 # code the same coefficient count; ship only the chosen one
+                # (split leaves already merged their own 16-vs-8 choice)
                 lv_y_m = jnp.where(split[:, None],
-                                   lvs16[0].transpose(1, 0, 2, 3).reshape(Bn, 1024),
+                                   lvs16[0].transpose(1, 0, 2).reshape(Bn, 1024),
                                    lv32[0].reshape(Bn, 1024))
                 lv_u_m = jnp.where(split[:, None],
-                                   lvs16[1].transpose(1, 0, 2, 3).reshape(Bn, 256),
+                                   lvs16[1].transpose(1, 0, 2).reshape(Bn, 256),
                                    lv32[1].reshape(Bn, 256))
                 lv_v_m = jnp.where(split[:, None],
-                                   lvs16[2].transpose(1, 0, 2, 3).reshape(Bn, 256),
+                                   lvs16[2].transpose(1, 0, 2).reshape(Bn, 256),
                                    lv32[2].reshape(Bn, 256))
-                return (ctxY, ctxU, ctxV), (split, out32, outs16,
-                                            lv_y_m, lv_u_m, lv_v_m)
+                return (ctxY, ctxU, ctxV), (split, out32, outs16, split8s,
+                                            outs8, lv_y_m, lv_u_m, lv_v_m)
 
             (ctxY, ctxU, ctxV), qouts = jax.lax.scan(
                 quad, (ctxY, ctxU, ctxV),
                 (jnp.arange(4, dtype=jnp.int32), av_k.swapaxes(0, 1),
-                 lam_k.swapaxes(0, 1), qdc_k.swapaxes(0, 1),
-                 qac_k.swapaxes(0, 1)))
+                 av8_k.swapaxes(0, 1), lam_k.swapaxes(0, 1),
+                 qdc_k.swapaxes(0, 1), qac_k.swapaxes(0, 1)))
 
             # write the finished SB tiles back (invalid lanes dropped)
             rr = jnp.where(val_k, sbr_k, R)
@@ -665,9 +766,9 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
 
         (tY, tU, tV), outs = jax.lax.scan(
             step, (tY, tU, tV),
-            (sbr, sbc, valid, avail, allow, lam_q, qdc_q, qac_q))
-        split, out32, outs16, lv_y, lv_u, lv_v = outs
-        # pack: (K, 4, B, 31) int16 metadata + (K, 4, B, 1536) levels
+            (sbr, sbc, valid, avail, avail8, allow, lam_q, qdc_q, qac_q))
+        split, out32, outs16, split8, outs8, lv_y, lv_u, lv_v = outs
+        # pack: (K, 4, B, 131) int16 metadata + (K, 4, B, 1536) levels
         m32 = jnp.stack([out32["mode"], out32["delta"], out32["tt"],
                          out32["skip"].astype(jnp.int32), out32["au"],
                          out32["av"]], axis=-1)
@@ -675,8 +776,13 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                          outs16["skip"].astype(jnp.int32), outs16["au"],
                          outs16["av"]], axis=-1)  # (K, 4, 4, B, 6)
         m16 = m16.transpose(0, 1, 3, 2, 4).reshape(K, 4, B, 24)
-        meta = jnp.concatenate([split[..., None].astype(jnp.int32), m32, m16],
-                               axis=-1).astype(jnp.int16)
+        s16 = split8.astype(jnp.int32).transpose(0, 1, 3, 2)  # (K, 4, B, 4)
+        m8 = jnp.stack([outs8["mode"], outs8["delta"], outs8["tt"],
+                        outs8["skip"].astype(jnp.int32), outs8["au"],
+                        outs8["av"]], axis=-1)  # (K, 4, 4, 4, B, 6)
+        m8 = m8.transpose(0, 1, 4, 2, 3, 5).reshape(K, 4, B, 96)
+        meta = jnp.concatenate([split[..., None].astype(jnp.int32), m32,
+                                s16, m16, m8], axis=-1).astype(jnp.int16)
         packed = jnp.concatenate([meta, lv_y, lv_u, lv_v], axis=-1)
         p_u8 = jax.lax.bitcast_convert_type(packed, jnp.uint8).reshape(-1)
         recY = tY.transpose(0, 2, 1, 3).reshape(Hp * Wp).astype(jnp.uint8)
@@ -697,28 +803,37 @@ class WavefrontResult:
     per-SB block records in decode order."""
 
     def __init__(self, geom: WavefrontGeometry, rec, split, out32, out16,
-                 levels):
+                 levels, split16=None, out8=None):
         self.geom = geom
         self.rec = rec  # [Y, U, V] int32 numpy
-        # stacked (K, 4, B[, ...]) / (K, 4, 4, B[, ...])
+        # stacked (K, 4, B[, ...]) / (K, 4, 4, B[, ...]) / (K, 4, 4, 4, B)
         self.split = split
         self.out32 = out32
         self.out16 = out16
+        self.split16 = split16  # (K, 4, 4, B): per (quad, 16-leaf)
+        self.out8 = out8
         # merged per-quadrant level buffers (K, 4, B, 1024|256): the
-        # chosen side's coefficients (32x32 row-major, or 4x 16x16 in
-        # leaf z-order when split)
+        # chosen side's coefficients (32x32 row-major, or 4x 16x16 /
+        # 16x 8x8 in leaf z-order when split)
         self.lv_y, self.lv_u, self.lv_v = levels
         sbrows, sbcols = geom.device_sb.shape
         self.split_map = np.zeros((sbrows * 2, sbcols * 2), bool)
+        self.split16_map = np.zeros((sbrows * 4, sbcols * 4), bool)
         for r in range(sbrows):
             for c_ in range(sbcols):
                 if not geom.device_sb[r, c_]:
                     continue
                 k, li = geom.sb_step[r, c_], geom.sb_lane[r, c_]
                 for q in range(4):
+                    qsplit = bool(split[k, q, li])
                     self.split_map[2 * r + (_QOFF[q][0] // 32),
-                                   2 * c_ + (_QOFF[q][1] // 32)] = \
-                        bool(split[k, q, li])
+                                   2 * c_ + (_QOFF[q][1] // 32)] = qsplit
+                    if not (qsplit and split16 is not None):
+                        continue
+                    for s in range(4):
+                        y16 = 4 * r + (_QOFF[q][0] + _SOFF[s][0]) // 16
+                        x16 = 4 * c_ + (_QOFF[q][1] + _SOFF[s][1]) // 16
+                        self.split16_map[y16, x16] = bool(split16[k, q, s, li])
 
     def sb_records(self, r: int, c_: int):
         """Block records for one device SB in decode order: list of
@@ -744,12 +859,31 @@ class WavefrontResult:
                              self.lv_v[k, q, li].reshape(16, 16)))
             else:
                 o = self.out16
-                ly4 = self.lv_y[k, q, li].reshape(4, 16, 16)
-                lu4 = self.lv_u[k, q, li].reshape(4, 8, 8)
-                lv4 = self.lv_v[k, q, li].reshape(4, 8, 8)
+                ly4 = self.lv_y[k, q, li].reshape(4, 256)
+                lu4 = self.lv_u[k, q, li].reshape(4, 64)
+                lv4 = self.lv_v[k, q, li].reshape(4, 64)
                 for s in range(4):
-                    recs.append((sx + _QOFF[q][1] + _SOFF[s][1],
-                                 sy + _QOFF[q][0] + _SOFF[s][0], 16, 16,
+                    x16 = sx + _QOFF[q][1] + _SOFF[s][1]
+                    y16 = sy + _QOFF[q][0] + _SOFF[s][0]
+                    if self.split16 is not None and self.split16[k, q, s, li]:
+                        o8 = self.out8
+                        av8 = g.avail8[k, li, q, s]
+                        ly8 = ly4[s].reshape(4, 8, 8)
+                        lu8 = lu4[s].reshape(4, 4, 4)
+                        lv8 = lv4[s].reshape(4, 4, 4)
+                        for e in range(4):
+                            recs.append((x16 + _SOFF8[e][1],
+                                         y16 + _SOFF8[e][0], 8, 8,
+                                         int(o8["mode"][k, q, s, e, li]),
+                                         bool(o8["skip"][k, q, s, e, li]),
+                                         int(o8["tt"][k, q, s, e, li]),
+                                         int(av8[e, 0]), int(av8[e, 1]),
+                                         int(o8["au"][k, q, s, e, li]),
+                                         int(o8["av"][k, q, s, e, li]),
+                                         int(o8["delta"][k, q, s, e, li]),
+                                         ly8[e], lu8[e], lv8[e]))
+                        continue
+                    recs.append((x16, y16, 16, 16,
                                  int(o["mode"][k, q, s, li]),
                                  bool(o["skip"][k, q, s, li]),
                                  int(o["tt"][k, q, s, li]),
@@ -757,7 +891,9 @@ class WavefrontResult:
                                  int(o["au"][k, q, s, li]),
                                  int(o["av"][k, q, s, li]),
                                  int(o["delta"][k, q, s, li]),
-                                 ly4[s], lu4[s], lv4[s]))
+                                 ly4[s].reshape(16, 16),
+                                 lu4[s].reshape(8, 8),
+                                 lv4[s].reshape(8, 8)))
         return recs
 
 
@@ -806,7 +942,8 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
 
     fn = build_pass(fe.h, fe.w, K, B, fe.bd, bool(fe.cfl_search and fe.q > 0),
                     bool(fe.tx_type_search and fe.q > 0), bool(fe.fine_dir),
-                    mmask, fe.mi_cols, fe.mi_rows, bool(fe.rdo_partition))
+                    mmask, fe.mi_cols, fe.mi_rows, bool(fe.rdo_partition),
+                    bool(getattr(fe, "rdo_split8", False)))
 
     # per-quadrant lambda / quantizers (activity AQ and segmentation maps)
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
@@ -846,7 +983,7 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
 
         dev = tuple(_jax.device_put(a) for a in
                     (geom.sbr, geom.sbc, geom.valid, geom.avail,
-                     geom.allow_z1))
+                     geom.avail8, geom.allow_z1))
         geom._dev = dev
 
     upload_dev = jnp.asarray(upload)
@@ -867,8 +1004,8 @@ def _sym_bits_row(row, n):
 
 def _mode_bit_params(fe) -> np.ndarray:
     """Mode-symbol bit tables from the frame's initial CDFs, as the fixed
-    float32 parameter tail the device pass unpacks: partition bits (2) +
-    uv-mode bits (13x2) + CFL sign (8) + CFL alpha (6x16)."""
+    float32 parameter tail the device pass unpacks: partition bits (2+2)
+    + uv-mode bits (13x2) + CFL sign (8) + CFL alpha (6x16)."""
     cdf = fe.cdf
     bits_uv = np.zeros((13, 2), np.float32)
     for m in range(13):
@@ -880,8 +1017,13 @@ def _mode_bit_params(fe) -> np.ndarray:
                            for i in range(6)])
     pbits = _sym_bits_row(cdf.partition[(3 - 1) * 4 + 0], 10)
     part_bits = np.asarray([pbits[0], pbits[3]], np.float32)
-    return np.concatenate([part_bits, bits_uv.ravel(), bits_sign,
-                           bits_alpha.ravel()]).astype(np.float32)
+    # 16-parent decision (bsl=2) + the four 8-leaf NONE symbols (bsl=1)
+    pbits16 = _sym_bits_row(cdf.partition[(2 - 1) * 4 + 0], 10)
+    pbits8 = _sym_bits_row(cdf.partition[0], 4)
+    part_bits16 = np.asarray(
+        [pbits16[0], pbits16[3] + 4 * pbits8[0]], np.float32)
+    return np.concatenate([part_bits, part_bits16, bits_uv.ravel(),
+                           bits_sign, bits_alpha.ravel()]).astype(np.float32)
 
 
 def unpack_wavefront(geom, fe, out: np.ndarray,
@@ -893,16 +1035,19 @@ def unpack_wavefront(geom, fe, out: np.ndarray,
     Hp = fe.h
     if Wp is None:
         Wp = fe.w
-    rec_words = K * 4 * B * 1567
-    packed = out[: rec_words * 2].view(np.int16).reshape(K, 4, B, 1567)
-    meta = packed[..., :31]
+    rec_words = K * 4 * B * 1667
+    packed = out[: rec_words * 2].view(np.int16).reshape(K, 4, B, 1667)
+    meta = packed[..., :131]
     split_np = meta[..., 0].astype(bool)
     f32names = ("mode", "delta", "tt", "skip", "au", "av")
     out32_np = {nm: meta[..., 1 + i] for i, nm in enumerate(f32names)}
-    m16 = meta[..., 7:31].reshape(K, 4, B, 4, 6).transpose(0, 1, 3, 2, 4)
+    split16_np = meta[..., 7:11].transpose(0, 1, 3, 2).astype(bool)
+    m16 = meta[..., 11:35].reshape(K, 4, B, 4, 6).transpose(0, 1, 3, 2, 4)
     out16_np = {nm: m16[..., i] for i, nm in enumerate(f32names)}
-    levels = (packed[..., 31:1055], packed[..., 1055:1311],
-              packed[..., 1311:1567])
+    m8 = meta[..., 35:131].reshape(K, 4, B, 4, 4, 6).transpose(0, 1, 3, 4, 2, 5)
+    out8_np = {nm: m8[..., i] for i, nm in enumerate(f32names)}
+    levels = (packed[..., 131:1155], packed[..., 1155:1411],
+              packed[..., 1411:1667])
     nY = Hp * Wp
     nC = (Hp >> 1) * (Wp >> 1)
     o = rec_words * 2
@@ -911,7 +1056,8 @@ def unpack_wavefront(geom, fe, out: np.ndarray,
     rec = [out[o : o + nY].reshape(Hp, Wp).astype(np.int32),
            out[o + nY : o + nY + nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32),
            out[o + nY + nC : o + nY + 2 * nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32)]
-    return WavefrontResult(geom, rec, split_np, out32_np, out16_np, levels)
+    return WavefrontResult(geom, rec, split_np, out32_np, out16_np, levels,
+                           split16_np, out8_np)
 
 
 def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":

@@ -43,10 +43,12 @@ class ShardedWavefrontResult:
         sb_cols = tile_w_sb * len(tile_results)
         self.geom_device_sb = np.zeros((sb_rows, sb_cols), bool)
         self.split_map = np.zeros((sb_rows * 2, sb_cols * 2), bool)
+        self.split16_map = np.zeros((sb_rows * 4, sb_cols * 4), bool)
         for t, r in enumerate(tile_results):
             c0 = t * tile_w_sb
             self.geom_device_sb[:, c0 : c0 + tile_w_sb] = r.geom.device_sb
             self.split_map[:, 2 * c0 : 2 * (c0 + tile_w_sb)] = r.split_map
+            self.split16_map[:, 4 * c0 : 4 * (c0 + tile_w_sb)] = r.split16_map
         self.rec = [
             np.concatenate([r.rec[p] for r in tile_results], axis=1)
             for p in range(3)
@@ -98,7 +100,8 @@ def run_wavefront_sharded(fe, tiles, mesh: Mesh):
                         bool(fe.cfl_search and fe.q > 0),
                         bool(fe.tx_type_search and fe.q > 0),
                         bool(fe.fine_dir), mmask, tile_w // 4, fe.mi_rows,
-                        bool(fe.rdo_partition))
+                        bool(fe.rdo_partition),
+                        bool(getattr(fe, "rdo_split8", False)))
 
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
     qdc_q = np.full((K, B, 4), fe.dc_q, np.float32)
@@ -121,9 +124,9 @@ def run_wavefront_sharded(fe, tiles, mesh: Mesh):
     shard = NamedSharding(mesh, P("sb"))
     rep = NamedSharding(mesh, P())
     dev = [jnp.asarray(a) for a in (geom.sbr, geom.sbc, geom.valid,
-                                    geom.avail, geom.allow_z1)]
-    vfn = jax.jit(jax.vmap(fn, in_axes=(0, None, None, None, None, None)),
-                  in_shardings=(shard,) + (rep,) * 5,
+                                    geom.avail, geom.avail8, geom.allow_z1)]
+    vfn = jax.jit(jax.vmap(fn, in_axes=(0,) + (None,) * 6),
+                  in_shardings=(shard,) + (rep,) * 6,
                   out_shardings=shard)
     out = np.asarray(vfn(jax.device_put(up, shard), *dev))
 

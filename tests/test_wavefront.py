@@ -79,3 +79,20 @@ def test_wavefront_speeds(speed):
 
 def test_wavefront_segmentation():
     roundtrip(320, 256, q=120, seed=7, seg=(-8, -3, 2, 7))
+
+
+def test_wavefront_split8_engages():
+    """Speed <= 3 runs the nested 16->8 partition RD on device; on busy
+    content at moderate q some 16-leaves must split to 8x8 and the
+    resulting stream must stay decoder-exact (reference analog:
+    rdo_partition_decision recursing to BLOCK_8X8, src/rdo.rs)."""
+    fe = roundtrip(320, 256, q=80, seed=11, speed=2)
+    assert fe.rdo_split8
+    sm16 = fe._rd_maps.get("split16")
+    assert sm16 is not None and sm16.any(), "no 8x8 splits chosen"
+
+
+def test_wavefront_split8_partial_superblocks():
+    """8x8 device leaves interleaved with host partial-edge SBs."""
+    fe = roundtrip(330, 250, q=80, seed=12, speed=2)
+    assert fe.rdo_split8
