@@ -48,6 +48,7 @@ class SpeedSettings:
             raise InvalidConfig(f"speed must be 0..=10, got {speed}")
         s = cls(speed=speed)
         s.encode_bottomup = speed == 0
+        s.multiref = speed <= 7
         s.partition_range = (
             (4, 64) if speed <= 1 else (8, 64) if speed <= 8 else (32, 64)
         )

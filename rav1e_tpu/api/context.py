@@ -255,6 +255,7 @@ class Context:
                                len(data) * 8)
         self._encoder.recon_by_input[frameno] = self._encoder.last_recon
         self._encoder.base_slot = 0
+        self._encoder.prev_base_slot = None
         return Packet(data=data, input_frameno=frameno, frame_type=ftype)
 
     def _encode_group(self, group: list) -> None:
@@ -267,8 +268,35 @@ class Context:
 
         enc = self._encoder
         base = getattr(enc, "base_slot", 0)
-        alt_slot = (base + 1) % 3
-        mid_slot = (base + 2) % 3
+        prev_base = getattr(enc, "prev_base_slot", None)
+        # slots 0..3 rotate for the pyramid anchors (keeping the previous
+        # group's base alive one extra group as LAST2); slot 7 is pinned to
+        # the most recent key frame and serves as GOLDEN (reference analog:
+        # the GOLDEN/LAST2 slot management in src/api/internal.rs)
+        alt_slot = (base + 1) % 4
+        mid_slot = (base + 2) % 4
+        GOLD = 7
+
+        def _hint(s_):
+            return enc.slots.get(s_, {"hint": -1})["hint"]
+
+        multiref = self.enc.speed_settings.multiref
+
+        def widen(refs):
+            """Extend a ref set with GOLDEN / LAST2 when multiref is on
+            and the slots hold genuinely distinct frames; with multiref
+            off, collapse to LAST only (reference SpeedSettings)."""
+            if not multiref:
+                return {mvp.LAST_FRAME: refs[mvp.LAST_FRAME]}
+            used = {_hint(s_) for s_ in refs.values()}
+            if _hint(GOLD) >= 0 and _hint(GOLD) not in used:
+                refs[mvp.GOLDEN_FRAME] = GOLD
+                used.add(_hint(GOLD))
+            if (prev_base is not None and mvp.LAST2_FRAME not in refs
+                    and _hint(prev_base) not in used):
+                refs[mvp.LAST2_FRAME] = prev_base
+            return refs
+
         n = len(group)
         if self._rc is not None:
             q0 = self._rc.select_qi("inter")
@@ -316,17 +344,20 @@ class Context:
         alt_no, alt_frame = group[-1]
         if n == 1:
             q = q0
-            data = enc.encode_inter(alt_frame, q, alt_no, {mvp.LAST_FRAME: base},
+            data = enc.encode_inter(alt_frame, q, alt_no,
+                                    widen({mvp.LAST_FRAME: base}),
                                     show_frame=True, refresh_flags=1 << alt_slot)
             emit(alt_no, data, True)
             record(alt_no, data, q)
+            enc.prev_base_slot = base
             enc.base_slot = alt_slot
         else:
             from rav1e_tpu.api.rate import RCState as _RC
 
             q_alt, q_mid_v, q_leaf_v = _RC.group_qis(
                 q0, max(1, self.enc.min_quantizer), 255)
-            data = enc.encode_inter(alt_frame, q_alt, alt_no, {mvp.LAST_FRAME: base},
+            data = enc.encode_inter(alt_frame, q_alt, alt_no,
+                                    widen({mvp.LAST_FRAME: base}),
                                     show_frame=False, refresh_flags=1 << alt_slot,
                                     imp_scale=imp_scales[n - 1])
             emit(alt_no, data, False)
@@ -337,7 +368,7 @@ class Context:
                 q_mid = q_mid_v
                 data = enc.encode_inter(
                     mid_frame, q_mid, mid_no,
-                    {mvp.LAST_FRAME: base, mvp.ALTREF_FRAME: alt_slot},
+                    widen({mvp.LAST_FRAME: base, mvp.ALTREF_FRAME: alt_slot}),
                     show_frame=False, refresh_flags=1 << mid_slot,
                     imp_scale=imp_scales[mid_i])
                 emit(mid_no, data, False)
@@ -355,18 +386,17 @@ class Context:
                     refs[mvp.BWDREF_FRAME] = mid_slot
                 elif mid_i is not None:
                     refs[mvp.LAST_FRAME] = mid_slot
+                    refs[mvp.LAST2_FRAME] = base  # display anchor 2 back
                 else:
                     refs[mvp.LAST_FRAME] = base
-                if not self.enc.speed_settings.multiref:
-                    # multiref off (reference SpeedSettings): leaves search
-                    # LAST only; the pyramid refs still exist for display
-                    refs = {mvp.LAST_FRAME: refs[mvp.LAST_FRAME]}
+                refs = widen(refs)
                 data = enc.encode_inter(frame, q_leaf, frameno, refs,
                                         show_frame=True, refresh_flags=0,
                                         imp_scale=imp_scales[i])
                 emit(frameno, data, True)
                 record(frameno, data, q_leaf)
             emit(alt_no, enc.show_existing(alt_slot), True)
+            enc.prev_base_slot = base
             enc.base_slot = alt_slot
         if self._rc is not None:
             self._rc.update_group("inter", n, total_bits)

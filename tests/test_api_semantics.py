@@ -254,3 +254,37 @@ def test_container_sequence_header():
     ctx = ctx_for(low_latency=True)
     hdr = ctx.container_sequence_header()
     assert isinstance(hdr, bytes) and len(hdr) > 4
+
+
+def test_multiref_long_gop_decode_exact():
+    """Three pyramid groups so LAST2 (previous group's base) and GOLDEN
+    (pinned keyframe slot 7) genuinely differ from LAST/ALTREF; every
+    shown frame must still decode bit-exactly (reference analog: the
+    GOLDEN/LAST2 slot management in src/api/internal.rs)."""
+    n = 13
+    ctx = ctx_for(width=96, height=80, low_latency=False,
+                  max_key_frame_interval=100, min_key_frame_interval=1)
+    fs = frames(n, w=96, h=80, seed=3)
+    pkts = drive(ctx, fs)
+    assert ctx._encoder.prev_base_slot is not None
+    dec = dav1d.decode_stream([p.data for p in pkts])
+    shown = [p.input_frameno for p in pkts if p.shows]
+    assert sorted(shown) == list(range(n))
+    for disp, no in enumerate(shown):
+        rec = ctx._encoder.recon_by_input[no]
+        for pl in range(3):
+            assert np.array_equal(dec[disp][pl].astype(np.int32), rec[pl])
+
+
+def test_multiref_off_collapses_to_last():
+    """multiref=False (reference SpeedSettings) must still produce a
+    decodable stream using LAST only."""
+    from rav1e_tpu.api.config import SpeedSettings
+
+    ss = SpeedSettings.from_preset(6)
+    ss.multiref = False
+    ctx = ctx_for(low_latency=False, max_key_frame_interval=100,
+                  speed_settings=ss)
+    pkts = drive(ctx, frames(9))
+    dec = dav1d.decode_stream([p.data for p in pkts])
+    assert len(dec) == 9
