@@ -112,10 +112,9 @@ class EncoderConfig:
             raise InvalidConfig("quantizer must be 0..=255")
         if self.max_key_frame_interval < self.min_key_frame_interval:
             raise InvalidConfig("max keyframe interval < min")
-        if tuple(self.chroma_sampling) not in ((1, 1), (0, 0)):
+        if tuple(self.chroma_sampling) not in ((1, 1), (0, 0), (1, 0)):
             raise InvalidConfig(
-                "chroma sampling must be 4:2:0 or 4:4:4 (4:2:2 requires "
-                "rectangular chroma transforms, not implemented yet)")
+                "chroma sampling must be 4:2:0, 4:2:2 or 4:4:4")
         if self.switch_frame_interval and not self.low_latency:
             raise InvalidConfig("switch frames require low latency mode")
 

@@ -384,7 +384,8 @@ class IntraFrameEncoder:
             from rav1e_tpu.ops.deblock_np import deblock_frame
 
             deblock_frame(self.rec, self.db_info, self.lf_levels,
-                          self.lf_sharpness, self.bd, self.coded_w, self.coded_h)
+                          self.lf_sharpness, self.bd, self.coded_w,
+                          self.coded_h, sub_x=self.sub_x, sub_y=self.sub_y)
         if self.lrf:
             # LR stripe boundaries read the pre-CDEF (deblocked) rows
             self._deblock_copy = [p.copy() for p in self.rec]
@@ -576,9 +577,10 @@ class IntraFrameEncoder:
         if self.seg_map is not None:
             self.seg_coded[r0:r1, c0:c1] = 0
         for p, ctx in enumerate(self.pctx):
-            sub = 0 if p == 0 else 1
-            pc0, pc1 = (self.tx0 >> sub) // 4, ((self.tx1 >> sub) + 3) // 4
-            pr0, pr1 = (self.ty0 >> sub) // 4, ((self.ty1 >> sub) + 3) // 4
+            sx = 0 if p == 0 else self.sub_x
+            sy = 0 if p == 0 else self.sub_y
+            pc0, pc1 = (self.tx0 >> sx) // 4, ((self.tx1 >> sx) + 3) // 4
+            pr0, pr1 = (self.ty0 >> sy) // 4, ((self.ty1 >> sy) + 3) // 4
             ctx.above_cul[pc0:pc1] = 0
             ctx.left_cul[pr0:pr1] = 0
             ctx.above_dc[pc0:pc1] = 0
@@ -1198,10 +1200,11 @@ class IntraFrameEncoder:
         w, h = self.coded_w, self.coded_h
         src_pad = []
         for p, plane in enumerate(self.rec):
-            sub = 0 if p == 0 else 1
-            s = np.full(((h >> sub) + 2 * pad, (w >> sub) + 2 * pad),
+            sx = 0 if p == 0 else self.sub_x
+            sy = 0 if p == 0 else self.sub_y
+            s = np.full(((h >> sy) + 2 * pad, (w >> sx) + 2 * pad),
                         cd.CDEF_VERY_LARGE, np.int32)
-            s[pad : pad + (h >> sub), pad : pad + (w >> sub)] = plane[: h >> sub, : w >> sub]
+            s[pad : pad + (h >> sy), pad : pad + (w >> sx)] = plane[: h >> sy, : w >> sx]
             src_pad.append(s)
         # stratified sample of non-skip 8x8 blocks
         blocks = []
@@ -1348,6 +1351,11 @@ class IntraFrameEncoder:
             self.enc.gather_bool(1 if part == self.P_SPLIT else 0,
                                  cdf_row, self._TOP_SPLIT_SET, nsyms)
         elif has_rows:
+            # 4:2:2: tall half-blocks at 16/32 map to BLOCK_INVALID chroma
+            # (spec Subsampled_Size); a conformant encoder must SPLIT the
+            # right-edge column instead of coding PARTITION_VERT there
+            if (size in (16, 32) and self.sub_x == 1 and self.sub_y == 0):
+                want_split = True
             part = self.P_SPLIT if want_split else self.P_VERT
             self.enc.gather_bool(1 if part == self.P_SPLIT else 0,
                                  cdf_row, self._LEFT_SPLIT_SET, nsyms)
@@ -1989,9 +1997,10 @@ class IntraFrameEncoder:
         # writes clamp at the mi grid (decoder keeps the beyond-frame region
         # at its neutral init value); reads beyond the grid see neutral 0
         ctx = self.pctx[plane]
-        sub = 0 if plane == 0 else 1
-        max_c = (self.mi_cols * 4 >> sub) // 4
-        max_r = (self.mi_rows * 4 >> sub) // 4
+        sx = 0 if plane == 0 else self.sub_x
+        sy = 0 if plane == 0 else self.sub_y
+        max_c = (self.mi_cols * 4 >> sx) // 4
+        max_r = (self.mi_rows * 4 >> sy) // 4
         u = 4
         c1 = min((px + tw) // u, max_c)
         r1 = min((py + th) // u, max_r)

@@ -173,42 +173,68 @@ def find_mv_stack(
                 state["found"] = True
                 push(cand, weight)
 
-    def scan_row(delta_row: int) -> None:
+    # spanning-candidate weighting (libaom scan_row_mbmi/scan_col_mbmi,
+    # matched by dav1d refmvs.c): a neighbor at least as wide/tall as the
+    # current block is weighted by how many outer rows/cols it covers
+    # (inc), and those outer scans are then skipped (processed_*)
+    processed = {"rows": 0, "cols": 0}
+
+    def scan_row(delta_row: int, max_row_offset: int) -> None:
         delta_col = 0
         end4 = min(min(bw4, grid.cols - mi_col), 16)
         use_step16 = bw4 >= 16
         if abs(delta_row) > 1:
-            delta_row += mi_row & 1
-            delta_col = 1 - (mi_col & 1)
+            delta_col = 1
+            if (mi_col & 1) and bw4 < 2:
+                delta_col -= 1
         i = 0
         while i < end4:
             r = mi_row + delta_row
             c = mi_col + delta_col + i
             if not is_inside(r, c):
                 break
-            length = min(2, max(1, int(grid.bw4[r, c])))
+            cand_bw4 = max(1, int(grid.bw4[r, c]))
+            length = min(bw4, cand_bw4)
             if use_step16:
                 length = max(4, length)
-            add_candidate(r, c, length * 2)
+            elif abs(delta_row) > 1:
+                length = max(2, length)
+            weight = 2
+            if 2 <= bw4 <= cand_bw4:
+                inc = min(-max_row_offset + delta_row + 1,
+                          max(1, int(grid.bh4[r, c])))
+                weight = max(weight, inc)
+                processed["rows"] = inc - delta_row - 1
+            add_candidate(r, c, length * weight)
             i += length
 
-    def scan_col(delta_col: int) -> None:
+    def scan_col(delta_col: int, max_col_offset: int) -> None:
         delta_row = 0
         end4 = min(min(bh4, grid.rows - mi_row), 16)
         use_step16 = bh4 >= 16
         if abs(delta_col) > 1:
-            delta_col += mi_col & 1
-            delta_row = 1 - (mi_row & 1)
+            delta_row = 1
+            if (mi_row & 1) and bh4 < 2:
+                delta_row -= 1
         i = 0
         while i < end4:
             r = mi_row + delta_row + i
             c = mi_col + delta_col
             if not is_inside(r, c):
                 break
-            length = min(2, max(1, int(grid.bh4[r, c])))
+            cand_bh4 = max(1, int(grid.bh4[r, c]))
+            length = min(bh4, cand_bh4)
             if use_step16:
                 length = max(4, length)
-            add_candidate(r, c, length * 2)
+            elif abs(delta_col) > 1:
+                length = max(2, length)
+            weight = 2
+            if 2 <= bh4 <= cand_bh4:
+                inc = min(-max_col_offset + delta_col + 1,
+                          max(1, int(grid.bw4[r, c])))
+                weight = max(weight, inc)
+                processed["cols"] = inc - delta_col - 1
+            add_candidate(r, c, length * weight)
             i += length
 
     def scan_point(delta_row: int, delta_col: int) -> None:
@@ -220,14 +246,24 @@ def find_mv_stack(
     found_above = False
     found_left = False
 
-    state["found"] = False
+    # maximum scan offsets, clamped at the tile edge (libaom
+    # find_valid_row_offset / find_valid_col_offset); these also feed the
+    # spanning-candidate weight above
+    max_row_offset = 0
     if mi_row > t_r0:
-        scan_row(-1)
+        max_row_offset = max(-(MVREF_ROW_COLS << 1), t_r0 - mi_row)
+    max_col_offset = 0
+    if mi_col > t_c0:
+        max_col_offset = max(-(MVREF_ROW_COLS << 1), t_c0 - mi_col)
+
+    state["found"] = False
+    if abs(max_row_offset) >= 1:
+        scan_row(-1, max_row_offset)
     found_above |= state["found"]
 
     state["found"] = False
-    if mi_col > t_c0:
-        scan_col(-1)
+    if abs(max_col_offset) >= 1:
+        scan_col(-1, max_col_offset)
     found_left |= state["found"]
 
     state["found"] = False
@@ -249,12 +285,14 @@ def find_mv_stack(
     for idx in range(2, MVREF_ROW_COLS + 1):
         delta = -(idx * 2 - 1)
         state["found"] = False
-        if mi_row > t_r0:
-            scan_row(delta)
+        if (abs(delta) <= abs(max_row_offset)
+                and abs(delta) > processed["rows"]):
+            scan_row(delta, max_row_offset)
         found_above |= state["found"]
         state["found"] = False
-        if mi_col > t_c0:
-            scan_col(delta)
+        if (abs(delta) <= abs(max_col_offset)
+                and abs(delta) > processed["cols"]):
+            scan_col(delta, max_col_offset)
         found_left |= state["found"]
 
     total_matches = int(found_above) + int(found_left)

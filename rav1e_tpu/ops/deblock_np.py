@@ -235,13 +235,14 @@ def _deblock_pass(img, limit, blimit, thresh, bd, plane_idx, w, h,
 
 
 def deblock_frame(rec, info: DeblockInfo, levels, sharpness, bd,
-                  coded_w, coded_h, luma_only: bool = False) -> None:
-    """Filter all planes of the reconstruction in place (4:2:0)."""
+                  coded_w, coded_h, luma_only: bool = False,
+                  sub_x: int = 1, sub_y: int = 1) -> None:
+    """Filter all planes of the reconstruction in place."""
     if not any(levels):
         return
     deblock_plane(rec[0], info, 0, levels, sharpness, 0, 0, bd, coded_w, coded_h)
     if luma_only:
         return
-    cw, ch = coded_w >> 1, coded_h >> 1
-    deblock_plane(rec[1], info, 1, levels, sharpness, 1, 1, bd, cw, ch)
-    deblock_plane(rec[2], info, 2, levels, sharpness, 1, 1, bd, cw, ch)
+    cw, ch = coded_w >> sub_x, coded_h >> sub_y
+    deblock_plane(rec[1], info, 1, levels, sharpness, sub_x, sub_y, bd, cw, ch)
+    deblock_plane(rec[2], info, 2, levels, sharpness, sub_x, sub_y, bd, cw, ch)

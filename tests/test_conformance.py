@@ -246,3 +246,92 @@ def test_8x8_partitions_speed2():
     for i in range(3):
         assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
     assert fe.stats.bsize_counts.get("8x8", 0) > 50, fe.stats.bsize_counts
+
+
+def _roundtrip_sampling(ss, w, h, q=100, seed=0, speed=6):
+    """Encode one keyframe at the given chroma sampling; dav1d decode must
+    equal the encoder recon on all planes (reference capability:
+    4:2:0/4:2:2/4:4:4, spec profiles 0/2/1)."""
+    from rav1e_tpu.models.intra_frame import IntraFrameEncoder
+
+    rng = np.random.default_rng(seed)
+    cw = (w + ss[0]) >> ss[0]
+    ch = (h + ss[1]) >> ss[1]
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip((xx * 3 + yy * 2) % 256 + rng.integers(-15, 15, (h, w)),
+                0, 255).astype(np.int32)
+    u = ((np.mgrid[0:ch, 0:cw][1] * 2 + 40) % 220).astype(np.int32)
+    v = ((np.mgrid[0:ch, 0:cw][0] * 3 + 90) % 240).astype(np.int32)
+    fe = IntraFrameEncoder(w, h, q_idx=q, speed=speed, device_modes=False,
+                           chroma_sampling=ss)
+    tile, recon = fe.encode([y, u, v])
+    prof = 2 if ss == (1, 0) else (1 if ss == (0, 0) else 0)
+    seq = Sequence(width=w, height=h, profile=prof,
+                   subsampling_x=ss[0], subsampling_y=ss[1])
+    fp = FrameParams(base_q_idx=q, disable_cdf_update=False)
+    data = (temporal_delimiter() + write_sequence_header_obu(seq)
+            + write_frame_obu(seq, fp, tile))
+    dec, _ = dav1d.Dav1dDecoder().decode_packet(data)
+    for i in range(3):
+        assert np.array_equal(dec[i], recon[i].astype(np.uint8)), f"plane {i}"
+
+
+def test_422_intra_conformance():
+    """4:2:2 (profile 2): rectangular chroma transforms (8x32, 4x16) and
+    the tall-block partition restriction (spec Subsampled_Size maps tall
+    16x32/8x16 to BLOCK_INVALID in 4:2:2; right-edge columns must SPLIT)."""
+    _roundtrip_sampling((1, 0), 96, 80)
+    _roundtrip_sampling((1, 0), 136, 72, q=140)  # 8px partial column
+    _roundtrip_sampling((1, 0), 130, 70, q=60)   # odd render size
+
+
+def test_444_intra_conformance():
+    """4:4:4 (profile 1) with partial superblocks (the coefficient-context
+    clamp regression: plane ctx updates must use the real subsampling)."""
+    _roundtrip_sampling((0, 0), 96, 80)
+    _roundtrip_sampling((0, 0), 136, 72, q=140)
+
+
+def test_422_inter_gop_api():
+    """4:2:2 inter GOP through the public API: chroma MC geometry and the
+    tall-block restriction on inter frames; decode must be bit-exact."""
+    from rav1e_tpu.api.config import Config, EncoderConfig
+    from rav1e_tpu.api.context import EncoderError
+
+    from rav1e_tpu.utils.frame import Frame
+
+    w, h = 88, 64
+    cfg = Config(enc=EncoderConfig(width=w, height=h, quantizer=110,
+                                   chroma_sampling=(1, 0), low_latency=False,
+                                   max_key_frame_interval=100))
+    ctx = cfg.new_context()
+    rng = np.random.default_rng(9)
+    fs = []
+    for t in range(6):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = np.clip((xx * 2 + yy + 3 * t) % 256
+                    + rng.integers(-10, 10, (h, w)), 0, 255).astype(np.uint8)
+        u = ((xx[:, ::2] + 40 + t) % 220).astype(np.uint8)
+        v = ((yy[:, ::2] + 90 + t) % 240).astype(np.uint8)
+        fs.append(Frame.from_planes(y, u, v, 8, (1, 0)))
+    pkts = []
+    for f in fs:
+        ctx.send_frame(f)
+        while True:
+            try:
+                pkts.append(ctx.receive_packet())
+            except EncoderError:
+                break
+    ctx.flush()
+    while True:
+        try:
+            pkts.append(ctx.receive_packet())
+        except EncoderError:
+            break
+    dec = dav1d.decode_stream([p.data for p in pkts])
+    shown = [p.input_frameno for p in pkts if p.shows]
+    assert sorted(shown) == list(range(6))
+    for disp, no in enumerate(shown):
+        rec = ctx._encoder.recon_by_input[no]
+        for pl in range(3):
+            assert np.array_equal(dec[disp][pl].astype(np.int32), rec[pl])
