@@ -367,8 +367,23 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         dirs = ij.predict_dirs(above, left, n, dir_mats[n])
         dc = ij.dc_predict(above, left, n, n, ha, hl, bd)
         nd = _nondir_preds(above, left, n)  # (B, 4, n, n): SM, SMV, SMH, PAETH
+        if fine_dir:
+            # pick each base direction's best angle delta by SAD (zone-1
+            # deltas masked) BEFORE the RD race, so a direction whose true
+            # angle falls between base angles competes at its best delta
+            # rather than losing to DC at delta 0 (rav1e evaluates every
+            # delta inside rdo_mode_decision; src/rdo.rs intra mode loop)
+            sad56 = jnp.abs(dirs - src[:, None, None]).sum((-1, -2))  # (B,8,7)
+            angs56 = jnp.asarray(ij.DIR_ANGLES)  # (8, 7) static angle table
+            bad56 = (angs56[None] < 90) & ~allow_z1[:, None, None]
+            di8 = jnp.argmin(jnp.where(bad56, BIG, sad56), axis=2)  # (B, 8)
+            dir_cand = jnp.take_along_axis(
+                dirs, di8[:, :, None, None, None], axis=2)[:, :, 0]
+        else:
+            di8 = jnp.full(dirs.shape[:2], 3, jnp.int32)
+            dir_cand = dirs[:, :, 3]
         stack = jnp.concatenate(
-            [dc[:, None], dirs[:, :, 3], nd], axis=1)  # enum order 0..12
+            [dc[:, None], dir_cand, nd], axis=1)  # enum order 0..12
         # mode selection by tx-domain RD over ALL candidates (device
         # rdo_mode_decision): forward-DCT every candidate residual (one
         # batched MXU matmul), quantize, and argmin dist + lam*rate.  A
@@ -390,28 +405,13 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         cost_all = jnp.where(mask, cost_all, BIG)
         mode = jnp.argmin(cost_all, axis=1).astype(jnp.int32)
 
-        pred0 = jnp.take_along_axis(
+        pred = jnp.take_along_axis(
             stack, mode[:, None, None, None], axis=1)[:, 0]
-        delta = jnp.zeros_like(mode)
-        pred = pred0
-        if fine_dir:
-            sad56 = jnp.abs(dirs - src[:, None, None]).sum((-1, -2))  # (B,8,7)
-            dmi = jnp.clip(mode - 1, 0, 7)
-            dsads = jnp.take_along_axis(sad56, dmi[:, None, None],
-                                        axis=1)[:, 0]  # (B, 7)
-            angs = jnp.asarray(ij.DIR_ANGLES)  # (8, 7) static angle table
-            my_angs = angs[dmi]
-            bad = (my_angs < 90) & ~allow_z1[:, None]  # zone-1 restriction
-            dsads = jnp.where(bad, BIG, dsads)
-            di = jnp.argmin(dsads, axis=1)
-            delta = (di - 3).astype(jnp.int32)
-            pred_d = jnp.take_along_axis(
-                jnp.take_along_axis(dirs, dmi[:, None, None, None, None],
-                                    axis=1)[:, 0],
-                di[:, None, None, None], axis=1)[:, 0]
-            # non-directional winner keeps the stack prediction
-            pred = jnp.where(is_dir[mode][:, None, None], pred_d, pred0)
-            delta = jnp.where(is_dir[mode], delta, 0)
+        # delta of the winning mode (0 for non-directional winners)
+        dmi = jnp.clip(mode - 1, 0, 7)
+        delta = (jnp.take_along_axis(di8, dmi[:, None], axis=1)[:, 0]
+                 - 3).astype(jnp.int32)
+        delta = jnp.where(is_dir[mode], delta, 0)
 
         resid = src - pred
         Fv, FhT = mats[(n, 0)]
