@@ -44,7 +44,28 @@ enum {
     D45 = 3, D135 = 4, D113 = 5, D157 = 6, D203 = 7, D67 = 8,
     SMOOTH_PRED = 9, SMOOTH_V = 10, SMOOTH_H = 11, PAETH = 12,
 };
-enum { TX_DCT_DCT = 0, TX_ADST_ADST = 3 };  // transforms_np.py:447
+// transforms_np.py:447 (spec tx-type enum)
+enum { TX_DCT_DCT = 0, TX_ADST_DCT = 1, TX_DCT_ADST = 2, TX_ADST_ADST = 3,
+       TX_IDTX = 9 };
+// luma tx-type RD candidates in intra_frame.TX_SET2_SYM iteration order:
+// (set-2 symbol, tx type, packed-mats index; index 0 = the DCT fy_* args)
+struct TTCand { int sym; int txt; int mat; };
+constexpr TTCand LUMA_TT[5] = {{1, TX_DCT_DCT, 0}, {2, TX_ADST_ADST, 1},
+                               {3, TX_ADST_DCT, 2}, {4, TX_DCT_ADST, 3},
+                               {0, TX_IDTX, 4}};
+// uv-mode RD candidates (intra_frame.UV_RD_MODES order) with the derived
+// chroma tx type (spec Mode_To_Txfm_Type) and its chroma-mats pack index
+// (0 DCT, 1 AA, 2 AD, 3 DA)
+struct UVCand { int mode; int txt; int mat; };
+constexpr UVCand UV_RD[9] = {
+    {1, TX_ADST_DCT, 2},  {2, TX_DCT_ADST, 3},  {4, TX_ADST_ADST, 1},
+    {5, TX_ADST_DCT, 2},  {6, TX_DCT_ADST, 3},  {9, TX_ADST_ADST, 1},
+    {10, TX_ADST_DCT, 2}, {11, TX_DCT_ADST, 3}, {12, TX_ADST_ADST, 1}};
+// spec Mode_To_Txfm_Type for the final chroma reconstruction
+constexpr int MODE_TO_TXFM[14] = {
+    TX_DCT_DCT, TX_ADST_DCT, TX_DCT_ADST, TX_DCT_DCT, TX_ADST_ADST,
+    TX_ADST_DCT, TX_DCT_ADST, TX_DCT_ADST, TX_ADST_DCT, TX_ADST_ADST,
+    TX_ADST_DCT, TX_DCT_ADST, TX_ADST_ADST, TX_DCT_DCT};
 
 // registry slots (must match rav1e_tpu/ec/native_block.py)
 enum {
@@ -302,9 +323,11 @@ inline int tx_size_ctx(int w, int h) {
 // All the symbol coding + context updates for one decided block: skip,
 // modes, residual txbs, neighbor state.  Shared by the normal encode path
 // and the cached pass-B replay (two-pass LR flow).
+// tt is the luma tx-type SYMBOL within the DTT4_IDTX set (0 IDTX, 1 DCT,
+// 2 ADST_ADST, 3 ADST_DCT, 4 DCT_ADST); uv_mode 0..12 or 13 (UV_CFL).
 int code_block_symbols(
     MsacEnc *enc, const Ptrs &P,
-    int x, int y, int bw, int bh, int y_mode, int skip, int tt,
+    int x, int y, int bw, int bh, int y_mode, int skip, int tt, int uv_mode,
     int au, int av, int y_delta, int seg_symv, int seg_ctx, int seg_nsyms,
     const int32_t *lv_y, const int32_t *lv_u, const int32_t *lv_v,
     const int32_t *scan_y, const int32_t *scan_c,
@@ -337,9 +360,13 @@ int code_block_symbols(
         msac_symbol(enc, P.c[R_ANGLE] + (y_mode - V_PRED) * 8, 7,
                     y_delta + 3, adapt);
     int cfl_allowed = (bw > bh ? bw : bh) <= 32 ? 1 : 0;
-    const int uv_cfl = (au || av) ? 1 : 0;
+    const int uv_cfl = uv_mode == UV_CFL_SYM ? 1 : 0;
     msac_symbol(enc, P.c[R_UV] + ((int64_t)cfl_allowed * 13 + y_mode) * 15,
-                cfl_allowed ? 14 : 13, uv_cfl ? UV_CFL_SYM : DC_PRED, adapt);
+                cfl_allowed ? 14 : 13, uv_mode, adapt);
+    if (!uv_cfl && (bw < bh ? bw : bh) >= 8 && uv_mode >= V_PRED
+        && uv_mode <= D67)
+        msac_symbol(enc, P.c[R_ANGLE] + (uv_mode - V_PRED) * 8, 7,
+                    0 + 3, adapt);  // uv angle delta (always 0 here)
     if (uv_cfl) {
         int su = au == 0 ? 0 : (au < 0 ? 1 : 2);
         int sv = av == 0 ? 0 : (av < 0 ? 1 : 2);
@@ -388,8 +415,7 @@ int code_block_symbols(
             int mn = tw < th ? tw : th;
             int txsqr = mn >= 16 ? 2 : (mn >= 8 ? 1 : 0);
             tx_row = P.c[R_TXTYPE2] + ((int64_t)txsqr * 13 + y_mode) * 6;
-            // set-2 symbol order: IDTX, DCT_DCT, ADST_ADST, ...
-            tx_sym = tt ? 2 : 1;
+            tx_sym = tt;  // set-2 symbol: IDTX, DCT, AA, AD, DA
             tx_ns = 5;
         }
         int ei = 0;
@@ -477,8 +503,9 @@ int encode_intra_block(
     int y_mode, int dc_q, int ac_q, int bd,
     int tx_search, int q_nonzero, double lam,
     const double *fy_v, const double *fy_h, double fy_s,
-    const double *fya_v, const double *fya_h, double fya_s,
-    const double *fc_v, const double *fc_h, double fc_s,
+    const double *mats_y_ext,  // packed AA, AD, DA, IDTX: [Fv, FhT, scale]
+    const double *mats_c,      // packed DCT, AA, AD, DA at chroma dims
+    int uv_search,
     const int32_t *scan_y, const int32_t *scan_c,
     int32_t *above_mode, int32_t *left_mode,
     int32_t *above_skip, int32_t *left_skip,
@@ -573,20 +600,27 @@ int encode_intra_block(
             res[r * bw + c] =
                 src_y[(int64_t)(y + r) * stride_y + x + c] - pred_y[r * bw + c];
     const int shift_y = (bw * bh > 256 ? 1 : 0) + (bw * bh > 1024 ? 1 : 0);
-    int tt = 0;
+    // packed-matrix entry stride: Fv (bh*bh) + FhT (bw*bw) + scale
+    const size_t ystride = (size_t)bh * bh + (size_t)bw * bw + 1;
+    int tt_sym = 1;  // DTT4_IDTX set symbol (1 = DCT_DCT)
+    int tt_txt = TX_DCT_DCT;
     fdct_quant(res, bw, bh, fy_v, fy_h, fy_s, dc_q, ac_q, shift_y, 13, bd,
                lv_y, dq_y, 0.0);
     if (tx_search && (bw > bh ? bw : bh) <= 16 && q_nonzero) {
+        // full DTT4_IDTX race, mirrored on intra_frame._code_plane_tx
+        // (iteration order and strict-< tie-break must match byte-for-byte)
         double best = -1.0;
-        for (int cand = 0; cand < 2; cand++) {
+        for (int cand = 0; cand < 5; cand++) {
             const int32_t *lv = lv_y, *dq = dq_y;
             if (cand) {
-                fdct_quant(res, bw, bh, fya_v, fya_h, fya_s, dc_q, ac_q,
-                           shift_y, 13, bd, lv_t, dq_t, 0.0);
+                const double *m = mats_y_ext + (size_t)(cand - 1) * ystride;
+                fdct_quant(res, bw, bh, m, m + (size_t)bh * bh,
+                           m[ystride - 1], dc_q, ac_q, shift_y, 13, bd,
+                           lv_t, dq_t, 0.0);
                 lv = lv_t;
                 dq = dq_t;
             }
-            inv_txfm(dq, bw, bh, cand ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
+            inv_txfm(dq, bw, bh, LUMA_TT[cand].txt, bd, inv_t);
             double dist = 0.0;
             int nz = 0;
             for (int i = 0; i < bw * bh; i++) {
@@ -600,19 +634,20 @@ int encode_intra_block(
             double cost = dist + lam * rate;
             if (best < 0.0 || cost < best) {
                 best = cost;
-                tt = cand;
+                tt_sym = LUMA_TT[cand].sym;
+                tt_txt = LUMA_TT[cand].txt;
+                if (cand) {
+                    memcpy(lv_y, lv_t, sizeof(int32_t) * bw * bh);
+                    memcpy(dq_y, dq_t, sizeof(int32_t) * bw * bh);
+                }
             }
-        }
-        if (tt) {
-            memcpy(lv_y, lv_t, sizeof(int32_t) * bw * bh);
-            memcpy(dq_y, dq_t, sizeof(int32_t) * bw * bh);
         }
     }
 
     // ---- luma reconstruct (before chroma: CFL reads it; all-zero levels
     // imply all-zero dequant, so the later skip path matches) ----
     const int maxval = (1 << bd) - 1;
-    inv_txfm(dq_y, bw, bh, tt ? TX_ADST_ADST : TX_DCT_DCT, bd, inv_t);
+    inv_txfm(dq_y, bw, bh, tt_txt, bd, inv_t);
     for (int r = 0; r < bh; r++)
         for (int c = 0; c < bw; c++) {
             int v = pred_y[r * bw + c] + inv_t[r * bw + c];
@@ -621,27 +656,119 @@ int encode_intra_block(
         }
 
     // ---- chroma DC ----
+    const size_t cstride = (size_t)ch * ch + (size_t)cw * cw + 1;
+    const double *fc_v = mats_c;                       // pack 0 = DCT
+    const double *fc_h = mats_c + (size_t)ch * ch;
+    const double fc_s = mats_c[cstride - 1];
     static thread_local int32_t res_u[16 * 16], res_v[16 * 16];
+    static thread_local int64_t above_u[132], left_u[132];
+    static thread_local int64_t above_v[132], left_v[132];
     build_edges(rec_u, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
-                above, left);
-    predict(P, DC_PRED, 0, above, left, cw, ch, ha, hl, bd, pred_u);
+                above_u, left_u);
+    predict(P, DC_PRED, 0, above_u, left_u, cw, ch, ha, hl, bd, pred_u);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++)
             res_u[r * cw + c] =
                 src_u[(int64_t)(cy + r) * stride_c + cx + c] - pred_u[r * cw + c];
     fdct_quant(res_u, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u, 0.0);
     build_edges(rec_v, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
-                above, left);
-    predict(P, DC_PRED, 0, above, left, cw, ch, ha, hl, bd, pred_v);
+                above_v, left_v);
+    predict(P, DC_PRED, 0, above_v, left_v, cw, ch, ha, hl, bd, pred_v);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++)
             res_v[r * cw + c] =
                 src_v[(int64_t)(cy + r) * stride_c + cx + c] - pred_v[r * cw + c];
     fdct_quant(res_v, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v, 0.0);
 
+    auto sym_bits0 = [](const uint16_t *row, int s) {
+        int fl = s == 0 ? 32768 : row[s - 1];
+        int d = fl - row[s];
+        if (d < 1) d = 1;
+        return -log2((double)d / 32768.0);
+    };
+    auto plane_cost_t = [&](const int32_t *resid, const int32_t *lv,
+                            const int32_t *dq, int txt) {
+        inv_txfm(dq, cw, ch, txt, bd, inv_t);
+        double dist = 0.0;
+        int nz = 0;
+        for (int i = 0; i < cw * ch; i++) {
+            double d = (double)resid[i] - inv_t[i];
+            dist += d * d;
+            int a = lv[i] < 0 ? -lv[i] : lv[i];
+            nz += a != 0;
+            lbuf[i] = log2(1.0 + (double)a);
+        }
+        double rate = 1.45 * nz + 0.95 * np_pairwise_sum(lbuf, cw * ch);
+        return dist + lam * rate;
+    };
+
+    // ---- uv-mode RD race (intra_frame._decide_chroma mirror): non-DC
+    // candidates predict from the standard edges only; each transforms
+    // with its DERIVED tx type (spec Mode_To_Txfm_Type).  A non-DC winner
+    // pre-empts the CFL-vs-DC decision, exactly like the python path. ----
+    int uv_mode = DC_PRED;
+    if (uv_search && q_nonzero) {
+        const int cfl_allowed_uv = (bw > bh ? bw : bh) <= 32 ? 1 : 0;
+        const uint16_t *uv_row =
+            P.c[R_UV] + ((int64_t)cfl_allowed_uv * 13 + y_mode) * 15;
+        const bool use_delta = (bw < bh ? bw : bh) >= 8;
+        static thread_local int32_t cp_u[16 * 16], cl_u[16 * 16], cq_u[16 * 16];
+        static thread_local int32_t cp_v[16 * 16], cl_v[16 * 16], cq_v[16 * 16];
+        static thread_local int32_t bp_u[16 * 16], blv_u[16 * 16], bq_u[16 * 16];
+        static thread_local int32_t bp_v[16 * 16], blv_v[16 * 16], bq_v[16 * 16];
+        static thread_local int32_t rc_c[16 * 16];
+        double best = lam * sym_bits0(uv_row, DC_PRED)
+                      + plane_cost_t(res_u, lv_u, dq_u, TX_DCT_DCT)
+                      + plane_cost_t(res_v, lv_v, dq_v, TX_DCT_DCT);
+        for (int ci = 0; ci < 9; ci++) {
+            const int m = UV_RD[ci].mode;
+            const double *mcp = mats_c + (size_t)UV_RD[ci].mat * cstride;
+            double r = sym_bits0(uv_row, m);
+            if (use_delta && m >= V_PRED && m <= D67)
+                r += sym_bits0(P.c[R_ANGLE] + (int64_t)(m - V_PRED) * 8, 3);
+            double cost = lam * r;
+            for (int pi = 0; pi < 2; pi++) {
+                const int64_t *ab = pi ? above_v : above_u;
+                const int64_t *lf = pi ? left_v : left_u;
+                const int32_t *sp = pi ? src_v : src_u;
+                int32_t *cp = pi ? cp_v : cp_u;
+                int32_t *cl = pi ? cl_v : cl_u;
+                int32_t *cq = pi ? cq_v : cq_u;
+                predict(P, m, 0, ab, lf, cw, ch, ha, hl, bd, cp);
+                for (int rr = 0; rr < ch; rr++)
+                    for (int cc = 0; cc < cw; cc++)
+                        rc_c[rr * cw + cc] =
+                            sp[(int64_t)(cy + rr) * stride_c + cx + cc]
+                            - cp[rr * cw + cc];
+                fdct_quant(rc_c, cw, ch, mcp, mcp + (size_t)ch * ch,
+                           mcp[cstride - 1], dc_q, ac_q, 0, 13, bd, cl, cq,
+                           0.0);
+                cost += plane_cost_t(rc_c, cl, cq, UV_RD[ci].txt);
+            }
+            if (cost < best) {
+                best = cost;
+                uv_mode = m;
+                memcpy(bp_u, cp_u, sizeof(int32_t) * cw * ch);
+                memcpy(blv_u, cl_u, sizeof(int32_t) * cw * ch);
+                memcpy(bq_u, cq_u, sizeof(int32_t) * cw * ch);
+                memcpy(bp_v, cp_v, sizeof(int32_t) * cw * ch);
+                memcpy(blv_v, cl_v, sizeof(int32_t) * cw * ch);
+                memcpy(bq_v, cq_v, sizeof(int32_t) * cw * ch);
+            }
+        }
+        if (uv_mode != DC_PRED) {
+            memcpy(pred_u, bp_u, sizeof(int32_t) * cw * ch);
+            memcpy(lv_u, blv_u, sizeof(int32_t) * cw * ch);
+            memcpy(dq_u, bq_u, sizeof(int32_t) * cw * ch);
+            memcpy(pred_v, bp_v, sizeof(int32_t) * cw * ch);
+            memcpy(lv_v, blv_v, sizeof(int32_t) * cw * ch);
+            memcpy(dq_v, bq_v, sizeof(int32_t) * cw * ch);
+        }
+    }
+
     // ---- CFL decision (intra_frame.py _decide_chroma mirror) ----
     int au = 0, av = 0;
-    if (cfl && q_nonzero && (bw > bh ? bw : bh) <= 32) {
+    if (uv_mode == DC_PRED && cfl && q_nonzero && (bw > bh ? bw : bh) <= 32) {
         static thread_local int32_t acb[16 * 16];
         static thread_local int32_t pc_u[16 * 16], lc_u[16 * 16], qc_u[16 * 16];
         static thread_local int32_t pc_v[16 * 16], lc_v[16 * 16], qc_v[16 * 16];
@@ -759,6 +886,8 @@ int encode_intra_block(
         }
     }
 
+    if (au || av) uv_mode = UV_CFL_SYM;
+
     bool any = false;
     for (int i = 0; i < bw * bh && !any; i++) any = lv_y[i] != 0;
     for (int i = 0; i < cw * ch && !any; i++) any = lv_u[i] != 0;
@@ -772,10 +901,10 @@ int encode_intra_block(
         // the symbols without repeating prediction/transform work.
         if (cache_vp) {
             BlockCache *bc = (BlockCache *)cache_vp;
-            int32_t hdr[14] = {x, y, bw, bh, y_mode, skip, tt,
+            int32_t hdr[15] = {x, y, bw, bh, y_mode, skip, tt_sym,
                                (have_above << 1) | have_left, au, av, y_delta,
-                               seg_symv, seg_ctx, seg_nsyms};
-            bc->buf.insert(bc->buf.end(), hdr, hdr + 14);
+                               seg_symv, seg_ctx, seg_nsyms, uv_mode};
+            bc->buf.insert(bc->buf.end(), hdr, hdr + 15);
             if (!skip) {
                 bc->buf.insert(bc->buf.end(), lv_y, lv_y + bw * bh);
                 bc->buf.insert(bc->buf.end(), lv_u, lv_u + cw * ch);
@@ -788,7 +917,8 @@ int encode_intra_block(
             memset(dq_v, 0, sizeof(int32_t) * cw * ch);
         }
     } else {
-        code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
+        code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt_sym,
+                           uv_mode, au, av,
                            y_delta, seg_symv, seg_ctx, seg_nsyms,
                            lv_y, lv_u, lv_v, scan_y, scan_c, ha, hl,
                            above_mode, left_mode, above_skip, left_skip,
@@ -804,15 +934,16 @@ int encode_intra_block(
         for (int c2 = mc; c2 < mc + bw / 4; c2++)
             mi_coded[(int64_t)r * mi_stride + c2] = 1;
 
-    // ---- chroma reconstruct ----
-    inv_txfm(dq_u, cw, ch, TX_DCT_DCT, bd, inv_t);
+    // ---- chroma reconstruct (tx type DERIVED from the uv mode) ----
+    const int uv_txt = MODE_TO_TXFM[uv_mode];
+    inv_txfm(dq_u, cw, ch, uv_txt, bd, inv_t);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++) {
             int v = pred_u[r * cw + c] + inv_t[r * cw + c];
             rec_u[(int64_t)(cy + r) * stride_c + cx + c] =
                 v < 0 ? 0 : (v > maxval ? maxval : v);
         }
-    inv_txfm(dq_v, cw, ch, TX_DCT_DCT, bd, inv_t);
+    inv_txfm(dq_v, cw, ch, uv_txt, bd, inv_t);
     for (int r = 0; r < ch; r++)
         for (int c = 0; c < cw; c++) {
             int v = pred_v[r * cw + c] + inv_t[r * cw + c];
@@ -820,13 +951,13 @@ int encode_intra_block(
                 v < 0 ? 0 : (v > maxval ? maxval : v);
         }
 
-    return skip | (tt << 1);
+    return skip | (tt_sym << 1);
 }
 
 void *block_cache_new(void) { return new BlockCache(); }
 
 // Append pre-serialized block records (the device wavefront pass's output,
-// already in the cache's native int32 layout: 14-int header + levels when
+// already in the cache's native int32 layout: 15-int header + levels when
 // not skipped).  One call per contiguous run of device superblocks.
 void block_cache_push_raw(void *c, const int32_t *data, long n) {
     BlockCache *bc = (BlockCache *)c;
@@ -843,7 +974,7 @@ void block_cache_rewind(void *c) { ((BlockCache *)c)->cursor = 0; }
 // 1 if the next cached record is block (x, y, bw, bh)
 int cached_block_peek(void *c, int x, int y, int bw, int bh) {
     BlockCache *bc = (BlockCache *)c;
-    if (bc->cursor + 14 > bc->buf.size()) return 0;
+    if (bc->cursor + 15 > bc->buf.size()) return 0;
     const int32_t *h = &bc->buf[bc->cursor];
     return h[0] == x && h[1] == y && h[2] == bw && h[3] == bh;
 }
@@ -859,13 +990,14 @@ int replay_one(BlockCache *bc, MsacEnc *enc, const Ptrs &P,
                int32_t *above_skip, int32_t *left_skip,
                const uint64_t *pctx, int mi_cols, int mi_rows, int adapt,
                int q_nonzero, int cdef_bits, int *cdef_pending, int cdef_idx) {
-    if (bc->cursor + 14 > bc->buf.size()) return -1;
+    if (bc->cursor + 15 > bc->buf.size()) return -1;
     const int32_t *hd = &bc->buf[bc->cursor];
     if (hd[0] != x || hd[1] != y || hd[2] != bw || hd[3] != bh) return -1;
     const int y_mode = hd[4], skip = hd[5], tt = hd[6], hal = hd[7];
     const int au = hd[8], av = hd[9], y_delta = hd[10];
     const int seg_symv = hd[11], seg_ctx = hd[12], seg_nsyms = hd[13];
-    bc->cursor += 14;
+    const int uv_mode = hd[14];
+    bc->cursor += 15;
     const int cw = bw >> 1, ch = bh >> 1;
     const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
     if (!skip) {
@@ -882,8 +1014,8 @@ int replay_one(BlockCache *bc, MsacEnc *enc, const Ptrs &P,
         clit = cdef_idx;
         *cdef_pending = 0;
     }
-    return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
-                              y_delta, seg_symv, seg_ctx, seg_nsyms,
+    return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, uv_mode,
+                              au, av, y_delta, seg_symv, seg_ctx, seg_nsyms,
                               lv_y, lv_u, lv_v, scan_y, scan_c,
                               (hal >> 1) != 0, (hal & 1) != 0,
                               above_mode, left_mode, above_skip, left_skip,
@@ -1074,13 +1206,14 @@ int encode_cached_block(
     int cdef_bits, int cdef_idx)
 {
     BlockCache *bc = (BlockCache *)c;
-    if (bc->cursor + 14 > bc->buf.size()) return -1;
+    if (bc->cursor + 15 > bc->buf.size()) return -1;
     const int32_t *h = &bc->buf[bc->cursor];
     if (h[0] != x || h[1] != y || h[2] != bw || h[3] != bh) return -1;
     const int y_mode = h[4], skip = h[5], tt = h[6], hal = h[7];
     const int au = h[8], av = h[9], y_delta = h[10];
     const int seg_symv = h[11], seg_ctx = h[12], seg_nsyms = h[13];
-    bc->cursor += 14;
+    const int uv_mode = h[14];
+    bc->cursor += 15;
     const int cw = bw >> 1, ch = bh >> 1;
     const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
     if (!skip) {
@@ -1093,8 +1226,8 @@ int encode_cached_block(
     for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
     P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
     P.dr = (const int32_t *)reg[R_DR];
-    return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, au, av,
-                              y_delta, seg_symv, seg_ctx, seg_nsyms,
+    return code_block_symbols(enc, P, x, y, bw, bh, y_mode, skip, tt, uv_mode,
+                              au, av, y_delta, seg_symv, seg_ctx, seg_nsyms,
                               lv_y, lv_u, lv_v, scan_y, scan_c,
                               (hal >> 1) != 0, (hal & 1) != 0,
                               above_mode, left_mode, above_skip, left_skip,

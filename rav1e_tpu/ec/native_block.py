@@ -56,8 +56,9 @@ def _configure():
         _ci, _ci, _ci, _ci,            # y_mode, dc_q, ac_q, bd
         _ci, _ci, ctypes.c_double,     # tx_search, q_nonzero, lam
         _vp, _vp, ctypes.c_double,     # luma DCT mats + scale
-        _vp, _vp, ctypes.c_double,     # luma ADST mats + scale
-        _vp, _vp, ctypes.c_double,     # chroma DCT mats + scale
+        _vp,                           # packed luma AA/AD/DA/IDTX mats
+        _vp,                           # packed chroma DCT/AA/AD/DA mats
+        _ci,                           # uv_search
         _vp, _vp,                      # scans
         _vp, _vp, _vp, _vp,            # above/left mode/skip
         _vp,                           # pctx pointer array
@@ -98,6 +99,11 @@ def _configure():
 
 
 _MAT_CACHE: dict = {}
+_PACK_CACHE: dict = {}
+
+# DTT4_IDTX set symbol -> tx type (encode_intra_block returns the symbol)
+_TT_FROM_SYM = {0: tf.IDTX, 1: tf.DCT_DCT, 2: tf.ADST_ADST,
+                3: tf.ADST_DCT, 4: tf.DCT_ADST}
 
 
 def _mats(tx_type: int, w: int, h: int):
@@ -109,6 +115,21 @@ def _mats(tx_type: int, w: int, h: int):
              np.ascontiguousarray(FhT, np.float64), float(scale))
         _MAT_CACHE[key] = m
     return m
+
+
+def _mats_pack(types: tuple, w: int, h: int) -> np.ndarray:
+    """Contiguous [Fv (h*h), FhT (w*w), scale] per type — the packed
+    matrix blobs encode_intra_block indexes for its tx/uv RD races."""
+    key = (types, w, h)
+    p = _PACK_CACHE.get(key)
+    if p is None:
+        parts = []
+        for tt in types:
+            Fv, FhT, scale = _mats(tt, w, h)
+            parts += [Fv.ravel(), FhT.ravel(), np.asarray([scale])]
+        p = np.ascontiguousarray(np.concatenate(parts), np.float64)
+        _PACK_CACHE[key] = p
+    return p
 
 
 class NativeBlockCoder:
@@ -172,7 +193,7 @@ class NativeBlockCoder:
     def cache_push_raw(self, arr) -> None:
         """Append pre-serialized records (device wavefront output) to the
         pass-A cache.  arr: contiguous int32 numpy array in the cache's
-        native layout (14-int header + levels when not skipped)."""
+        native layout (15-int header + levels when not skipped)."""
         import numpy as _np
 
         assert arr.dtype == _np.int32 and arr.flags.c_contiguous
@@ -270,9 +291,7 @@ class NativeBlockCoder:
         )
         if ret < 0:
             raise RuntimeError("block cache desync at (%d,%d,%dx%d)" % (x, y, bw, bh))
-        import rav1e_tpu.ops.transforms_np as _tf
-
-        return bool(ret & 1), (_tf.ADST_ADST if (ret >> 1) else _tf.DCT_DCT)
+        return bool(ret & 1), _TT_FROM_SYM[ret >> 1]
 
     def __del__(self):
         try:
@@ -290,8 +309,12 @@ class NativeBlockCoder:
         if fe.cdf is not self._cdf_obj:
             self._refresh_registry()
         fy = _mats(tf.DCT_DCT, bw, bh)
-        fya = _mats(tf.ADST_ADST, bw, bh) if max(bw, bh) <= 16 else fy
-        fc = _mats(tf.DCT_DCT, bw >> 1, bh >> 1)
+        # extended luma mats at the block dims (only read when <= 16)
+        ye = _mats_pack((tf.ADST_ADST, tf.ADST_DCT, tf.DCT_ADST, tf.IDTX),
+                        bw, bh) if max(bw, bh) <= 16 else \
+            _mats_pack((tf.DCT_DCT,), bw, bh)
+        mc = _mats_pack((tf.DCT_DCT, tf.ADST_ADST, tf.ADST_DCT, tf.DCT_ADST),
+                        bw >> 1, bh >> 1)
         ret = _lib.encode_intra_block(
             fe.enc._e, self._reg.ctypes.data,
             fe.src[0].ctypes.data, fe.src[1].ctypes.data, fe.src[2].ctypes.data,
@@ -304,8 +327,8 @@ class NativeBlockCoder:
             1 if fe.tx_type_search else 0, 1 if fe.q > 0 else 0,
             fe._lam_for(x, y),
             fy[0].ctypes.data, fy[1].ctypes.data, fy[2],
-            fya[0].ctypes.data, fya[1].ctypes.data, fya[2],
-            fc[0].ctypes.data, fc[1].ctypes.data, fc[2],
+            ye.ctypes.data, mc.ctypes.data,
+            1 if getattr(fe, "uv_search", False) else 0,
             self._scan(bw, bh).ctypes.data,
             self._scan(bw >> 1, bh >> 1).ctypes.data,
             fe.above_mode.ctypes.data, fe.left_mode.ctypes.data,
@@ -321,8 +344,7 @@ class NativeBlockCoder:
             seg[0], seg[1], seg[2],
         )
         skip = bool(ret & 1)
-        tt = tf.ADST_ADST if (ret >> 1) else tf.DCT_DCT
-        return skip, tt
+        return skip, _TT_FROM_SYM[ret >> 1]
 
 
 def block_coder_for(fe):

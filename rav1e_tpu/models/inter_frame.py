@@ -276,6 +276,16 @@ class InterFrameEncoder(IntraFrameEncoder):
         beats the shared MV vetoes the merge (a real split would recover
         it).  Reference: encode_partition_topdown trying BLOCK_64X64
         before SPLIT in src/encoder.rs / rdo_partition_decision."""
+        if self._lr_replay and (x, y, 64) in self._split_cache:
+            # pass B: replay the pass-A merge decision (the RD trial reads
+            # adapted CDF rates and the recon, both mutated since pass A)
+            return self._split_cache[(x, y, 64)]
+        ok = self._merge64_trial(x, y, has_rows, has_cols)
+        self._split_cache[(x, y, 64)] = ok
+        return ok
+
+    def _merge64_trial(self, x: int, y: int, has_rows: bool,
+                       has_cols: bool) -> bool:
         if not (has_rows and has_cols):
             return False
         tile = (self.ty0 // 4, self.tx0 // 4,
@@ -476,6 +486,27 @@ class InterFrameEncoder(IntraFrameEncoder):
         tile = (self.ty0 // 4, self.tx0 // 4,
                 min(self.ty1, self.mi_rows * 4) // 4,
                 min(self.tx1, self.mi_cols * 4) // 4)
+        cache = (self._py_cache.pop((x, y, bw, bh), None)
+                 if self._lr_replay else None)
+        if cache is not None:
+            # pass B: symbols only, from the pass-A decision (see the
+            # _py_cache comment in IntraFrameEncoder.__init__)
+            rid, mode, mv, ref_mv_idx = cache["dec"]
+            is_inter = mode is not None
+            is_comp = is_inter and isinstance(rid, tuple)
+            lv_y, lv_u, lv_v = cache["levels"]
+            skip = cache["skip"]
+            y_mode = cache["y_mode"]
+            tt_y = cache["tt_y"]
+            res = None
+            if is_inter:
+                res = mvp.find_mv_stack(self.grid, mr, mc_, bw // 4, bh // 4,
+                                        rid, tile=tile,
+                                        sign_bias=self.sign_bias)
+            self._code_inter_symbols(x, y, bw, bh, rid, mode, mv, ref_mv_idx,
+                                     res, y_mode, tt_y, skip,
+                                     lv_y, lv_u, lv_v)
+            return
         rid, mode, mv, ref_mv_idx, res = self._decide_inter(x, y, bw, bh, tile)
         is_inter = mode is not None
         is_comp = is_inter and isinstance(rid, tuple)
@@ -527,6 +558,40 @@ class InterFrameEncoder(IntraFrameEncoder):
                 lv_y = np.zeros_like(lv_y)
                 lv_u = np.zeros_like(lv_u)
                 lv_v = np.zeros_like(lv_v)
+
+        if not self._lr_replay:
+            self._py_cache[(x, y, bw, bh)] = {
+                "dec": (rid, mode, mv, ref_mv_idx),
+                "levels": (lv_y, lv_u, lv_v), "skip": skip,
+                "y_mode": y_mode, "tt_y": tt_y,
+            }
+        self._code_inter_symbols(x, y, bw, bh, rid, mode, mv, ref_mv_idx,
+                                 res, y_mode, tt_y, skip, lv_y, lv_u, lv_v)
+
+        # --- reconstruct (decision pass only; in pass B self.rec already
+        # holds the final filtered recon) ---
+        if skip:
+            dq_y = np.zeros_like(dq_y)
+            dq_u = np.zeros_like(dq_u)
+            dq_v = np.zeros_like(dq_v)
+        self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
+        self._reconstruct(1, cx, cy, pred_u, dq_u)
+        self._reconstruct(2, cx, cy, pred_v, dq_v)
+
+    def _code_inter_symbols(self, x, y, bw, bh, rid, mode, mv, ref_mv_idx,
+                            res, y_mode, tt_y, skip, lv_y, lv_u, lv_v):
+        """All symbol coding + context updates for one decided inter-frame
+        block; shared by the decision pass and the pass-B cache replay."""
+        mc_, mr = x // 4, y // 4
+        n4w, n4h = bw // 4, bh // 4
+        sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        cw, ch = bw >> self.sub_x, bh >> self.sub_y
+        tile = (self.ty0 // 4, self.tx0 // 4,
+                min(self.ty1, self.mi_rows * 4) // 4,
+                min(self.tx1, self.mi_cols * 4) // 4)
+        is_inter = mode is not None
+        is_comp = is_inter and isinstance(rid, tuple)
 
         self.db_info.set_block(x, y, bw, bh, skip)
 
@@ -646,14 +711,6 @@ class InterFrameEncoder(IntraFrameEncoder):
                 (2, (cx, cy, cw, ch)),
             ):
                 self._update_coef_ctx(p, px, py, tw, th, 0, 0)
-            dq_y = np.zeros_like(dq_y)
-            dq_u = np.zeros_like(dq_u)
-            dq_v = np.zeros_like(dq_v)
-
-        # --- reconstruct ---
-        self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
-        self._reconstruct(1, cx, cy, pred_u, dq_u)
-        self._reconstruct(2, cx, cy, pred_v, dq_v)
 
         # --- neighbor state ---
         c1 = min(mc_ + n4w, self.mi_cols)

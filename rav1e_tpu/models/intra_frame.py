@@ -155,6 +155,7 @@ class IntraFrameEncoder:
             self.lf_search = ss.speed <= 5 and not ss.fast_deblock
             complex_pred = ss.prediction_modes != "simple"
             self.cfl_search = complex_pred and self._is420
+            self.uv_search = complex_pred or ss.speed <= 7
             self.sgr_search = ss.speed <= 5
         else:
             self.rdo_partition = speed <= 8
@@ -165,6 +166,9 @@ class IntraFrameEncoder:
             # CFL chroma (reference: ComplexKeyframes prediction set);
             # the CFL AC path here is 4:2:0 only
             self.cfl_search = speed <= 5 and self._is420
+            # uv-mode RD race beyond DC (reference: the chroma arm of
+            # rdo_mode_decision runs at every speed; gated here like tx RD)
+            self.uv_search = speed <= 7
             # D45/D67/D203 + angle deltas (reference: fine_directional_intra)
             self.fine_dir = speed <= 7
             # deblock level search vs from-q model (reference: fast_deblock)
@@ -327,6 +331,15 @@ class IntraFrameEncoder:
         self._pending = {}
         self._recon_only = False
         self._lr_replay = False
+        # pass-A decision caches for the two-pass LR flows: python-path
+        # blocks must REPLAY their pass-A decisions in pass B rather than
+        # re-decide — between the passes the recon has been deblocked/
+        # CDEF'd/restored, so re-run predictions (and adapted-CDF rate
+        # reads) can silently diverge from the recon the decoder builds.
+        # This is the python mirror of the native BlockCache (rav1e analog:
+        # WriterRecorder replay, src/ec.rs).
+        self._py_cache: dict = {}
+        self._split_cache: dict = {}
         # native per-block coder (C++ hot loop); keyframe leaf blocks only
         self._nbc = None
         if self.use_native and type(self) is IntraFrameEncoder and self._is420:
@@ -696,9 +709,10 @@ class IntraFrameEncoder:
         """Serialize one device superblock's wavefront records into the
         native BlockCache (decode order) and mark its mi region decoded."""
         parts = []
-        for (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta,
+        for (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta, uv,
              lvy, lvu, lvv) in wf.sb_records(r, c):
-            self.stats.record_block(mode, bw, bh, skip, tt, bool(au or av))
+            self.stats.record_block(mode, bw, bh, skip, int(tt == 2),
+                                    uv == UV_CFL)
             seg_symv = seg_ctx = seg_nsyms = 0
             if self.seg_map is not None:
                 mr, mc = y // 4, x // 4
@@ -706,7 +720,7 @@ class IntraFrameEncoder:
                 self._seg_after_block(mr, mc, bw, bh, skip)
             parts.append(np.asarray(
                 [x, y, bw, bh, mode, int(skip), tt, (ha << 1) | hl,
-                 au, av, delta, seg_symv, seg_ctx, seg_nsyms], np.int32))
+                 au, av, delta, seg_symv, seg_ctx, seg_nsyms, uv], np.int32))
             # deblock edge state now: the in-loop filters run before the
             # entropy pass B in the two-pass LR flow
             self.db_info.set_block(x, y, bw, bh, bool(skip))
@@ -1324,8 +1338,11 @@ class IntraFrameEncoder:
         elif size == 32 and self.rdo_partition and has_rows and has_cols:
             if self._rd_maps is not None:
                 want_split = bool(self._rd_maps["split32"][y // 32][x // 32])
+            elif self._lr_replay and (x, y, 32) in self._split_cache:
+                want_split = self._split_cache[(x, y, 32)]
             elif self.use_native:
                 want_split = self._rd_split_32(x, y, cdf_row)
+                self._split_cache[(x, y, 32)] = want_split
             else:
                 want_split = False
         elif size == 16 and self.rdo_split8 and has_rows and has_cols:
@@ -1333,8 +1350,11 @@ class IntraFrameEncoder:
                 sm16 = self._rd_maps.get("split16")
                 want_split = (sm16 is not None
                               and bool(sm16[y // 16][x // 16]))
+            elif self._lr_replay and (x, y, 16) in self._split_cache:
+                want_split = self._split_cache[(x, y, 16)]
             elif self.use_native:
                 want_split = self._rd_split(x, y, 16, cdf_row)
+                self._split_cache[(x, y, 16)] = want_split
                 if want_split:
                     # a 16-leaf candidate from the 32-level trial is obsolete
                     self._pending.pop((x, y), None)
@@ -1464,9 +1484,10 @@ class IntraFrameEncoder:
         else:
             dq_set = (np.zeros_like(dq_y), np.zeros_like(dq_u), np.zeros_like(dq_v))
         # reconstruct (temporarily if trial)
+        tt_uv = self._uv_tx_type(uv_mode, cw, ch)
         self._reconstruct(0, x, y, pred_y, dq_set[0], tx_type=tt_y)
-        self._reconstruct(1, cx, cy, pred_u, dq_set[1])
-        self._reconstruct(2, cx, cy, pred_v, dq_set[2])
+        self._reconstruct(1, cx, cy, pred_u, dq_set[1], tx_type=tt_uv)
+        self._reconstruct(2, cx, cy, pred_v, dq_set[2], tx_type=tt_uv)
         self.mi_coded[mr : mr + bh // 4, mc : mc + bw // 4] = 1
         dist = 0
         for plane, (px, py, tw, th) in ((0, (x, y, bw, bh)), (1, (cx, cy, cw, ch)), (2, (cx, cy, cw, ch))):
@@ -1661,7 +1682,10 @@ class IntraFrameEncoder:
         if self.seg_map is not None:
             self._set_block_q(mr, mc)
 
+        replay_info = (self._py_cache.get((x, y, bw, bh))
+                       if self._lr_replay else None)
         use_native_block = (self._nbc is not None and not self._pending
+                            and replay_info is None
                             and hasattr(self.enc, "_e"))
         if use_native_block:
             if self._lr_replay and self._nbc.cache_peek(x, y, bw, bh):
@@ -1704,6 +1728,26 @@ class IntraFrameEncoder:
 
         info = self._pending.pop((x, y), None)
         if info is not None and info["planes"][0][0].shape == (bh, bw):
+            # RD-trial cache: reuse only the DECISIONS and recompute the
+            # prediction/levels from the live recon.  The trial's stored
+            # planes can be stale: the real partition recursion may have
+            # re-split an earlier sibling (frame-edge or 4:2:2 forced
+            # splits), changing the neighbor pixels this block's
+            # prediction reads — coding the stale prediction would make
+            # the encoder recon diverge from the decoder's.
+            y_mode = info["mode"]
+            tt_y = info.get("tt_y", tf.DCT_DCT)
+            uv_mode = info.get("uv_mode", ip.DC_PRED)
+            cfl_alphas = info.get("cfl_alphas", (0, 0))
+            y_delta = info.get("y_delta", 0)
+            (pred_y, lv_y, dq_y), (pred_u, lv_u, dq_u), \
+                (pred_v, lv_v, dq_v), skip = self._code_block_fixed(
+                    x, y, bw, bh, y_mode, y_delta, tt_y, uv_mode, cfl_alphas)
+        elif replay_info is not None:
+            # pass B of a two-pass flow: replay the pass-A artifacts
+            # verbatim (the recon has been filtered since; recomputing
+            # could diverge — pass A is authoritative)
+            info = self._py_cache.pop((x, y, bw, bh))
             y_mode = info["mode"]
             (pred_y, lv_y, dq_y), (pred_u, lv_u, dq_u), (pred_v, lv_v, dq_v) = info["planes"]
             skip = info["skip"]
@@ -1725,6 +1769,14 @@ class IntraFrameEncoder:
             pred_u, lv_u, dq_u = cu
             pred_v, lv_v, dq_v = cv
             skip = not (lv_y.any() or lv_u.any() or lv_v.any())
+        if not self._lr_replay:
+            self._py_cache[(x, y, bw, bh)] = {
+                "mode": y_mode, "skip": skip, "tt_y": tt_y,
+                "uv_mode": uv_mode, "cfl_alphas": cfl_alphas,
+                "y_delta": y_delta,
+                "planes": ((pred_y, lv_y, dq_y), (pred_u, lv_u, dq_u),
+                           (pred_v, lv_v, dq_v)),
+            }
 
         self.db_info.set_block(x, y, bw, bh, skip)
 
@@ -1784,10 +1836,13 @@ class IntraFrameEncoder:
             dq_u = np.zeros_like(dq_u)
             dq_v = np.zeros_like(dq_v)
 
-        # --- reconstruct ---
-        self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
-        self._reconstruct(1, cx, cy, pred_u, dq_u)
-        self._reconstruct(2, cx, cy, pred_v, dq_v)
+        # --- reconstruct (pass B replays symbols only: self.rec already
+        # holds the final filtered recon) ---
+        if not self._lr_replay:
+            tt_uv = self._uv_tx_type(uv_mode, cw, ch)
+            self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
+            self._reconstruct(1, cx, cy, pred_u, dq_u, tx_type=tt_uv)
+            self._reconstruct(2, cx, cy, pred_v, dq_v, tx_type=tt_uv)
 
         # --- neighbor state (writes clamp at the mi grid) ---
         c1 = min(mc + n4w, self.mi_cols)
@@ -1800,26 +1855,123 @@ class IntraFrameEncoder:
         self.stats.record_block(y_mode, bw, bh, bool(skip),
                                 int(tt_y == tf.ADST_ADST), uv_mode == UV_CFL)
 
-    def _plane_rd_cost(self, resid, lv, dq, lam=None) -> float:
+    def _code_block_fixed(self, x: int, y: int, bw: int, bh: int,
+                          y_mode: int, y_delta: int, tt_y: int,
+                          uv_mode: int, cfl_alphas: tuple):
+        """Predict + transform all three planes with FIXED decisions
+        against the live recon (no RD loops).  Used when replaying an
+        RD-trial's decisions at real coding time."""
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        cw, ch = bw >> self.sub_x, bh >> self.sub_y
+        rec = self.rec[0]
+        ha, hl = self._have_above(y), self._have_left(x)
+        n_tr = n_bl = 0
+        if y_mode in ip.DIRECTIONAL_MODES:
+            n_tr, n_bl = self._edge_avail(x, y, bw, bh)
+        above, left = ip.build_edges(rec, x, y, bw, bh, ha, hl, self.bd,
+                                     n_top_right=n_tr, n_bottom_left=n_bl,
+                                     max_x=self.mi_cols * 4 - 1,
+                                     max_y=self.mi_rows * 4 - 1)
+        pred_y = ip.predict(y_mode, above, left, bw, bh, ha, hl, y_delta,
+                            self.bd)
+        resid = (self.src[0][y : y + bh, x : x + bw] - pred_y).astype(np.int32)
+        if max(bw, bh) <= 32:
+            lv_y, dq_y = tf.fdct_quant_native(resid, tt_y, self.dc_q,
+                                              self.ac_q, self.bd)
+        else:
+            coeffs = tf.forward_transform(resid, tt_y, self.bd)
+            we, he = min(bw, 32), min(bh, 32)
+            coeffs[he:, :] = 0
+            coeffs[:, we:] = 0
+            lv_full = qz.quantize(coeffs, self.dc_q, self.ac_q, bw, bh)
+            dq_y = qz.dequantize(lv_full, self.dc_q, self.ac_q, bw, bh, self.bd)
+            lv_y = lv_full[:he, :we]
+        # luma recon now: CFL reads it
+        self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
+
+        tt_uv = self._uv_tx_type(uv_mode, cw, ch)
+        chroma_mode = ip.DC_PRED if uv_mode == UV_CFL else uv_mode
+        outs = []
+        ac = None
+        if uv_mode == UV_CFL and (cfl_alphas[0] or cfl_alphas[1]):
+            ac = ip.cfl_ac_420(self.rec[0][y : y + bh, x : x + bw])
+        for i, plane in enumerate((1, 2)):
+            pr, lvp, dqp, _ = self._code_plane_tx(plane, cx, cy, cw, ch,
+                                                  chroma_mode)
+            alpha = cfl_alphas[i] if uv_mode == UV_CFL else 0
+            if alpha and ac is not None:
+                pr = ip.cfl_predict(pr, ac, alpha, self.bd)
+                rc = (self.src[plane][cy : cy + ch, cx : cx + cw]
+                      - pr).astype(np.int32)
+                lvp, dqp = tf.fdct_quant_native(rc, tf.DCT_DCT, self.dc_q,
+                                                self.ac_q, self.bd)
+            outs.append((pr, lvp, dqp))
+        (pred_u, lv_u, dq_u), (pred_v, lv_v, dq_v) = outs
+        skip = not (lv_y.any() or lv_u.any() or lv_v.any())
+        return ((pred_y, lv_y, dq_y), (pred_u, lv_u, dq_u),
+                (pred_v, lv_v, dq_v), skip)
+
+    def _plane_rd_cost(self, resid, lv, dq, lam=None,
+                       tx_type: int = tf.DCT_DCT) -> float:
         """dist + lam*rate for one coded plane txb (the same coarse model
         as the luma tx-type search; mirrored exactly in the C block path)."""
-        rec = tf.inverse_transform_native(dq, tf.DCT_DCT, self.bd)
+        rec = tf.inverse_transform_native(dq, tx_type, self.bd)
         d = resid.astype(np.int64) - rec
         dist = float((d * d).sum())
         alv = np.abs(lv)
         rate = 1.45 * int((alv > 0).sum()) + 0.95 * float(np.log2(1.0 + alv).sum())
         return dist + (self.lam if lam is None else lam) * rate
 
+    # uv-mode RD candidates beyond DC: modes whose prediction reads only
+    # the standard above row / left column (no above-right or bottom-left
+    # extension), so the encoder-side edge build is decoder-exact without
+    # simulating the chroma blockDecoded map.  Reference: rdo_mode_decision's
+    # chroma loop evaluates all uv modes (src/rdo.rs).
+    UV_RD_MODES = (ip.V_PRED, ip.H_PRED, ip.D135_PRED, ip.D113_PRED,
+                   ip.D157_PRED, ip.SMOOTH_PRED, ip.SMOOTH_V_PRED,
+                   ip.SMOOTH_H_PRED, ip.PAETH_PRED)
+
     def _decide_chroma(self, x: int, y: int, bw: int, bh: int, y_mode: int):
-        """Chroma mode decision: DC vs CFL (chroma-from-luma, spec 7.11.5).
-        Returns (uv_mode, (alpha_u, alpha_v), (pred,lv,dq) for U and V).
-        Reads the block's already-reconstructed luma."""
+        """Chroma mode decision: uv-mode RD race (DC + directional/smooth
+        candidates) then CFL (chroma-from-luma, spec 7.11.5).  Returns
+        (uv_mode, (alpha_u, alpha_v), (pred,lv,dq) for U and V).  Reads the
+        block's already-reconstructed luma."""
         blam = self._lam_for(x, y)
         cx, cy = x >> self.sub_x, y >> self.sub_y
         cw, ch = bw >> self.sub_x, bh >> self.sub_y
         pu = self._code_plane_tx(1, cx, cy, cw, ch, ip.DC_PRED)
         pv = self._code_plane_tx(2, cx, cy, cw, ch, ip.DC_PRED)
         du, dv = pu[:3], pv[:3]
+        if getattr(self, "uv_search", False) and self.q > 0:
+            cfl_allowed = 1 if max(bw, bh) <= 32 else 0
+            uv_row = self.cdf.uv_mode[cfl_allowed][y_mode]
+            use_delta = min(bw, bh) >= 8
+
+            def mode_cost(m, cu_, cv_):
+                r = self._sym_bits(uv_row, m)
+                if use_delta and m in ip.DIRECTIONAL_MODES:
+                    r += self._sym_bits(self.cdf.angle_delta[m - ip.V_PRED], 3)
+                c = blam * r
+                for plane, (pred, lv, dq) in ((1, cu_), (2, cv_)):
+                    src = self.src[plane][cy : cy + ch, cx : cx + cw]
+                    c += self._plane_rd_cost((src - pred).astype(np.int32),
+                                             lv, dq, blam,
+                                             self._uv_tx_type(m, cw, ch))
+                return c
+
+            best = (mode_cost(ip.DC_PRED, du, dv), ip.DC_PRED, du, dv)
+            for m in self.UV_RD_MODES:
+                cu_ = self._code_plane_tx(1, cx, cy, cw, ch, m)[:3]
+                cv_ = self._code_plane_tx(2, cx, cy, cw, ch, m)[:3]
+                c = mode_cost(m, cu_, cv_)
+                if c < best[0]:
+                    best = (c, m, cu_, cv_)
+            _, uv_best, du, dv = best
+            if uv_best != ip.DC_PRED:
+                # CFL competes against DC predictions only (its alpha fit
+                # is anchored on the DC predictor); a directional winner
+                # here already beat DC including the mode-symbol rate
+                return uv_best, (0, 0), du, dv
         if not (self.cfl_search and self.q > 0 and max(bw, bh) <= 32):
             return ip.DC_PRED, (0, 0), du, dv
         ac = ip.cfl_ac_420(self.rec[0][y : y + bh, x : x + bw])
@@ -1907,9 +2059,12 @@ class IntraFrameEncoder:
         resid = (src - pred).astype(np.int32)
         if (plane == 0 and max(tw, th) <= 16 and self.q > 0
                 and self.tx_type_search):
-            # intra tx-type RD: DCT vs ADST_ADST (set DTT4_IDTX symbols)
+            # intra tx-type RD over the full DTT4_IDTX set (the coded set
+            # under reduced_tx_set=1; reference: rdo_tx_size_type's type
+            # loop, src/rdo.rs): mixed ADST/DCT catch residuals that ramp
+            # along one axis only; IDTX wins on noise-like residuals
             best = None
-            for tt in (tf.DCT_DCT, tf.ADST_ADST):
+            for tt in self.TX_SET2_SYM:
                 lv, dq = tf.fdct_quant_native(resid, tt, self.dc_q,
                                               self.ac_q, self.bd)
                 rec = tf.inverse_transform_native(dq, tt, self.bd)
@@ -1924,9 +2079,12 @@ class IntraFrameEncoder:
             _, tt, levels, dq = best
             return pred, levels, dq, tt
         if max(tw, th) <= 32:
-            levels, dq = tf.fdct_quant_native(resid, tf.DCT_DCT, self.dc_q,
+            # chroma tx type is not coded: the decoder derives it from the
+            # uv mode (spec 5.11.47 compute_tx_type, Mode_To_Txfm_Type)
+            tt = self._uv_tx_type(mode, tw, th) if plane else tf.DCT_DCT
+            levels, dq = tf.fdct_quant_native(resid, tt, self.dc_q,
                                               self.ac_q, self.bd)
-            return pred, levels, dq, tf.DCT_DCT
+            return pred, levels, dq, tt
         coeffs = tf.forward_transform(resid, tf.DCT_DCT, self.bd)
         we, he = min(tw, 32), min(th, 32)
         coeffs[he:, :] = 0
@@ -1937,7 +2095,23 @@ class IntraFrameEncoder:
 
     # symbol index within the intra EXT_TX_SET_DTT4_IDTX set (spec
     # av1_ext_tx_inv ordering: IDTX, DCT, ADST_ADST, ADST_DCT, DCT_ADST)
-    TX_SET2_SYM = {tf.DCT_DCT: 1, tf.ADST_ADST: 2, tf.ADST_DCT: 3, tf.DCT_ADST: 4}
+    TX_SET2_SYM = {tf.DCT_DCT: 1, tf.ADST_ADST: 2, tf.ADST_DCT: 3,
+                   tf.DCT_ADST: 4, tf.IDTX: 0}
+
+    # spec Mode_To_Txfm_Type (5.11.47 compute_tx_type): the chroma tx type
+    # the decoder derives from the uv mode; index 13 = UV_CFL
+    MODE_TO_TXFM = (tf.DCT_DCT, tf.ADST_DCT, tf.DCT_ADST, tf.DCT_DCT,
+                    tf.ADST_ADST, tf.ADST_DCT, tf.DCT_ADST, tf.DCT_ADST,
+                    tf.ADST_DCT, tf.ADST_ADST, tf.ADST_DCT, tf.DCT_ADST,
+                    tf.ADST_ADST, tf.DCT_DCT)
+
+    def _uv_tx_type(self, uv_mode: int, cw: int, ch: int) -> int:
+        """Chroma tx type the decoder will derive (never coded): the
+        Mode_To_Txfm table, clamped to DCT when the tx square-up exceeds
+        16 (the DTT4_IDTX set only covers sqr-up <= 16) or at lossless."""
+        if self.q == 0 or max(cw, ch) > 16:
+            return tf.DCT_DCT
+        return self.MODE_TO_TXFM[min(uv_mode, 13)]
 
     def _residual(self, plane: int, px: int, py: int, tw: int, th: int, levels,
                   y_mode: int = 0, tx_type: int = tf.DCT_DCT) -> None:

@@ -235,10 +235,10 @@ _IS_DIR[_DIR_MODES] = True
 def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
                tx_search: bool, fine_dir: bool, mode_mask: tuple,
                mi_cols: int, mi_rows: int, allow_split: bool,
-               allow_split8: bool = False):
+               allow_split8: bool = False, uv_search: bool = False):
     """Build (cached) the jitted wavefront pass for one geometry/config."""
     key = (Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
-           mi_cols, mi_rows, allow_split, allow_split8)
+           mi_cols, mi_rows, allow_split, allow_split8, uv_search)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = _make_pass(*key)
@@ -247,7 +247,7 @@ def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
 
 
 def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
-               mi_cols, mi_rows, allow_split, allow_split8):
+               mi_cols, mi_rows, allow_split, allow_split8, uv_search):
     """Build the jitted tiled wavefront pass.
 
     Memory layout is the perf-critical choice: reconstruction lives as
@@ -269,8 +269,24 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
     mats = {}
     for n in (4, 8, 16, 32):
         mats[(n, 0)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_DCT, n, n))
-    for n in (8, 16):
+    for n in (4, 8, 16):
         mats[(n, 1)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.ADST_ADST, n, n))
+        mats[(n, 2)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.ADST_DCT, n, n))
+        mats[(n, 3)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_ADST, n, n))
+        mats[(n, 4)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.IDTX, n, n))
+    # luma tx-type RD candidates: (set-2 symbol, tx type, mats key) —
+    # the full DTT4_IDTX set the reduced_tx_set=1 stream can signal
+    LUMA_TT = ((1, tn.DCT_DCT, 0), (2, tn.ADST_ADST, 1),
+               (3, tn.ADST_DCT, 2), (4, tn.DCT_ADST, 3), (0, tn.IDTX, 4))
+    # chroma uv-mode RD candidates: (uv mode id, derived tx type — spec
+    # Mode_To_Txfm_Type — and its mats key); prediction order must match
+    # _uv_plane_candidates' stack order
+    UV_CANDS = ((0, tn.DCT_DCT, 0), (1, tn.ADST_DCT, 2), (2, tn.DCT_ADST, 3),
+                (9, tn.ADST_ADST, 1), (10, tn.ADST_DCT, 2),
+                (11, tn.DCT_ADST, 3), (12, tn.ADST_ADST, 1))
+    UV_IDS = jnp.asarray([c[0] for c in UV_CANDS], jnp.int32)
+    UV_IS_DIR = jnp.asarray([1 if c[0] in (1, 2) else 0 for c in UV_CANDS],
+                            jnp.int32)
     dir_sizes = (8, 16, 32) if allow_split8 else (16, 32)
     dir_mats = {n: jnp.asarray(ij.dir_matrices(n)) for n in dir_sizes}
 
@@ -414,33 +430,43 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         delta = jnp.where(is_dir[mode], delta, 0)
 
         resid = src - pred
-        Fv, FhT = mats[(n, 0)]
-        cf = tj.fdct_batch(resid, Fv, FhT)
-        lv = tj.quantize(cf, qdc, qac, shift)
-        dq = tj.dequantize(lv, qdc, qac, shift, bd)
-        inv = tj.inv_txfm(dq, tn.DCT_DCT, bd)
-        tt = jnp.zeros_like(mode)
         if tx_search and n <= 16:
-            Fva, FhTa = mats[(n, 1)]
-            cfa = tj.fdct_batch(resid, Fva, FhTa)
-            lva = tj.quantize(cfa, qdc, qac, shift)
-            dqa = tj.dequantize(lva, qdc, qac, shift, bd)
-            inva = tj.inv_txfm(dqa, tn.ADST_ADST, bd)
-            d0 = ((resid - inv).astype(jnp.float32) ** 2).sum((-1, -2))
-            d1 = ((resid - inva).astype(jnp.float32) ** 2).sum((-1, -2))
-            c0 = d0 + lam * coeff_rate(lv)
-            c1 = d1 + lam * coeff_rate(lva)
-            use_a = c1 < c0
-            tt = use_a.astype(jnp.int32)
-            sel = use_a[:, None, None]
-            lv = jnp.where(sel, lva, lv)
-            dq = jnp.where(sel, dqa, dq)
-            inv = jnp.where(sel, inva, inv)
+            # full DTT4_IDTX race on the winner residual (reference:
+            # rdo_tx_size_type's type loop, src/rdo.rs): each candidate
+            # fdct is one batched MXU matmul pair; mixed ADST/DCT types
+            # catch one-axis ramps, IDTX noise-like residuals
+            lvs, dqs, invs, costs = [], [], [], []
+            for _, tnt, mk in LUMA_TT:
+                Fv2, FhT2 = mats[(n, mk)]
+                cf2 = tj.fdct_batch(resid, Fv2, FhT2)
+                lv2 = tj.quantize(cf2, qdc, qac, shift)
+                dq2 = tj.dequantize(lv2, qdc, qac, shift, bd)
+                inv2 = tj.inv_txfm(dq2, tnt, bd)
+                d2 = ((resid - inv2).astype(jnp.float32) ** 2).sum((-1, -2))
+                lvs.append(lv2)
+                dqs.append(dq2)
+                invs.append(inv2)
+                costs.append(d2 + lam * coeff_rate(lv2))
+            sel = jnp.argmin(jnp.stack(costs, 1), axis=1)  # (B,)
+            tt = jnp.asarray([s for s, _, _ in LUMA_TT], jnp.int32)[sel]
+            g = lambda arr: jnp.take_along_axis(
+                jnp.stack(arr, 1), sel[:, None, None, None], axis=1)[:, 0]
+            lv = g(lvs)
+            dq = g(dqs)
+            inv = g(invs)
+        else:
+            Fv, FhT = mats[(n, 0)]
+            cf = tj.fdct_batch(resid, Fv, FhT)
+            lv = tj.quantize(cf, qdc, qac, shift)
+            dq = tj.dequantize(lv, qdc, qac, shift, bd)
+            inv = tj.inv_txfm(dq, tn.DCT_DCT, bd)
+            tt = jnp.ones_like(mode)  # set-2 symbol: DCT_DCT
         recon_y = jnp.clip(pred + inv, 0, maxval)
         ctxY = jax.lax.dynamic_update_slice(ctxY, recon_y, (0, 1 + ly, 1 + lx))
 
-        # ---- chroma (4:2:0): DC prediction, then optional CFL RD ----
+        # ---- chroma (4:2:0): uv-mode RD race, then optional CFL RD ----
         ly2, lx2 = ly >> 1, lx >> 1
+        bits_uv14, bits_sign, bits_alpha, bits_angle = tabs
         Fvc, FhTc = mats[(n2, 0)]
         pred_u, lv_u, dq_u, res_u, src_u_b, cost_u_dc = chroma_dc(
             ctxU, srcUt, ly2, lx2, n2, ha, hl, Fvc, FhTc, qdc, qac, lam)
@@ -448,6 +474,7 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             ctxV, srcVt, ly2, lx2, n2, ha, hl, Fvc, FhTc, qdc, qac, lam)
         alpha_u = jnp.zeros_like(mode)
         alpha_v = jnp.zeros_like(mode)
+        uv_modev = jnp.zeros_like(mode)
         if cfl_on:
             ac = ij.cfl_ac_420_batch(recon_y)
             a_den = (ac.astype(jnp.float32) ** 2).sum((-1, -2))
@@ -476,12 +503,11 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             cost_u_cfl = jnp.where(a_u == 0, cost_u_dc, cost_u_cfl)
             cost_v_cfl = jnp.where(a_v == 0, cost_v_dc, cost_v_cfl)
             # mode-level symbol rates from the init CDFs (tabs)
-            bits_uv, bits_sign, bits_alpha = tabs
             # host encoding: s==0 zero, 1 negative, 2 positive
             su = jnp.where(a_u == 0, 0, jnp.where(a_u < 0, 1, 2))
             sv = jnp.where(a_v == 0, 0, jnp.where(a_v < 0, 1, 2))
-            rate_dc = bits_uv[mode, 0]
-            rate_cfl = bits_uv[mode, 1] + bits_sign[su * 3 + sv - 1]
+            rate_dc = bits_uv14[mode, 0]
+            rate_cfl = bits_uv14[mode, 13] + bits_sign[su * 3 + sv - 1]
             rate_cfl = rate_cfl + jnp.where(
                 su > 0, bits_alpha[jnp.where(su == 2, 3, 0) + sv,
                                    jnp.abs(a_u) - 1], 0.0)
@@ -495,6 +521,7 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             take_v = use_cfl & (a_v != 0)
             alpha_u = jnp.where(take_u, a_u, 0)
             alpha_v = jnp.where(take_v, a_v, 0)
+            uv_modev = jnp.where(use_cfl, 13, uv_modev)
             s3 = lambda m: m[:, None, None]
             pred_u = jnp.where(s3(take_u), pu_c, pred_u)
             lv_u = jnp.where(s3(take_u), lu_c, lv_u)
@@ -505,6 +532,71 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
 
         inv_u = tj.inv_txfm(dq_u, tn.DCT_DCT, bd)
         inv_v = tj.inv_txfm(dq_v, tn.DCT_DCT, bd)
+        if uv_search:
+            # uv-mode RD race (device rdo_mode_decision chroma arm): the
+            # non-DC candidates predict from the standard above/left edges
+            # only (no above-right/bottom-left extension), so the encoder
+            # edge build is decoder-exact without a chroma blockDecoded
+            # simulation; each candidate transforms with its DERIVED tx
+            # type (spec 5.11.47 Mode_To_Txfm_Type)
+            zeroi = jnp.zeros((Bn,), jnp.int32)
+            abU, lfU = edges_local(ctxU, ly2, lx2, n2, n2, ha, hl,
+                                   zeroi, zeroi)
+            abV, lfV = edges_local(ctxV, ly2, lx2, n2, n2, ha, hl,
+                                   zeroi, zeroi)
+
+            def cand_preds(ab, lf):
+                dcp = ij.dc_predict(ab, lf, n2, n2, ha, hl, bd)
+                vp = jnp.broadcast_to(ab[:, 1 : 1 + n2][:, None, :],
+                                      dcp.shape)
+                hp = jnp.broadcast_to(lf[:, 1 : 1 + n2][:, :, None],
+                                      dcp.shape)
+                nd2 = _nondir_preds(ab, lf, n2)
+                return [dcp, vp, hp, nd2[:, 0], nd2[:, 1], nd2[:, 2],
+                        nd2[:, 3]]
+
+            predsU = cand_preds(abU, lfU)
+            predsV = cand_preds(abV, lfV)
+            uv_costs = []
+            uL, uD, uI, vL, vD, vI, uP, vP = ([] for _ in range(8))
+            for ci, (uvid, tnt, mk) in enumerate(UV_CANDS):
+                Fv2, FhT2 = mats[(n2, mk)]
+                tot = bits_uv14[mode, uvid] * lam
+                if uvid in (1, 2):  # V/H pay the (always-0) angle delta
+                    tot = tot + lam * bits_angle[uvid - 1]
+                for (pc_, srcb, oL, oD, oI, oP) in (
+                        (predsU[ci], src_u_b, uL, uD, uI, uP),
+                        (predsV[ci], src_v_b, vL, vD, vI, vP)):
+                    rc = srcb - pc_
+                    cf2 = tj.fdct_batch(rc, Fv2, FhT2)
+                    l2 = tj.quantize(cf2, qdc, qac, 0)
+                    d2q = tj.dequantize(l2, qdc, qac, 0, bd)
+                    i2 = tj.inv_txfm(d2q, tnt, bd)
+                    dd = ((rc - i2).astype(jnp.float32) ** 2).sum((-1, -2))
+                    tot = tot + dd + lam * coeff_rate(l2)
+                    oL.append(l2)
+                    oD.append(d2q)
+                    oI.append(i2)
+                    oP.append(pc_)
+                uv_costs.append(tot)
+            uvi = jnp.argmin(jnp.stack(uv_costs, 1), axis=1)  # (B,)
+            # a non-DC winner overrides the DC/CFL outcome (host
+            # _decide_chroma semantics: CFL only competes against DC)
+            non_dc = uvi > 0
+            s3m = non_dc[:, None, None]
+            guv = lambda arr: jnp.take_along_axis(
+                jnp.stack(arr, 1), uvi[:, None, None, None], axis=1)[:, 0]
+            pred_u = jnp.where(s3m, guv(uP), pred_u)
+            lv_u = jnp.where(s3m, guv(uL), lv_u)
+            dq_u = jnp.where(s3m, guv(uD), dq_u)
+            inv_u = jnp.where(s3m, guv(uI), inv_u)
+            pred_v = jnp.where(s3m, guv(vP), pred_v)
+            lv_v = jnp.where(s3m, guv(vL), lv_v)
+            dq_v = jnp.where(s3m, guv(vD), dq_v)
+            inv_v = jnp.where(s3m, guv(vI), inv_v)
+            uv_modev = jnp.where(non_dc, UV_IDS[uvi], uv_modev)
+            alpha_u = jnp.where(non_dc, 0, alpha_u)
+            alpha_v = jnp.where(non_dc, 0, alpha_v)
         recon_u = jnp.clip(pred_u + inv_u, 0, maxval)
         recon_v = jnp.clip(pred_v + inv_v, 0, maxval)
         ctxU = jax.lax.dynamic_update_slice(ctxU, recon_u, (0, 1 + ly2, 1 + lx2))
@@ -522,7 +614,7 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         cost = dist + lam * rate
 
         out = dict(mode=mode, delta=delta, tt=tt, skip=skip,
-                   au=alpha_u, av=alpha_v)
+                   au=alpha_u, av=alpha_v, uv=uv_modev)
         levels = (lv.astype(jnp.int16), lv_u.astype(jnp.int16),
                   lv_v.astype(jnp.int16))
         return ctxY, ctxU, ctxV, out, levels, cost
@@ -575,12 +667,14 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         o += 2
         part_bits16 = params[o : o + 2]
         o += 2
-        bits_uv = params[o : o + 26].reshape(13, 2)
-        o += 26
+        bits_uv14 = params[o : o + 182].reshape(13, 14)
+        o += 182
         bits_sign = params[o : o + 8]
         o += 8
         bits_alpha = params[o : o + 96].reshape(6, 16)
-        tabs = (bits_uv, bits_sign, bits_alpha)
+        o += 96
+        bits_angle = params[o : o + 8]
+        tabs = (bits_uv14, bits_sign, bits_alpha, bits_angle)
         tY = jnp.zeros((R, C, 64, 64), jnp.int32)
         tU = jnp.zeros((R, C, 32, 32), jnp.int32)
         tV = jnp.zeros((R, C, 32, 32), jnp.int32)
@@ -690,7 +784,7 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                         zi = jnp.zeros((4, Bn), jnp.int32)
                         outs8 = dict(mode=zi, delta=zi, tt=zi,
                                      skip=jnp.zeros((4, Bn), bool),
-                                     au=zi, av=zi)
+                                     au=zi, av=zi, uv=zi)
                         lv_y_m = lv16[0].reshape(Bn, 256)
                         lv_u_m = lv16[1].reshape(Bn, 64)
                         lv_v_m = lv16[2].reshape(Bn, 64)
@@ -768,19 +862,16 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             step, (tY, tU, tV),
             (sbr, sbc, valid, avail, avail8, allow, lam_q, qdc_q, qac_q))
         split, out32, outs16, split8, outs8, lv_y, lv_u, lv_v = outs
-        # pack: (K, 4, B, 131) int16 metadata + (K, 4, B, 1536) levels
-        m32 = jnp.stack([out32["mode"], out32["delta"], out32["tt"],
-                         out32["skip"].astype(jnp.int32), out32["au"],
-                         out32["av"]], axis=-1)
-        m16 = jnp.stack([outs16["mode"], outs16["delta"], outs16["tt"],
-                         outs16["skip"].astype(jnp.int32), outs16["au"],
-                         outs16["av"]], axis=-1)  # (K, 4, 4, B, 6)
-        m16 = m16.transpose(0, 1, 3, 2, 4).reshape(K, 4, B, 24)
+        # pack: (K, 4, B, 152) int16 metadata + (K, 4, B, 1536) levels
+        FIELDS = ("mode", "delta", "tt", "skip", "au", "av", "uv")
+        pk = lambda o: [o[f].astype(jnp.int32) if f == "skip" else o[f]
+                        for f in FIELDS]
+        m32 = jnp.stack(pk(out32), axis=-1)  # (K, 4, B, 7)
+        m16 = jnp.stack(pk(outs16), axis=-1)  # (K, 4, 4, B, 7)
+        m16 = m16.transpose(0, 1, 3, 2, 4).reshape(K, 4, B, 28)
         s16 = split8.astype(jnp.int32).transpose(0, 1, 3, 2)  # (K, 4, B, 4)
-        m8 = jnp.stack([outs8["mode"], outs8["delta"], outs8["tt"],
-                        outs8["skip"].astype(jnp.int32), outs8["au"],
-                        outs8["av"]], axis=-1)  # (K, 4, 4, 4, B, 6)
-        m8 = m8.transpose(0, 1, 4, 2, 3, 5).reshape(K, 4, B, 96)
+        m8 = jnp.stack(pk(outs8), axis=-1)  # (K, 4, 4, 4, B, 7)
+        m8 = m8.transpose(0, 1, 4, 2, 3, 5).reshape(K, 4, B, 112)
         meta = jnp.concatenate([split[..., None].astype(jnp.int32), m32,
                                 s16, m16, m8], axis=-1).astype(jnp.int16)
         packed = jnp.concatenate([meta, lv_y, lv_u, lv_v], axis=-1)
@@ -837,8 +928,8 @@ class WavefrontResult:
 
     def sb_records(self, r: int, c_: int):
         """Block records for one device SB in decode order: list of
-        (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta, lv_y, lv_u,
-        lv_v)."""
+        (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta, uv, lv_y,
+        lv_u, lv_v); tt is the DTT4_IDTX set symbol."""
         g = self.geom
         k, li = g.sb_step[r, c_], g.sb_lane[r, c_]
         sy, sx = r * 64, c_ * 64
@@ -854,6 +945,7 @@ class WavefrontResult:
                              int(avq[0, 0]), int(avq[0, 1]),
                              int(o["au"][k, q, li]), int(o["av"][k, q, li]),
                              int(o["delta"][k, q, li]),
+                             int(o["uv"][k, q, li]),
                              self.lv_y[k, q, li].reshape(32, 32),
                              self.lv_u[k, q, li].reshape(16, 16),
                              self.lv_v[k, q, li].reshape(16, 16)))
@@ -881,6 +973,7 @@ class WavefrontResult:
                                          int(o8["au"][k, q, s, e, li]),
                                          int(o8["av"][k, q, s, e, li]),
                                          int(o8["delta"][k, q, s, e, li]),
+                                         int(o8["uv"][k, q, s, e, li]),
                                          ly8[e], lu8[e], lv8[e]))
                         continue
                     recs.append((x16, y16, 16, 16,
@@ -891,6 +984,7 @@ class WavefrontResult:
                                  int(o["au"][k, q, s, li]),
                                  int(o["av"][k, q, s, li]),
                                  int(o["delta"][k, q, s, li]),
+                                 int(o["uv"][k, q, s, li]),
                                  ly4[s].reshape(16, 16),
                                  lu4[s].reshape(8, 8),
                                  lv4[s].reshape(8, 8)))
@@ -943,7 +1037,8 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
     fn = build_pass(fe.h, fe.w, K, B, fe.bd, bool(fe.cfl_search and fe.q > 0),
                     bool(fe.tx_type_search and fe.q > 0), bool(fe.fine_dir),
                     mmask, fe.mi_cols, fe.mi_rows, bool(fe.rdo_partition),
-                    bool(getattr(fe, "rdo_split8", False)))
+                    bool(getattr(fe, "rdo_split8", False)),
+                    bool(getattr(fe, "uv_search", False) and fe.q > 0))
 
     # per-quadrant lambda / quantizers (activity AQ and segmentation maps)
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
@@ -1005,16 +1100,16 @@ def _sym_bits_row(row, n):
 def _mode_bit_params(fe) -> np.ndarray:
     """Mode-symbol bit tables from the frame's initial CDFs, as the fixed
     float32 parameter tail the device pass unpacks: partition bits (2+2)
-    + uv-mode bits (13x2) + CFL sign (8) + CFL alpha (6x16)."""
+    + uv-mode bits (13x14) + CFL sign (8) + CFL alpha (6x16) + uv angle
+    delta-0 bits per directional base (8)."""
     cdf = fe.cdf
-    bits_uv = np.zeros((13, 2), np.float32)
-    for m in range(13):
-        rowb = _sym_bits_row(cdf.uv_mode[1][m], 14)
-        bits_uv[m, 0] = rowb[0]
-        bits_uv[m, 1] = rowb[13]
+    bits_uv14 = np.stack([_sym_bits_row(cdf.uv_mode[1][m], 14)
+                          for m in range(13)])
     bits_sign = _sym_bits_row(cdf.cfl_sign[0], 8)
     bits_alpha = np.stack([_sym_bits_row(cdf.cfl_alpha[i], 16)
                            for i in range(6)])
+    bits_angle = np.asarray([_sym_bits_row(cdf.angle_delta[i], 7)[3]
+                             for i in range(8)], np.float32)
     pbits = _sym_bits_row(cdf.partition[(3 - 1) * 4 + 0], 10)
     part_bits = np.asarray([pbits[0], pbits[3]], np.float32)
     # 16-parent decision (bsl=2) + the four 8-leaf NONE symbols (bsl=1)
@@ -1022,8 +1117,9 @@ def _mode_bit_params(fe) -> np.ndarray:
     pbits8 = _sym_bits_row(cdf.partition[0], 4)
     part_bits16 = np.asarray(
         [pbits16[0], pbits16[3] + 4 * pbits8[0]], np.float32)
-    return np.concatenate([part_bits, part_bits16, bits_uv.ravel(),
-                           bits_sign, bits_alpha.ravel()]).astype(np.float32)
+    return np.concatenate([part_bits, part_bits16, bits_uv14.ravel(),
+                           bits_sign, bits_alpha.ravel(),
+                           bits_angle]).astype(np.float32)
 
 
 def unpack_wavefront(geom, fe, out: np.ndarray,
@@ -1035,19 +1131,19 @@ def unpack_wavefront(geom, fe, out: np.ndarray,
     Hp = fe.h
     if Wp is None:
         Wp = fe.w
-    rec_words = K * 4 * B * 1667
-    packed = out[: rec_words * 2].view(np.int16).reshape(K, 4, B, 1667)
-    meta = packed[..., :131]
+    rec_words = K * 4 * B * 1688
+    packed = out[: rec_words * 2].view(np.int16).reshape(K, 4, B, 1688)
+    meta = packed[..., :152]
     split_np = meta[..., 0].astype(bool)
-    f32names = ("mode", "delta", "tt", "skip", "au", "av")
+    f32names = ("mode", "delta", "tt", "skip", "au", "av", "uv")
     out32_np = {nm: meta[..., 1 + i] for i, nm in enumerate(f32names)}
-    split16_np = meta[..., 7:11].transpose(0, 1, 3, 2).astype(bool)
-    m16 = meta[..., 11:35].reshape(K, 4, B, 4, 6).transpose(0, 1, 3, 2, 4)
+    split16_np = meta[..., 8:12].transpose(0, 1, 3, 2).astype(bool)
+    m16 = meta[..., 12:40].reshape(K, 4, B, 4, 7).transpose(0, 1, 3, 2, 4)
     out16_np = {nm: m16[..., i] for i, nm in enumerate(f32names)}
-    m8 = meta[..., 35:131].reshape(K, 4, B, 4, 4, 6).transpose(0, 1, 3, 4, 2, 5)
+    m8 = meta[..., 40:152].reshape(K, 4, B, 4, 4, 7).transpose(0, 1, 3, 4, 2, 5)
     out8_np = {nm: m8[..., i] for i, nm in enumerate(f32names)}
-    levels = (packed[..., 131:1155], packed[..., 1155:1411],
-              packed[..., 1411:1667])
+    levels = (packed[..., 152:1176], packed[..., 1176:1432],
+              packed[..., 1432:1688])
     nY = Hp * Wp
     nC = (Hp >> 1) * (Wp >> 1)
     o = rec_words * 2

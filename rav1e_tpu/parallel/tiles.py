@@ -101,7 +101,8 @@ def run_wavefront_sharded(fe, tiles, mesh: Mesh):
                         bool(fe.tx_type_search and fe.q > 0),
                         bool(fe.fine_dir), mmask, tile_w // 4, fe.mi_rows,
                         bool(fe.rdo_partition),
-                        bool(getattr(fe, "rdo_split8", False)))
+                        bool(getattr(fe, "rdo_split8", False)),
+                        bool(getattr(fe, "uv_search", False) and fe.q > 0))
 
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
     qdc_q = np.full((K, B, 4), fe.dc_q, np.float32)

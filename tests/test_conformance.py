@@ -335,3 +335,49 @@ def test_422_inter_gop_api():
         rec = ctx._encoder.recon_by_input[no]
         for pl in range(3):
             assert np.array_equal(dec[disp][pl].astype(np.int32), rec[pl])
+
+
+def test_odd_width_edge_partition_trials():
+    """Regression: _rd_split's 32->16 trial caches per-child predictions,
+    but the real recursion re-splits edge children (frame-edge / 4:2:2
+    forced splits), so a later sibling's cached prediction can embed stale
+    neighbor recon.  88px width puts the last 32-block astride the frame
+    edge; the uv-mode race shifts luma picks toward above-right-reading
+    D modes, which exposed the staleness as a decoder mismatch."""
+    from rav1e_tpu.api.config import Config, EncoderConfig
+    from rav1e_tpu.api.context import EncoderError
+    from rav1e_tpu.utils.frame import Frame
+
+    rng = np.random.default_rng(9)
+    w, h = 88, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    for ss_, q in (((1, 0), 110), ((1, 1), 110), ((1, 1), 80)):
+        cfg = Config(enc=EncoderConfig(width=w, height=h, quantizer=q,
+                                       chroma_sampling=ss_,
+                                       low_latency=False,
+                                       max_key_frame_interval=100))
+        ctx = cfg.new_context()
+        cw_ = w >> ss_[0]
+        ch_ = h >> ss_[1]
+        for t in range(3):
+            y = np.clip((xx * 2 + yy + 3 * t) % 256
+                        + rng.integers(-10, 10, (h, w)), 0, 255).astype(np.uint8)
+            u = ((np.arange(cw_)[None, :] + 40 + t) % 220
+                 * np.ones((ch_, 1))).astype(np.uint8)
+            v = ((np.arange(ch_)[:, None] * 2 + 90 + t) % 240
+                 * np.ones((1, cw_))).astype(np.uint8)
+            ctx.send_frame(Frame.from_planes(y, u, v, 8, ss_))
+        ctx.flush()
+        pkts = []
+        while True:
+            try:
+                pkts.append(ctx.receive_packet())
+            except EncoderError:
+                break
+        dec = dav1d.decode_stream([p.data for p in pkts])
+        shown = [p.input_frameno for p in pkts if p.shows]
+        for disp, no in enumerate(shown):
+            rec = ctx._encoder.recon_by_input[no]
+            for pl in range(3):
+                assert np.array_equal(dec[disp][pl].astype(np.int32),
+                                      rec[pl]), (ss_, q, no, pl)
