@@ -98,7 +98,13 @@ class InterFrameEncoder(IntraFrameEncoder):
         self.ref_ids = sorted(self.refs)
         # temporal side per ref (order-hint sign bias); set by the pipeline
         self.sign_bias = {rid: 0 for rid in self.ref_ids}
-        self.rdo_partition = False  # inter partition RD lands next milestone
+        # inter partition RD: NONE-vs-SPLIT trials at the 32 level (16x16
+        # leaves on inter frames; reference: rdo_partition_decision over
+        # inter blocks, src/rdo.rs).  Decisions-only cache: the chosen
+        # (ref, mode, idx) replays at coding time with MVs re-derived from
+        # the coding-time MV stack, so DRL/NEAREST semantics stay exact.
+        self.rdo_partition = speed <= 7
+        self._pending_inter: dict = {}
         # compound prediction (reference_select=1): enabled by the pipeline
         # when the ref set spans both temporal sides
         self.reference_select = False
@@ -356,6 +362,177 @@ class InterFrameEncoder(IntraFrameEncoder):
         self._m64[(x, y)] = dec
         return True
 
+    # -- partition RD (NONE vs SPLIT at the 32 level) --------------------------
+
+    def _trial_inter(self, x, y, bw, bh):
+        """Decide + transform one inter-frame block as a partition trial.
+        Writes the trial reconstruction into self.rec (later siblings'
+        predictions read it; the caller restores around the whole trial).
+        Returns (dist_sse, rate_bits, decision) where decision carries only
+        what survives to coding time: (rid, mode, mv, ref_mv_idx)."""
+        tile = (self.ty0 // 4, self.tx0 // 4,
+                min(self.ty1, self.mi_rows * 4) // 4,
+                min(self.tx1, self.mi_cols * 4) // 4)
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        cw, ch = bw >> self.sub_x, bh >> self.sub_y
+        rid, mode, mv, idx, res = self._decide_inter(x, y, bw, bh, tile)
+        is_inter = mode is not None
+        if is_inter:
+            comp = isinstance(rid, tuple)
+            mcf = self._mc_pred_comp if comp else self._mc_pred
+            pred_y = mcf(rid, 0, x, y, bw, bh, mv)
+            pred_u = mcf(rid, 1, cx, cy, cw, ch, mv)
+            pred_v = mcf(rid, 2, cx, cy, cw, ch, mv)
+            lv_y, dq_y = self._code_inter_tx(0, x, y, bw, bh, pred_y)
+            lv_u, dq_u = self._code_inter_tx(1, cx, cy, cw, ch, pred_u)
+            lv_v, dq_v = self._code_inter_tx(2, cx, cy, cw, ch, pred_v)
+            tt_y = tf.DCT_DCT
+        else:
+            y_mode = self._choose_mode(x, y, bw, bh)
+            pred_y, lv_y, dq_y, tt_y = self._code_plane_tx(0, x, y, bw, bh,
+                                                           y_mode)
+            pred_u, lv_u, dq_u, _ = self._code_plane_tx(1, cx, cy, cw, ch,
+                                                        ip.DC_PRED)
+            pred_v, lv_v, dq_v, _ = self._code_plane_tx(2, cx, cy, cw, ch,
+                                                        ip.DC_PRED)
+        skip = not (lv_y.any() or lv_u.any() or lv_v.any())
+        lim = (1 << self.bd) - 1
+        dist = 0
+        rate = self._B64_BLOCK_BITS
+        # skip-vs-code RD, same model as _block
+        if is_inter and not skip:
+            dist_code = 0
+            dist_skip = 0
+            r_code = 0.0
+            for plane, (px, py, tw, th, pred, lv, dq) in (
+                (0, (x, y, bw, bh, pred_y, lv_y, dq_y)),
+                (1, (cx, cy, cw, ch, pred_u, lv_u, dq_u)),
+                (2, (cx, cy, cw, ch, pred_v, lv_v, dq_v)),
+            ):
+                src = self.src[plane][py : py + th, px : px + tw].astype(np.int64)
+                resid = tf.inverse_transform_native(dq, tf.DCT_DCT, self.bd)
+                coded = np.clip(pred + resid, 0, lim)
+                d = coded - src
+                dist_code += int((d * d).sum())
+                d0 = pred.astype(np.int64) - src
+                dist_skip += int((d0 * d0).sum())
+                if lv.any():
+                    r_code += self._trial_rate_txb(plane, px, py, tw, th, lv, 0)
+            if dist_skip + self.lam * 2.0 < dist_code + self.lam * r_code:
+                skip = True
+                lv_y = np.zeros_like(lv_y)
+                lv_u = np.zeros_like(lv_u)
+                lv_v = np.zeros_like(lv_v)
+        for plane, (px, py, tw, th, pred, lv, dq, tt) in (
+            (0, (x, y, bw, bh, pred_y, lv_y, dq_y, tt_y)),
+            (1, (cx, cy, cw, ch, pred_u, lv_u, dq_u, tf.DCT_DCT)),
+            (2, (cx, cy, cw, ch, pred_v, lv_v, dq_v, tf.DCT_DCT)),
+        ):
+            if skip or not lv.any():
+                coded = np.clip(pred, 0, lim).astype(np.int32)
+                if not skip:
+                    rate += self._trial_rate_txb(plane, px, py, tw, th, lv, 0)
+            else:
+                resid = tf.inverse_transform_native(dq, tt, self.bd)
+                coded = np.clip(pred + resid, 0, lim).astype(np.int32)
+                rate += self._trial_rate_txb(plane, px, py, tw, th, lv, 0)
+            src = self.src[plane][py : py + th, px : px + tw].astype(np.int64)
+            d = coded.astype(np.int64) - src
+            dist += int((d * d).sum())
+            self.rec[plane][py : py + th, px : px + tw] = coded
+        return dist, rate, (rid, mode, mv, idx)
+
+    def _rd_split_32(self, x: int, y: int, cdf_row) -> bool:
+        """Inter NONE(32)-vs-SPLIT(4x16) partition RD.  Trials do not touch
+        the MV grid (coding replays decisions against the true stacks).
+
+        TODO(known issue): on compound-capable (reference_select) frames,
+        mixed 16/32 grids desync libdav1d — the compound MV-stack/context
+        derivation appears wrong for mixed-granularity neighborhoods
+        (single-reference frames conform).  Until that is probed and fixed,
+        partition RD runs on single-reference frames only."""
+        if self.reference_select:
+            return False
+        half = 16
+        cx, cy = x >> self.sub_x, y >> self.sub_y
+        ccw, cch = 32 >> self.sub_x, 32 >> self.sub_y
+        saves = [
+            self.rec[0][y : y + 32, x : x + 32].copy(),
+            self.rec[1][cy : cy + cch, cx : cx + ccw].copy(),
+            self.rec[2][cy : cy + cch, cx : cx + ccw].copy(),
+        ]
+
+        def restore():
+            self.rec[0][y : y + 32, x : x + 32] = saves[0]
+            self.rec[1][cy : cy + cch, cx : cx + ccw] = saves[1]
+            self.rec[2][cy : cy + cch, cx : cx + ccw] = saves[2]
+
+        lam = self.lam
+        dist_n, rate_n, dec_n = self._trial_inter(x, y, 32, 32)
+        rate_n += self._sym_bits(cdf_row[:11], self.P_NONE)
+        cost_none = dist_n + lam * rate_n
+        restore()
+        dist_s = 0
+        rate_s = self._sym_bits(cdf_row[:11], self.P_SPLIT)
+        decs = {}
+        for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+            d, r, dec = self._trial_inter(x + dx, y + dy, half, half)
+            decs[(x + dx, y + dy, half, half)] = dec
+            dist_s += d
+            rate_s += r + 2.0  # child partition NONE symbols ~2 bits
+        restore()
+        if dist_s + lam * rate_s < cost_none:
+            self._pending_inter.update(decs)
+            return True
+        self._pending_inter[(x, y, 32, 32)] = dec_n
+        return False
+
+    def _replay_decision(self, pend, x, y, bw, bh, tile):
+        """Re-derive a cached partition-trial decision against the
+        coding-time MV stack (non-NEW components come from the stack, like
+        the decoder's own derivation).  Returns the _decide_inter tuple,
+        or None when the stack no longer supports the cached mode/idx."""
+        rid, mode, mv, idx = pend
+        if mode is None:
+            return None, None, None, 0, None
+        mr, mc_ = y // 4, x // 4
+        res = mvp.find_mv_stack(self.grid, mr, mc_, bw // 4, bh // 4, rid,
+                                tile=tile, sign_bias=self.sign_bias)
+        if isinstance(rid, tuple):
+            s0 = tuple(res.stack[0])
+            if mode == NEAREST_NEARESTMV:
+                if res.num_mv_found < 1:
+                    return None
+                out = s0
+            elif mode == GLOBAL_GLOBALMV:
+                out = ((0, 0), (0, 0))
+            elif mode == NEAR_NEARMV:
+                if res.num_mv_found <= idx:
+                    return None
+                out = tuple(res.stack[idx])
+            elif mode == NEAREST_NEWMV:
+                out = (s0[0], mv[1])
+            elif mode == NEW_NEARESTMV:
+                out = (mv[0], s0[1])
+            elif mode == NEW_NEWMV:
+                out = mv
+            else:
+                return None
+            return rid, mode, out, idx, res
+        if mode == GLOBALMV:
+            return rid, mode, (0, 0), 0, res
+        if mode == NEARESTMV:
+            if res.num_mv_found < 1:
+                return None
+            return rid, mode, tuple(res.stack[0]), 0, res
+        if mode == NEARMV:
+            if res.num_mv_found <= idx:
+                return None
+            return rid, mode, tuple(res.stack[idx]), idx, res
+        if mode == NEWMV:
+            return rid, mode, mv, idx, res
+        return None
+
     def _decide_inter(self, x, y, bw, bh, tile):
         """Pick (rid, ymode, mv, ref_mv_idx, stack_res) for the block over
         every available reference; rid None means intra."""
@@ -507,7 +684,14 @@ class InterFrameEncoder(IntraFrameEncoder):
                                      res, y_mode, tt_y, skip,
                                      lv_y, lv_u, lv_v)
             return
-        rid, mode, mv, ref_mv_idx, res = self._decide_inter(x, y, bw, bh, tile)
+        pend = self._pending_inter.pop((x, y, bw, bh), None)
+        rep = (self._replay_decision(pend, x, y, bw, bh, tile)
+               if pend is not None else None)
+        if rep is not None:
+            rid, mode, mv, ref_mv_idx, res = rep
+        else:
+            rid, mode, mv, ref_mv_idx, res = self._decide_inter(x, y, bw, bh,
+                                                                tile)
         is_inter = mode is not None
         is_comp = is_inter and isinstance(rid, tuple)
 

@@ -147,3 +147,39 @@ def test_switch_frames():
     finally:
         hdr.write_frame_header = orig
     assert SWITCH_FRAME in seen, seen
+
+
+def test_inter_partition_rd_conforms():
+    """Single-reference inter partition RD: 32->16 splits engage on
+    motion-heterogeneous content and the stream stays dav1d bit-exact.
+    The replay path re-derives non-NEW MVs from the coding-time stack."""
+    import rav1e_tpu.models.inter_frame as inf
+
+    splits = []
+    orig = inf.InterFrameEncoder._rd_split_32
+
+    def probe(self, x, y, cdf_row):
+        r = orig(self, x, y, cdf_row)
+        splits.append(r)
+        return r
+
+    inf.InterFrameEncoder._rd_split_32 = probe
+    rng = np.random.default_rng(3)
+    big = np.clip(
+        (np.add.outer(np.arange(96 + 256), np.arange(128 + 256)) * 3 % 200)
+        + rng.integers(-20, 20, (96 + 256, 128 + 256)), 0, 255
+    ).astype(np.uint8)
+    frames = []
+    for t in range(4):
+        # split motion: left half pans, right half static (forces sub-32
+        # motion boundaries through the middle of superblocks)
+        y = big[64 : 64 + 96, 64 : 64 + 128].copy()
+        y[:, :64] = big[64 + 2 * t : 64 + 2 * t + 96, 64 + 3 * t : 64 + 3 * t + 64]
+        u = np.full((48, 64), 120, np.uint8)
+        v = np.full((48, 64), 136, np.uint8)
+        frames.append((y, u, v))
+    try:
+        run_clip(frames, q=120, low_latency=True)
+    finally:
+        inf.InterFrameEncoder._rd_split_32 = orig
+    assert any(splits), "no 32->16 inter split ever chosen"
