@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--reconstruction", help="write reconstruction to .y4m")
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="per-stage timing + block statistics summary")
+    ap.add_argument("--shard-dir",
+                    help="per-GOP checkpointing: write keyframe-segment "
+                         "shards + manifest here, resuming a killed encode "
+                         "at the last completed segment")
     args = ap.parse_args(argv)
 
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
@@ -55,6 +59,34 @@ def main(argv=None) -> int:
             speed_settings=SpeedSettings.from_preset(args.speed),
         )
     )
+    if args.shard_dir:
+        # checkpointed flow (api/resume.py): buffered frames, per-segment
+        # shards, automatic resume from the manifest
+        from rav1e_tpu.api.resume import ShardedEncodeSession
+
+        frames_l = list(frames)
+        if args.limit:
+            frames_l = frames_l[: args.limit]
+        sess = ShardedEncodeSession(
+            cfg, args.shard_dir,
+            lambda i: frames_l[i] if i < len(frames_l) else None)
+        skipped = sess.frames_done
+        t0 = time.perf_counter()
+        sess.run()
+        dt = time.perf_counter() - t0
+        fout = open(args.output, "wb")
+        write_ivf_header(fout, w, h, fps[0], fps[1])
+        total = 0
+        for no, data in zip(sess.packet_framenos(), sess.packets()):
+            write_ivf_frame(fout, no, data)
+            total += len(data)
+        fout.close()
+        enc_frames = len(frames_l) - skipped
+        rate = total * 8 * fps[0] / fps[1] / max(1, len(frames_l)) / 1000.0
+        print(f"encoded {enc_frames} frames ({skipped} resumed), "
+              f"{dt:.2f}s, {rate:.1f} kb/s")
+        return 0
+
     ctx = cfg.new_context()
 
     fout = open(args.output, "wb")

@@ -197,6 +197,14 @@ class Context:
                     reservoir_frame_delay=self.enc.reservoir_frame_delay,
                     min_q=max(1, self.enc.min_quantizer),
                 )
+                # GOP-shard resume (api/resume.py): restore the reservoir
+                # snapshot taken at the previous shard boundary so a
+                # resumed ABR encode continues with the same rate state
+                seed = getattr(self, "_rc_seed", None)
+                if seed:
+                    for k, v in seed.items():
+                        if hasattr(self._rc, k):
+                            setattr(self._rc, k, v)
             else:
                 self._rc = None
             from rav1e_tpu.api.rate import (
