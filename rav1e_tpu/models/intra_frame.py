@@ -434,10 +434,13 @@ class IntraFrameEncoder:
         and the device filter chain)."""
         if self.lrf:
             with self.stats.stage("lrf"):
-                self._lr_decide()
+                with self.stats.stage("lr_decide"):
+                    self._lr_decide()
                 self._fire_prefetch()  # after this frame's last device use
-                data = self._emit_tiles_lr()
-                self._lr_apply()
+                with self.stats.stage("lr_emit"):
+                    data = self._emit_tiles_lr()
+                with self.stats.stage("lr_apply"):
+                    self._lr_apply()
         else:
             self._fire_prefetch()
         ch = (self.out_h + self.sub_y) >> self.sub_y
@@ -915,18 +918,20 @@ class IntraFrameEncoder:
             restored = self._chain_restored
             vt, ht = self._chain_taps
         else:
-            src_f = self.src[0][: self.out_h, : self.out_w].astype(np.float64)
-            vt, ht = lr.solve_wiener(
-                cdef_p[: self.out_h, : self.out_w].astype(np.float64), src_f
-            )
+            with self.stats.stage("lr_solve_y"):
+                src_f = self.src[0][: self.out_h, : self.out_w].astype(np.float64)
+                vt, ht = lr.solve_wiener(
+                    cdef_p[: self.out_h, : self.out_w].astype(np.float64), src_f
+                )
             restored = None
             if vt != (0, 0, 0) or ht != (0, 0, 0):
                 from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
 
-                restored = wiener_filter_frame_device(
-                    cdef_p, db_p, vt, ht, 64, self.bd, self.out_w, self.out_h,
-                    dev_cdef=getattr(self, "_dev_cdef", None),
-                    dev_db=getattr(self, "_dev_db", None))
+                with self.stats.stage("lr_trial_y"):
+                    restored = wiener_filter_frame_device(
+                        cdef_p, db_p, vt, ht, 64, self.bd, self.out_w, self.out_h,
+                        dev_cdef=getattr(self, "_dev_cdef", None),
+                        dev_db=getattr(self, "_dev_db", None))
         # guided-pass outputs for the SGR candidate sets (whole frame; the
         # per-unit choice is only the set + projection weights)
         sgr_flt = {}
@@ -975,7 +980,8 @@ class IntraFrameEncoder:
                         best = ss
                         choice = ("sgr", si, tuple(xqd), out)
                 self._lr_params[(ur, uc)] = choice
-        self._lr_decide_chroma()
+        with self.stats.stage("lr_chroma"):
+            self._lr_decide_chroma()
 
     def _lr_decide_chroma(self) -> None:
         """Chroma restoration (reference: src/lrf.rs restores all 3

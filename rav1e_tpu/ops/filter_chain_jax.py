@@ -22,7 +22,8 @@ _log = logging.getLogger("rav1e_tpu")
 _KERNELS: dict = {}
 
 
-def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w):
+def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w,
+                 want_db_host=True):
     import jax
     import jax.numpy as jnp
 
@@ -102,14 +103,20 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w):
                 sY, sU, sV, skip, sb_lam, damping=damping)
         parts = [
             y_out.astype(jnp.uint8).ravel(), u_out.astype(jnp.uint8).ravel(),
-            v_out.astype(jnp.uint8).ravel(),
-            # deblocked planes for the host (LR stripe boundaries)
-            dbY.astype(jnp.uint8).ravel(),
-            dbU.astype(jnp.uint8).ravel(), dbV.astype(jnp.uint8).ravel(),
+            v_out.astype(jnp.uint8).ravel()]
+        if want_db_host:
+            # deblocked planes for the host (SGR / per-unit host trials
+            # read LR stripe boundaries; not needed when those are off)
+            parts += [dbY.astype(jnp.uint8).ravel(),
+                      dbU.astype(jnp.uint8).ravel(),
+                      dbV.astype(jnp.uint8).ravel()]
+        parts += [
             use_sb.astype(jnp.uint8).reshape(1),
             frame_best.astype(jnp.uint8).reshape(1),
             idx_map.astype(jnp.uint8).ravel()]
-        return jnp.concatenate(parts), dbY16, y_out
+        return (jnp.concatenate(parts), dbY16, y_out,
+                dbU.astype(jnp.uint16), dbV.astype(jnp.uint16),
+                u_out.astype(jnp.uint16), v_out.astype(jnp.uint16))
 
     return jax.jit(run)
 
@@ -130,7 +137,12 @@ def filter_chain_device(fe):
     ch, cw = h >> 1, w >> 1
     info = fe.db_info
     skip_h, skip_w = info.skip.shape
-    key = (fe.h, fe.w, w, h, fe.bd, fe.cdef_damping, skip_h, skip_w)
+    # host copies of the deblocked planes are only read by the host-side
+    # per-unit trials (SGR search / per-unit Wiener taps); the plain
+    # speed-6 LR flow runs its trials from the device-resident planes
+    want_db_host = bool(fe.lrf and getattr(fe, "sgr_search", False))
+    key = (fe.h, fe.w, w, h, fe.bd, fe.cdef_damping, skip_h, skip_w,
+           want_db_host)
     k = _KERNELS.get(key)
     if k is None:
         k = _make_kernel(*key)
@@ -155,15 +167,17 @@ def filter_chain_device(fe):
     # cdef_idx literals; only the LRF two-pass flow provides that
     sb_lam = np.float32(fe.lam if (fe.lrf and fe.cdef_damping) else np.inf)
     try:
-        packed, db_y16, cdef_y16 = k(src_dev, jnp.asarray(upload),
-                                     jnp.asarray(lims), sb_lam)
+        (packed, db_y16, cdef_y16, db_u16, db_v16,
+         cdef_u16, cdef_v16) = k(src_dev, jnp.asarray(upload),
+                                 jnp.asarray(lims), sb_lam)
         # the chain is enqueued: this is the frame's last device use, so
         # the orchestration may now pipeline the NEXT frame's wavefront
         # behind it (it runs while we do the entropy pass)
         fire = getattr(fe, "_fire_prefetch", None)
         if fire is not None:
             fire()
-        out = np.asarray(packed)
+        with fe.stats.stage("chain_wait"):
+            out = np.asarray(packed)
     except Exception as e:
         _log.warning("device filter chain unavailable (%s); host path", e)
         return False
@@ -173,25 +187,32 @@ def filter_chain_device(fe):
     fe.rec[2][:ch, :cw] = out[nY + nC : nY + 2 * nC].reshape(ch, cw)
     fe._dev_db = db_y16
     fe._dev_cdef = cdef_y16
+    fe._dev_db_c = (db_u16, db_v16)
+    fe._dev_cdef_c = (cdef_u16, cdef_v16)
     o = nY + 2 * nC
-    db_y = out[o : o + nY].reshape(h, w)
-    o += nY
-    db_u = out[o : o + nC].reshape(ch, cw)
-    o += nC
-    db_v = out[o : o + nC].reshape(ch, cw)
-    o += nC
     fe._chain_restored = None
     fe._chain_taps = None
     if fe.lrf:
-        # LR stripe boundaries read the pre-CDEF (deblocked) rows; the
-        # Wiener trial itself stays a separate device call overlapped
-        # with host work (measured faster than folding it in here)
-        copies = []
-        for plane, db in ((0, db_y), (1, db_u), (2, db_v)):
-            full = np.array(fe.rec[plane])
-            full[: db.shape[0], : db.shape[1]] = db
-            copies.append(full)
-        fe._deblock_copy = copies
+        if want_db_host:
+            db_y = out[o : o + nY].reshape(h, w)
+            o += nY
+            db_u = out[o : o + nC].reshape(ch, cw)
+            o += nC
+            db_v = out[o : o + nC].reshape(ch, cw)
+            o += nC
+            # LR stripe boundaries read the pre-CDEF (deblocked) rows; the
+            # Wiener trial itself stays a separate device call overlapped
+            # with host work (measured faster than folding it in here)
+            copies = []
+            for plane, db in ((0, db_y), (1, db_u), (2, db_v)):
+                full = np.array(fe.rec[plane])
+                full[: db.shape[0], : db.shape[1]] = db
+                copies.append(full)
+            fe._deblock_copy = copies
+        else:
+            # device-resident trials only (_lr_decide reads the _dev_db/
+            # _dev_cdef refs); None makes any stray host read fail safe
+            fe._deblock_copy = None
     if fe.cdef_damping:
         from rav1e_tpu.ops.cdef_jax import _sb_result
 

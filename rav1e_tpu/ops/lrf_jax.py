@@ -98,5 +98,10 @@ def wiener_filter_frame_device(cdef_p, deblock_p, vtaps3, htaps3,
         return np.asarray(out).astype(np.int64)
     except Exception as e:  # pragma: no cover - device fallback
         _log.warning("device wiener filter unavailable (%s); numpy fallback", e)
+        if deblock_p is None:
+            # no host copy of the deblocked plane: return an identity
+            # restoration so the caller's RD decision rejects it (never
+            # signal taps whose decoder-side output we could not compute)
+            return np.asarray(cdef_p[:frame_h], np.int64).copy()
         return lr.wiener_filter_frame(cdef_p, deblock_p, vtaps3, htaps3,
                                       stripe_size, bd, frame_w, frame_h)
