@@ -405,6 +405,7 @@ class IntraFrameEncoder:
         self.cdef_strengths = None
         self.cdef_sb = None
         self._dev_db = self._dev_cdef = None
+        self._dev_db_c = self._dev_cdef_c = None
         if self.cdef_damping:
             res = None
             if (self.device_modes
@@ -911,7 +912,10 @@ class IntraFrameEncoder:
         rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
         cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
         cdef_p = self.rec[0]
-        db_p = self._deblock_copy[0]
+        # device filter chain may keep the deblocked plane device-resident
+        # only (_dev_db); the host copy is None then
+        db_p = (self._deblock_copy[0]
+                if self._deblock_copy is not None else None)
         if getattr(self, "_chain_restored", None) is not None:
             # taps solved + trial filtered on device inside the filter
             # chain (no extra chip roundtrip)
@@ -1001,9 +1005,12 @@ class IntraFrameEncoder:
         ch = (self.out_h + 1) >> 1
         rows_c = lr.unit_ranges(unit_c, ch, shifted=True)
         cols_c = lr.unit_ranges(unit_c, cw)
+        dev_db_c = getattr(self, "_dev_db_c", None)
+        dev_cdef_c = getattr(self, "_dev_cdef_c", None)
         for plane in (1, 2):
             cdef_c = self.rec[plane]
-            db_c = self._deblock_copy[plane]
+            db_c = (self._deblock_copy[plane]
+                    if self._deblock_copy is not None else None)
             src_i = self.src[plane][:ch, :cw].astype(np.int64)
             vtc, htc = lr.solve_wiener(
                 cdef_c[:ch, :cw].astype(np.float64), src_i.astype(np.float64))
@@ -1016,8 +1023,13 @@ class IntraFrameEncoder:
             from rav1e_tpu.ops.lrf_jax import wiener_filter_frame_device
 
             restored = wiener_filter_frame_device(
-                cdef_c[:ch, :cw], db_c[:ch, :cw], vtc, htc, unit_c,
-                self.bd, cw, ch)
+                cdef_c[:ch, :cw],
+                db_c[:ch, :cw] if db_c is not None else None,
+                vtc, htc, unit_c, self.bd, cw, ch,
+                dev_cdef=(dev_cdef_c[plane - 1]
+                          if dev_cdef_c is not None else None),
+                dev_db=(dev_db_c[plane - 1]
+                        if dev_db_c is not None else None))
             d2_base = (cdef_c[:ch, :cw].astype(np.int64) - src_i) ** 2
             d2_rest = (restored.astype(np.int64) - src_i) ** 2
             units = {}

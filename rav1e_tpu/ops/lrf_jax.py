@@ -102,6 +102,6 @@ def wiener_filter_frame_device(cdef_p, deblock_p, vtaps3, htaps3,
             # no host copy of the deblocked plane: return an identity
             # restoration so the caller's RD decision rejects it (never
             # signal taps whose decoder-side output we could not compute)
-            return np.asarray(cdef_p[:frame_h], np.int64).copy()
+            return np.asarray(cdef_p[:frame_h, :frame_w], np.int64).copy()
         return lr.wiener_filter_frame(cdef_p, deblock_p, vtaps3, htaps3,
                                       stripe_size, bd, frame_w, frame_h)
