@@ -22,7 +22,7 @@ def main() -> None:
     # synthetic moving-gradient + noise content (same recipe as BASELINE.md)
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
-    nframes = 4
+    nframes = 8
     for t in range(nframes):
         y = ((xx + yy + 4 * t) % 256).astype(np.uint8)
         y = np.clip(y.astype(np.int16) + rng.integers(-8, 8, y.shape), 0, 255).astype(np.uint8)
@@ -35,23 +35,25 @@ def main() -> None:
         cfg = Config(enc=EncoderConfig(width=w, height=h, quantizer=100,
                                        min_key_frame_interval=1,
                                        max_key_frame_interval=1,
-                                       rdo_lookahead_frames=1,
+                                       rdo_lookahead_frames=8,
                                        low_latency=True))
-        ctx = cfg.new_context()
-        # warmup x2: jit compiles AND the chip tunnel's first-transfer
-        # stall (it wakes slowly after idle periods)
-        for _ in range(2):
-            ctx.send_frame(frames[0])
-            ctx.receive_packet()
-        # queue all frames first: the encoder overlaps frame N+1's device
-        # pass with frame N's host entropy pass (lookahead pipelining)
+        def run() -> int:
+            # queue all frames then flush: consecutive key frames batch
+            # into one wavefront pass, and the device overlaps the host
+            # entropy pass (lookahead pipelining)
+            ctx = cfg.new_context()
+            for f in frames:
+                ctx.send_frame(f)
+            ctx.flush()
+            return sum(len(ctx.receive_packet().data) for _ in frames)
+
+        # warmup with the SAME queued pattern as the timed run: compiles
+        # every wavefront variant the run will use (single-frame plus the
+        # F=4/F=2 batched key-frame passes) and absorbs the chip tunnel's
+        # first-transfer stall (it wakes slowly after idle periods)
+        run()
         t0 = time.perf_counter()
-        nbytes = 0
-        for f in frames:
-            ctx.send_frame(f)
-        for _ in frames:
-            pkt = ctx.receive_packet()
-            nbytes += len(pkt.data)
+        nbytes = run()
         dt = time.perf_counter() - t0
         fps = nframes / dt
         print(

@@ -1235,4 +1235,121 @@ int encode_cached_block(
                               cdef_bits, cdef_idx);
 }
 
+// Serialize a run of device-wavefront superblocks straight into the
+// BlockCache in decode order (z-order quads / 16-leaves / 8-leaves),
+// replacing the per-block Python loop of
+// rav1e_tpu/models/intra_frame.py::_push_device_sb.  Also fills the
+// deblock-info mi maps, marks mi_coded, and accumulates block stats.
+//
+// packed: the wavefront pass's raw int16 output, (K, 4, B, 1688) where
+//   [0:152] is metadata and [152:1176]/[1176:1432]/[1432:1688] are the
+//   Y/U/V quantized level buffers (see wavefront.py `run`).
+// avail: (K, B, 4, 5, 4) int32 (ha, hl, n_tr, n_bl); slot 0 = the 32x32
+//   quad, slots 1..4 its 16x16 leaves.  avail8: (K, B, 4, 4, 4, 4).
+// stat_out: [0:13] mode counts, [13] blocks8, [14] blocks16, [15] blocks32,
+//   [16] skip, [17] cfl, [18] adst, [19] total blocks.
+void wavefront_cache_push_run(
+    void *cache, const int16_t *packed,
+    const int32_t *avail, const int32_t *avail8,
+    const int32_t *steps, const int32_t *lanes,
+    const int32_t *rows, const int32_t *cols,
+    int nsb, int B, int rdo_split8,
+    int32_t *db_txw, int32_t *db_txh, int32_t *db_bx, int32_t *db_by,
+    uint8_t *db_skip, int mi_cols_a, int mi_rows_a,
+    uint8_t *mi_coded, int mic_cols, int mic_rows,
+    int64_t *stat_out)
+{
+    BlockCache *bc = (BlockCache *)cache;
+    bc->buf.reserve(bc->buf.size() + (size_t)nsb * 4 * (15 + 1536));
+    static const int QOFF[4][2] = {{0, 0}, {0, 32}, {32, 0}, {32, 32}};
+    static const int SOFF[4][2] = {{0, 0}, {0, 16}, {16, 0}, {16, 16}};
+    static const int SOFF8[4][2] = {{0, 0}, {0, 8}, {8, 0}, {8, 8}};
+
+    // one block: header + (when coded) int16 -> int32 level copy,
+    // deblock-map fill and stats
+    auto emit = [&](const int16_t *m, int fofs, const int16_t *ly,
+                    const int16_t *lu, const int16_t *lvv,
+                    int x, int y, int bw, int bh, int ha, int hl) {
+        const int mode = m[fofs + 0], delta = m[fofs + 1], tt = m[fofs + 2];
+        const int skip = m[fofs + 3] != 0, au = m[fofs + 4], av = m[fofs + 5];
+        const int uv = m[fofs + 6];
+        int32_t hdr[15] = {x, y, bw, bh, mode, skip, tt, (ha << 1) | hl,
+                           au, av, delta, 0, 0, 0, uv};
+        bc->buf.insert(bc->buf.end(), hdr, hdr + 15);
+        if (!skip) {
+            const int ny = bw * bh, nc = (bw >> 1) * (bh >> 1);
+            size_t o = bc->buf.size();
+            bc->buf.resize(o + ny + 2 * nc);
+            int32_t *dst = &bc->buf[o];
+            for (int i = 0; i < ny; i++) dst[i] = ly[i];
+            dst += ny;
+            for (int i = 0; i < nc; i++) dst[i] = lu[i];
+            dst += nc;
+            for (int i = 0; i < nc; i++) dst[i] = lvv[i];
+        }
+        // deblock edge state (DeblockInfo.set_block with txw=bw, txh=bh)
+        int r1 = (y + bh) >> 2, c1 = (x + bw) >> 2;
+        if (r1 > mi_rows_a) r1 = mi_rows_a;
+        if (c1 > mi_cols_a) c1 = mi_cols_a;
+        for (int r = y >> 2; r < r1; r++) {
+            int64_t base = (int64_t)r * mi_cols_a;
+            for (int cdx = x >> 2; cdx < c1; cdx++) {
+                db_txw[base + cdx] = bw;
+                db_txh[base + cdx] = bh;
+                db_bx[base + cdx] = x;
+                db_by[base + cdx] = y;
+                db_skip[base + cdx] = (uint8_t)skip;
+            }
+        }
+        stat_out[mode]++;
+        stat_out[bw == 8 ? 13 : (bw == 16 ? 14 : 15)]++;
+        stat_out[16] += skip;
+        stat_out[17] += uv == 13;  // UV_CFL_PRED
+        stat_out[18] += tt == 2;
+        stat_out[19]++;
+    };
+
+    for (int i = 0; i < nsb; i++) {
+        const int k = steps[i], li = lanes[i];
+        const int sy = rows[i] * 64, sx = cols[i] * 64;
+        for (int q = 0; q < 4; q++) {
+            const int16_t *rec = packed +
+                ((size_t)(k * 4 + q) * B + li) * 1688;
+            const int32_t *avq = avail + ((((size_t)k * B + li) * 4 + q)
+                                          * 5) * 4;
+            const int qx = sx + QOFF[q][1], qy = sy + QOFF[q][0];
+            const int16_t *ly = rec + 152, *lu = rec + 1176,
+                          *lv = rec + 1432;
+            if (!rec[0]) {  // meta[0] = split32
+                emit(rec, 1, ly, lu, lv, qx, qy, 32, 32, avq[0], avq[1]);
+                continue;
+            }
+            for (int s = 0; s < 4; s++) {
+                const int x16 = qx + SOFF[s][1], y16 = qy + SOFF[s][0];
+                if (rdo_split8 && rec[8 + s]) {
+                    const int32_t *av8 = avail8 +
+                        (((((size_t)k * B + li) * 4 + q) * 4 + s) * 4) * 4;
+                    for (int e = 0; e < 4; e++)
+                        emit(rec, 40 + (s * 4 + e) * 7,
+                             ly + s * 256 + e * 64, lu + s * 64 + e * 16,
+                             lv + s * 64 + e * 16,
+                             x16 + SOFF8[e][1], y16 + SOFF8[e][0], 8, 8,
+                             av8[e * 4], av8[e * 4 + 1]);
+                    continue;
+                }
+                emit(rec, 12 + s * 7, ly + s * 256, lu + s * 64,
+                     lv + s * 64, x16, y16, 16, 16,
+                     avq[(1 + s) * 4], avq[(1 + s) * 4 + 1]);
+            }
+        }
+        // decoder blockDecoded analog for the whole SB
+        int r1 = (sy + 64) >> 2, c1 = (sx + 64) >> 2;
+        if (r1 > mic_rows) r1 = mic_rows;
+        if (c1 > mic_cols) c1 = mic_cols;
+        for (int r = sy >> 2; r < r1; r++)
+            memset(mi_coded + (int64_t)r * mic_cols + (sx >> 2), 1,
+                   c1 - (sx >> 2));
+    }
+}
+
 }  // extern "C"

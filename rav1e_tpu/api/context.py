@@ -237,8 +237,23 @@ class Context:
             return
         if getattr(self._encoder, "_prefetched", None) is not None:
             return
+        if getattr(self._encoder, "_prefetched_list", None):
+            return
+        # consecutive queued key frames batch into ONE device pass (the
+        # wavefront scan is latency-bound; F frames cost ~1 frame's wall
+        # time).  Batch sizes are held to {2, 4} to bound compile variety.
+        n_run = 0
+        for t in self._ftype_q:
+            if t != "key" or n_run >= 4:
+                break
+            n_run += 1
         try:
-            self._encoder.prefetch_key_frame(self.frame_q[0][1])
+            if n_run >= 2:
+                n = 4 if n_run >= 4 else 2
+                self._encoder.prefetch_key_frames(
+                    [self.frame_q[i][1] for i in range(n)])
+            else:
+                self._encoder.prefetch_key_frame(self.frame_q[0][1])
         except Exception:
             pass
 

@@ -95,6 +95,14 @@ def _configure():
         _ci, _ci,                      # cdef_bits, cdef_idx
     ]
     _lib.encode_sb_cached.restype = ctypes.c_int
+    _lib.wavefront_cache_push_run.argtypes = [
+        _vp, _vp,                      # cache, packed int16
+        _vp, _vp,                      # avail, avail8
+        _vp, _vp, _vp, _vp, _ci, _ci, _ci,  # steps/lanes/rows/cols, nsb, B, split8
+        _vp, _vp, _vp, _vp, _vp, _ci, _ci,  # db maps, mi_cols_a, mi_rows_a
+        _vp, _ci, _ci,                 # mi_coded, cols, rows
+        _vp,                           # stat_out int64[20]
+    ]
     _configured = True
 
 
@@ -198,6 +206,37 @@ class NativeBlockCoder:
 
         assert arr.dtype == _np.int32 and arr.flags.c_contiguous
         _lib.block_cache_push_raw(self._cache, arr.ctypes.data, len(arr))
+
+    def cache_push_wavefront(self, wf, sbs) -> np.ndarray:
+        """Serialize a run of device superblocks (list of (r, c), decode
+        order) into the pass-A cache in one native call; fills the
+        frame's deblock-info maps and mi_coded, and returns the int64[20]
+        stats vector (see native wavefront_cache_push_run)."""
+        fe = self.fe
+        g = wf.geom
+        n = len(sbs)
+        rcs = np.asarray(sbs, np.int32).reshape(n, 2)
+        steps = np.ascontiguousarray(g.sb_step[rcs[:, 0], rcs[:, 1]], np.int32)
+        lanes = np.ascontiguousarray(g.sb_lane[rcs[:, 0], rcs[:, 1]], np.int32)
+        rr = np.ascontiguousarray(rcs[:, 0])
+        cc = np.ascontiguousarray(rcs[:, 1])
+        info = fe.db_info
+        stats = np.zeros(20, np.int64)
+        assert wf.packed.dtype == np.int16 and wf.packed.flags.c_contiguous
+        _lib.wavefront_cache_push_run(
+            self._cache, wf.packed.ctypes.data,
+            g.avail.ctypes.data, g.avail8.ctypes.data,
+            steps.ctypes.data, lanes.ctypes.data,
+            rr.ctypes.data, cc.ctypes.data,
+            n, g.width,
+            1 if wf.split16 is not None and getattr(fe, "rdo_split8", False)
+            else 0,
+            info.txw.ctypes.data, info.txh.ctypes.data,
+            info.bx.ctypes.data, info.by.ctypes.data,
+            info.skip.ctypes.data, info.txw.shape[1], info.txw.shape[0],
+            fe.mi_coded.ctypes.data, fe.mi_coded.shape[1],
+            fe.mi_coded.shape[0], stats.ctypes.data)
+        return stats
 
     def cache_peek(self, x: int, y: int, bw: int, bh: int) -> bool:
         return bool(self._cache) and bool(

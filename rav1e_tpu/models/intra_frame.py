@@ -206,10 +206,12 @@ class IntraFrameEncoder:
             except Exception:
                 pass
 
-    def prepare(self, planes: list) -> None:
+    def prepare(self, planes: list, launch: bool = True) -> None:
         """Frame setup + async device-pass launch: pad sources, init CDFs
         and per-frame maps, and enqueue the wavefront device encode (which
-        returns immediately under JAX async dispatch)."""
+        returns immediately under JAX async dispatch).  launch=False does
+        the host setup only — the caller attaches a (batched) wavefront
+        handle to _wf_launched itself (pipeline.prefetch_key_frames)."""
         w, h, bd = self.w, self.h, self.bd
         # pad source planes to coded (mi-aligned) dims by edge replication
         self.src = []
@@ -354,7 +356,7 @@ class IntraFrameEncoder:
                     "native block coder unavailable (%s); python path", e
                 )
         self._wf_launched = None
-        if self._nbc is not None and self._wavefront_eligible():
+        if launch and self._nbc is not None and self._wavefront_eligible():
             try:
                 mesh = getattr(self, "wavefront_mesh", None)
                 if mesh is not None:
@@ -736,6 +738,25 @@ class IntraFrameEncoder:
         sy, sx = r * 64, c * 64
         self.mi_coded[sy // 4 : (sy + 64) // 4, sx // 4 : (sx + 64) // 4] = 1
 
+    def _apply_wf_stats(self, st) -> None:
+        """Fold the native cache-build's int64[20] stats vector into
+        EncoderStats (bulk analog of per-block record_block calls)."""
+        from rav1e_tpu.utils.stats import MODE_NAMES
+
+        s = self.stats
+        for m in range(13):
+            if st[m]:
+                s.mode_counts[MODE_NAMES[m]] += int(st[m])
+        for i, nm in ((13, "8x8"), (14, "16x16"), (15, "32x32")):
+            if st[i]:
+                s.bsize_counts[nm] += int(st[i])
+        s.skip_blocks += int(st[16])
+        s.cfl_blocks += int(st[17])
+        if st[18]:
+            s.tx_type_counts["ADST_ADST"] += int(st[18])
+        s.tx_type_counts["DCT_DCT"] += int(st[19] - st[18])
+        s.blocks += int(st[19])
+
     def _encode_tiles_wavefront(self, wf):
         """Device wavefront flow: the coding datapath ran on device; here
         we (a) build the BlockCache in decode order — device SBs from the
@@ -764,6 +785,19 @@ class IntraFrameEncoder:
         import time as _time
 
         _t0 = _time.perf_counter()
+        # fast path: contiguous runs of device SBs serialize through one
+        # native call (C++ walks the raw packed device output); the
+        # per-block Python loop remains only for segmentation frames
+        # (running seg-id context) and any host-path partial SBs
+        use_fast = (self.seg_map is None
+                    and getattr(wf, "packed", None) is not None)
+        run: list = []
+
+        def _flush_run():
+            if run:
+                self._apply_wf_stats(self._nbc.cache_push_wavefront(wf, run))
+                run.clear()
+
         try:
             for (sc0, sr0, sc1, sr1) in tiles:
                 self.tx0, self.ty0 = sc0 * 64, sr0 * 64
@@ -774,9 +808,14 @@ class IntraFrameEncoder:
                 for sy in range(self.ty0, self.ty1, 64):
                     for sx in range(self.tx0, self.tx1, 64):
                         if wf.geom.device_sb[sy // 64, sx // 64]:
-                            self._push_device_sb(wf, sy // 64, sx // 64)
+                            if use_fast:
+                                run.append((sy // 64, sx // 64))
+                            else:
+                                self._push_device_sb(wf, sy // 64, sx // 64)
                         else:
+                            _flush_run()
                             self._partition(sx, sy, 64)
+                _flush_run()
         finally:
             self._recon_only = False
         self.stats.stage_seconds["cache_build"] += _time.perf_counter() - _t0

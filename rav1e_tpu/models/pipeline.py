@@ -138,9 +138,53 @@ class FrameEncoder:
         fe.prepare([p.window() for p in frame.planes])
         self._prefetched = (frame, q, fe)
 
+    def prefetch_key_frames(self, frames, q_idx: int | None = None) -> None:
+        """Batched lookahead: prepare N key-frame encoders and enqueue ONE
+        batched wavefront pass over all of them (F*B lanes — see
+        wavefront.launch_wavefront_batch).  Falls back to a single-frame
+        prefetch when the batch is ineligible."""
+        if len(frames) < 2:
+            return self.prefetch_key_frame(frames[0], q_idx)
+        q = self.cfg.quantizer if q_idx is None else q_idx
+        fes = []
+        for fr in frames:
+            fe = self._build_key_encoder(q)
+            fe.prepare([p.window() for p in fr.planes], launch=False)
+            fes.append(fe)
+        batch = None
+        if all(fe._nbc is not None and fe._wavefront_eligible()
+               and getattr(fe, "wavefront_mesh", None) is None
+               for fe in fes):
+            try:
+                from rav1e_tpu.models.wavefront import launch_wavefront_batch
+
+                batch = launch_wavefront_batch(fes, fes[0]._tile_grid())
+            except Exception:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "batched wavefront launch failed; single-frame path",
+                    exc_info=True)
+        if batch is None:
+            self._prefetched = None
+            return self.prefetch_key_frame(frames[0], q_idx)
+        for f, fe in enumerate(fes):
+            fe._wf_launched = batch.slot(f)
+        self._prefetched_list = [(fr, q, fe) for fr, fe in zip(frames, fes)]
+
     def encode_key_frame(self, frame, q_idx: int | None = None) -> bytes:
         q = self.cfg.quantizer if q_idx is None else q_idx
         pre = getattr(self, "_prefetched", None)
+        plist = getattr(self, "_prefetched_list", None)
+        if plist:
+            head = plist.pop(0)
+            if not plist:
+                self._prefetched_list = None
+            if head[0] is frame and head[1] == q:
+                pre = head
+            else:  # out-of-order pickup: drop the stale batch
+                self._prefetched_list = None
+                pre = None
         if pre is not None and pre[0] is frame and pre[1] == q:
             fe = pre[2]
             self._prefetched = None

@@ -894,8 +894,12 @@ class WavefrontResult:
     per-SB block records in decode order."""
 
     def __init__(self, geom: WavefrontGeometry, rec, split, out32, out16,
-                 levels, split16=None, out8=None):
+                 levels, split16=None, out8=None, packed=None):
         self.geom = geom
+        # raw (K, 4, B, 1688) int16 device output — the native cache-build
+        # fast path walks it directly (ec/native_block.py
+        # cache_push_wavefront)
+        self.packed = packed
         self.rec = rec  # [Y, U, V] int32 numpy
         # stacked (K, 4, B[, ...]) / (K, 4, 4, B[, ...]) / (K, 4, 4, 4, B)
         self.split = split
@@ -1017,6 +1021,24 @@ def run_wavefront(fe, tiles) -> WavefrontResult | None:
     return launched.collect() if launched is not None else None
 
 
+def _mode_mask(fe) -> tuple:
+    if fe.speed >= 9:
+        return tuple(m in (0, 1, 2, 9, 12) for m in range(13))
+    if fe.fine_dir:
+        return tuple(True for _ in range(13))
+    return tuple(m not in (ij.D45, ij.D67, ij.D203) for m in range(13))
+
+
+def _pass_flags(fe) -> tuple:
+    """The per-frame static config the pass is specialized on (everything
+    in the build_pass key except geometry/shape)."""
+    return (fe.bd, bool(fe.cfl_search and fe.q > 0),
+            bool(fe.tx_type_search and fe.q > 0), bool(fe.fine_dir),
+            _mode_mask(fe), bool(fe.rdo_partition),
+            bool(getattr(fe, "rdo_split8", False)),
+            bool(getattr(fe, "uv_search", False) and fe.q > 0))
+
+
 def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
     """Enqueue the device pass for an IntraFrameEncoder-shaped host
     object; returns immediately (async dispatch).  None when the frame
@@ -1027,41 +1049,16 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
         return None
     K, B = geom.steps, geom.width
 
-    if fe.speed >= 9:
-        mmask = tuple(m in (0, 1, 2, 9, 12) for m in range(13))
-    elif fe.fine_dir:
-        mmask = tuple(True for _ in range(13))
-    else:
-        mmask = tuple(m not in (ij.D45, ij.D67, ij.D203) for m in range(13))
-
-    fn = build_pass(fe.h, fe.w, K, B, fe.bd, bool(fe.cfl_search and fe.q > 0),
-                    bool(fe.tx_type_search and fe.q > 0), bool(fe.fine_dir),
-                    mmask, fe.mi_cols, fe.mi_rows, bool(fe.rdo_partition),
-                    bool(getattr(fe, "rdo_split8", False)),
-                    bool(getattr(fe, "uv_search", False) and fe.q > 0))
+    flags = _pass_flags(fe)
+    fn = build_pass(fe.h, fe.w, K, B, flags[0], flags[1], flags[2], flags[3],
+                    flags[4], fe.mi_cols, fe.mi_rows, flags[5], flags[6],
+                    flags[7])
 
     # per-quadrant lambda / quantizers (activity AQ and segmentation maps)
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
     qdc_q = np.full((K, B, 4), fe.dc_q, np.float32)
     qac_q = np.full((K, B, 4), fe.ac_q, np.float32)
-    lam_map = getattr(fe, "_lam_map", None)
-    if lam_map is not None or fe.seg_map is not None:
-        for k in range(K):
-            for li in range(B):
-                if not geom.valid[k, li]:
-                    continue
-                r, c_ = int(geom.sbr[k, li]), int(geom.sbc[k, li])
-                for q in range(4):
-                    y32 = r * 2 + (_QOFF[q][0] // 32)
-                    x32 = c_ * 2 + (_QOFF[q][1] // 32)
-                    if lam_map is not None:
-                        lam_q[k, li, q] = lam_map[
-                            min(y32, lam_map.shape[0] - 1),
-                            min(x32, lam_map.shape[1] - 1)]
-                    if fe.seg_map is not None:
-                        sid = int(fe.seg_map[y32 * 8, x32 * 8])
-                        qdc_q[k, li, q], qac_q[k, li, q] = fe._seg_q[sid]
-                        lam_q[k, li, q] = fe._seg_lam[sid]
+    _fill_lane_params(fe, geom, lam_q, qdc_q, qac_q)
 
     # single packed upload: src planes as bytes + float32 params
     params = np.concatenate([
@@ -1071,7 +1068,42 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
         fe.src[0].astype(np.uint8).ravel(), fe.src[1].astype(np.uint8).ravel(),
         fe.src[2].astype(np.uint8).ravel(), params.view(np.uint8)])
 
-    # geometry arrays live on device across frames (constant per geometry)
+    dev = _geom_dev(geom)
+    upload_dev = jnp.asarray(upload)
+    # keep the device-resident source for the downstream filter chain
+    # (deblock/CDEF need src for their searches; no re-upload)
+    fe._src_dev = upload_dev
+    return LaunchedWavefront(geom, fe, fn(upload_dev, *dev))
+
+
+def _fill_lane_params(fe, geom, lam_q, qdc_q, qac_q) -> None:
+    """Per-quadrant lambda / quantizers from the frame's activity-AQ and
+    segmentation maps, into (K, B, 4) lane grids."""
+    K, B = geom.steps, geom.width
+    lam_map = getattr(fe, "_lam_map", None)
+    if lam_map is None and fe.seg_map is None:
+        return
+    for k in range(K):
+        for li in range(B):
+            if not geom.valid[k, li]:
+                continue
+            r, c_ = int(geom.sbr[k, li]), int(geom.sbc[k, li])
+            for q in range(4):
+                y32 = r * 2 + (_QOFF[q][0] // 32)
+                x32 = c_ * 2 + (_QOFF[q][1] // 32)
+                if lam_map is not None:
+                    lam_q[k, li, q] = lam_map[
+                        min(y32, lam_map.shape[0] - 1),
+                        min(x32, lam_map.shape[1] - 1)]
+                if fe.seg_map is not None:
+                    sid = int(fe.seg_map[y32 * 8, x32 * 8])
+                    qdc_q[k, li, q], qac_q[k, li, q] = fe._seg_q[sid]
+                    lam_q[k, li, q] = fe._seg_lam[sid]
+
+
+def _geom_dev(geom):
+    """Geometry arrays live on device across frames (constant per
+    geometry)."""
     dev = getattr(geom, "_dev", None)
     if dev is None:
         import jax as _jax
@@ -1080,12 +1112,174 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
                     (geom.sbr, geom.sbc, geom.valid, geom.avail,
                      geom.avail8, geom.allow_z1))
         geom._dev = dev
+    return dev
 
+
+# ---------------------------------------------------------------------------
+# multi-frame batched launch (consecutive key frames)
+# ---------------------------------------------------------------------------
+#
+# The wavefront scan is latency-bound: each of its K steps runs ~B small
+# per-lane block encodes, far below the chip's parallel capacity.  Frames
+# with no coding dependence on each other (consecutive KEY frames: each
+# starts from default CDFs and references nothing) batch into ONE pass by
+# stacking their planes vertically — same K steps, F*B lanes — dividing
+# the per-frame wall time by ~F.  Reference analog: rav1e has no
+# cross-frame batching (its rayon tile pool is within-frame); this is a
+# TPU-native reformulation of SURVEY 2.6's "frame-parallel" row.
+
+
+class _BatchSlot:
+    """Per-frame handle into a batched launch (LaunchedWavefront API)."""
+
+    def __init__(self, batch, f: int):
+        self.batch = batch
+        self.f = f
+        self.geom = batch.geom
+
+    def collect(self) -> "WavefrontResult":
+        return self.batch.collect(self.f)
+
+
+class LaunchedWavefrontBatch:
+    def __init__(self, geom, fes, out):
+        self.geom = geom
+        self.fes = fes
+        self.out = out
+        self._np = None
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+
+    def slot(self, f: int) -> _BatchSlot:
+        return _BatchSlot(self, f)
+
+    def collect(self, f: int) -> "WavefrontResult":
+        if self._np is None:
+            self._np = np.asarray(self.out)
+        return _unpack_batch_frame(self.geom, self.fes[f], self._np,
+                                   len(self.fes), f)
+
+
+def launch_wavefront_batch(fes, tiles) -> LaunchedWavefrontBatch | None:
+    """One device pass over F same-shape, same-config key frames (lanes =
+    F*B, planes stacked along rows).  Returns None when ineligible —
+    caller falls back to per-frame launches."""
+    if len(fes) < 2:
+        return None
+    fe0 = fes[0]
+    geom = geometry_for(fe0.coded_w, fe0.coded_h, fe0.w, fe0.h, fe0.mi_cols,
+                        fe0.mi_rows, tuple(tiles))
+    if geom is None:
+        return None
+    flags0 = _pass_flags(fe0)
+    bits0 = _mode_bit_params(fe0)
+    for fe in fes[1:]:
+        if (fe.w, fe.h, fe.coded_w, fe.coded_h) != (
+                fe0.w, fe0.h, fe0.coded_w, fe0.coded_h):
+            return None
+        if _pass_flags(fe) != flags0:
+            return None
+        # mode-bit tables ride a single shared tail; all-key frames start
+        # from the same initial CDFs so this matches in practice
+        if not np.array_equal(_mode_bit_params(fe), bits0):
+            return None
+    F = len(fes)
+    K, B = geom.steps, geom.width
+    R = fe0.h // 64
+
+    fn = build_pass(F * fe0.h, fe0.w, K, F * B, flags0[0], flags0[1],
+                    flags0[2], flags0[3], flags0[4], fe0.mi_cols,
+                    fe0.mi_rows, flags0[5], flags0[6], flags0[7])
+
+    # extended lane grids: frame f occupies lanes [f*B, (f+1)*B) with its
+    # tile rows offset by f*R in the stacked plane
+    lam_b = np.empty((K, F * B, 4), np.float32)
+    qdc_b = np.empty((K, F * B, 4), np.float32)
+    qac_b = np.empty((K, F * B, 4), np.float32)
+    for f, fe in enumerate(fes):
+        lam_q = np.full((K, B, 4), fe.lam, np.float32)
+        qdc_q = np.full((K, B, 4), fe.dc_q, np.float32)
+        qac_q = np.full((K, B, 4), fe.ac_q, np.float32)
+        _fill_lane_params(fe, geom, lam_q, qdc_q, qac_q)
+        lam_b[:, f * B : (f + 1) * B] = lam_q
+        qdc_b[:, f * B : (f + 1) * B] = qdc_q
+        qac_b[:, f * B : (f + 1) * B] = qac_q
+
+    key = (id(geom), F)
+    dev = _BATCH_GEOM_CACHE.get(key)
+    if dev is None:
+        import jax as _jax
+
+        off = np.arange(F, dtype=np.int32)[:, None, None] * R
+        sbr_b = np.concatenate([geom.sbr + off[f] for f in range(F)], axis=1)
+        tileF = lambda a: np.concatenate([a] * F, axis=1)
+        dev = tuple(_jax.device_put(a) for a in (
+            sbr_b, tileF(geom.sbc), tileF(geom.valid), tileF(geom.avail),
+            tileF(geom.avail8), tileF(geom.allow_z1)))
+        _BATCH_GEOM_CACHE[key] = dev
+
+    params = np.concatenate([
+        lam_b.ravel(), qdc_b.ravel(), qac_b.ravel(), bits0]).astype(
+            np.float32)
+    upload = np.concatenate(
+        [fe.src[0].astype(np.uint8).ravel() for fe in fes]
+        + [fe.src[1].astype(np.uint8).ravel() for fe in fes]
+        + [fe.src[2].astype(np.uint8).ravel() for fe in fes]
+        + [params.view(np.uint8)])
     upload_dev = jnp.asarray(upload)
-    # keep the device-resident source for the downstream filter chain
-    # (deblock/CDEF need src for their searches; no re-upload)
-    fe._src_dev = upload_dev
-    return LaunchedWavefront(geom, fe, fn(upload_dev, *dev))
+    nY = fe0.h * fe0.w
+    nC = (fe0.h >> 1) * (fe0.w >> 1)
+    for f, fe in enumerate(fes):
+        # frame-local [Y, U, V] device view for the downstream filter chain
+        fe._src_dev = _src_slicer(F, f, nY, nC)(upload_dev)
+    return LaunchedWavefrontBatch(geom, list(fes), fn(upload_dev, *dev))
+
+
+_BATCH_GEOM_CACHE: dict = {}
+_SLICE_CACHE: dict = {}
+
+
+def _src_slicer(F: int, f: int, nY: int, nC: int):
+    key = (F, f, nY, nC)
+    fn = _SLICE_CACHE.get(key)
+    if fn is None:
+        import jax as _jax
+
+        def sl(up):
+            y = up[f * nY : (f + 1) * nY]
+            u = up[F * nY + f * nC : F * nY + (f + 1) * nC]
+            v = up[F * nY + F * nC + f * nC : F * nY + F * nC + (f + 1) * nC]
+            return jnp.concatenate([y, u, v])
+
+        fn = _jax.jit(sl)
+        _SLICE_CACHE[key] = fn
+    return fn
+
+
+def _unpack_batch_frame(geom, fe, out: np.ndarray, F: int,
+                        f: int) -> "WavefrontResult":
+    """Frame f's WavefrontResult out of a batched pass's packed output."""
+    K, B = geom.steps, geom.width
+    Hp, Wp = fe.h, fe.w
+    rec_words = K * 4 * (F * B) * 1688
+    packed_all = out[: rec_words * 2].view(np.int16).reshape(
+        K, 4, F * B, 1688)
+    packed = np.ascontiguousarray(packed_all[:, :, f * B : (f + 1) * B, :])
+    nY, nC = Hp * Wp, (Hp >> 1) * (Wp >> 1)
+    o = rec_words * 2
+    recYa = out[o : o + F * nY].reshape(F * Hp, Wp)
+    recUa = out[o + F * nY : o + F * (nY + nC)].reshape(F * (Hp >> 1),
+                                                        Wp >> 1)
+    recVa = out[o + F * (nY + nC) : o + F * (nY + 2 * nC)].reshape(
+        F * (Hp >> 1), Wp >> 1)
+    rec = [
+        recYa[f * Hp : (f + 1) * Hp].astype(np.int32),
+        recUa[f * (Hp >> 1) : (f + 1) * (Hp >> 1)].astype(np.int32),
+        recVa[f * (Hp >> 1) : (f + 1) * (Hp >> 1)].astype(np.int32),
+    ]
+    return _build_result(geom, packed, rec)
 
 
 def _sym_bits_row(row, n):
@@ -1133,6 +1327,21 @@ def unpack_wavefront(geom, fe, out: np.ndarray,
         Wp = fe.w
     rec_words = K * 4 * B * 1688
     packed = out[: rec_words * 2].view(np.int16).reshape(K, 4, B, 1688)
+    nY = Hp * Wp
+    nC = (Hp >> 1) * (Wp >> 1)
+    o = rec_words * 2
+    # writable int32 copies: the in-loop filters (deblock/CDEF/LRF) and the
+    # host partial-SB encode mutate these in place (transfer rode uint8)
+    rec = [out[o : o + nY].reshape(Hp, Wp).astype(np.int32),
+           out[o + nY : o + nY + nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32),
+           out[o + nY + nC : o + nY + 2 * nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32)]
+    return _build_result(geom, np.ascontiguousarray(packed), rec)
+
+
+def _build_result(geom, packed: np.ndarray, rec: list) -> "WavefrontResult":
+    """WavefrontResult from a frame's contiguous (K, 4, B, 1688) packed
+    int16 records + int32 recon planes."""
+    K, _, B, _ = packed.shape
     meta = packed[..., :152]
     split_np = meta[..., 0].astype(bool)
     f32names = ("mode", "delta", "tt", "skip", "au", "av", "uv")
@@ -1144,16 +1353,8 @@ def unpack_wavefront(geom, fe, out: np.ndarray,
     out8_np = {nm: m8[..., i] for i, nm in enumerate(f32names)}
     levels = (packed[..., 152:1176], packed[..., 1176:1432],
               packed[..., 1432:1688])
-    nY = Hp * Wp
-    nC = (Hp >> 1) * (Wp >> 1)
-    o = rec_words * 2
-    # writable int32 copies: the in-loop filters (deblock/CDEF/LRF) and the
-    # host partial-SB encode mutate these in place (transfer rode uint8)
-    rec = [out[o : o + nY].reshape(Hp, Wp).astype(np.int32),
-           out[o + nY : o + nY + nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32),
-           out[o + nY + nC : o + nY + 2 * nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32)]
     return WavefrontResult(geom, rec, split_np, out32_np, out16_np, levels,
-                           split16_np, out8_np)
+                           split16_np, out8_np, packed=packed)
 
 
 def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":

@@ -96,3 +96,59 @@ def test_wavefront_split8_partial_superblocks():
     """8x8 device leaves interleaved with host partial-edge SBs."""
     fe = roundtrip(330, 250, q=80, seed=12, speed=2)
     assert fe.rdo_split8
+
+
+def _encode_keyframes(w, h, n, batch_on, q=90):
+    """All-key encode through the Context (exercises the prefetch path);
+    batch_on=False forces the single-frame prefetch."""
+    from rav1e_tpu.api.config import Config, EncoderConfig
+    from rav1e_tpu.utils.frame import Frame
+    import rav1e_tpu.models.pipeline as PL
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = np.clip(((xx * 2 + yy + 13 * t) % 256).astype(np.int16)
+                    + rng.integers(-16, 16, (h, w)), 0, 255).astype(np.uint8)
+        u = ((xx[::2, ::2] + 40 + t) % 256).astype(np.uint8)
+        v = ((yy[::2, ::2] + 90 + 2 * t) % 256).astype(np.uint8)
+        frames.append(Frame.from_planes(y, u, v))
+    cfg = Config(enc=EncoderConfig(
+        width=w, height=h, quantizer=q, min_key_frame_interval=1,
+        max_key_frame_interval=1, rdo_lookahead_frames=1, low_latency=True))
+    ctx = cfg.new_context()
+    orig = PL.FrameEncoder.prefetch_key_frames
+    if not batch_on:
+        PL.FrameEncoder.prefetch_key_frames = (
+            lambda self, frs, q_idx=None: self.prefetch_key_frame(
+                frs[0], q_idx))
+    try:
+        for f in frames:
+            ctx.send_frame(f)
+        return [ctx.receive_packet().data for _ in frames]
+    finally:
+        PL.FrameEncoder.prefetch_key_frames = orig
+
+
+def test_batched_keyframes_match_single():
+    """The multi-frame batched wavefront (stacked planes, F*B lanes) must
+    produce byte-identical bitstreams to per-frame launches."""
+    import rav1e_tpu.models.wavefront as WF
+
+    orig = WF.launch_wavefront_batch
+    calls = []
+
+    def probe(fes, tiles):
+        r = orig(fes, tiles)
+        calls.append((len(fes), r is not None))
+        return r
+
+    WF.launch_wavefront_batch = probe
+    try:
+        batched = _encode_keyframes(320, 256, 5, True)
+    finally:
+        WF.launch_wavefront_batch = orig
+    assert calls and calls[0] == (4, True), calls  # batch really engaged
+    single = _encode_keyframes(320, 256, 5, False)
+    assert batched == single
