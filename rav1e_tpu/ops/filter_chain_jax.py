@@ -170,12 +170,14 @@ def filter_chain_device(fe):
         (packed, db_y16, cdef_y16, db_u16, db_v16,
          cdef_u16, cdef_v16) = k(src_dev, jnp.asarray(upload),
                                  jnp.asarray(lims), sb_lam)
-        # the chain is enqueued: this is the frame's last device use, so
-        # the orchestration may now pipeline the NEXT frame's wavefront
-        # behind it (it runs while we do the entropy pass)
-        fire = getattr(fe, "_fire_prefetch", None)
-        if fire is not None:
-            fire()
+        # schedule the D2H copy NOW; the prefetch of the next frames'
+        # wavefront fires later, in _finish_lr AFTER this frame's LAST
+        # device use (the LR trial) — enqueueing it here would make the
+        # LR device calls queue behind that big batched compute
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
         with fe.stats.stage("chain_wait"):
             out = np.asarray(packed)
     except Exception as e:
