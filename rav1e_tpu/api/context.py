@@ -239,19 +239,20 @@ class Context:
             return
         if getattr(self._encoder, "_prefetched_list", None):
             return
-        # consecutive queued key frames batch into ONE device pass (the
-        # wavefront scan is latency-bound; F frames cost ~1 frame's wall
-        # time).  Batch sizes are held to {2, 4} to bound compile variety.
+        # consecutive queued key frames batch into ONE device pass: the
+        # wavefront scan underfills the chip, and pairing frames (F=2)
+        # already saturates it — measured per-frame compute F=1: 0.52s,
+        # F=2: 0.31s, F=4: 0.32s at 1080p — while keeping the pipeline
+        # bubble (host idle until the batch lands) at its smallest.
         n_run = 0
         for t in self._ftype_q:
-            if t != "key" or n_run >= 4:
+            if t != "key" or n_run >= 2:
                 break
             n_run += 1
         try:
             if n_run >= 2:
-                n = 4 if n_run >= 4 else 2
                 self._encoder.prefetch_key_frames(
-                    [self.frame_q[i][1] for i in range(n)])
+                    [self.frame_q[i][1] for i in range(2)])
             else:
                 self._encoder.prefetch_key_frame(self.frame_q[0][1])
         except Exception:

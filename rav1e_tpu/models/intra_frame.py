@@ -948,6 +948,8 @@ class IntraFrameEncoder:
         from rav1e_tpu.ops import sgr_np as sg
 
         self._lr_params = {}
+        if not self.sgr_search and self._lr_decide_fused():
+            return
         rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
         cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
         cdef_p = self.rec[0]
@@ -1025,6 +1027,71 @@ class IntraFrameEncoder:
                 self._lr_params[(ur, uc)] = choice
         with self.stats.stage("lr_chroma"):
             self._lr_decide_chroma()
+
+    def _lr_decide_fused(self) -> bool:
+        """Fused device LR decision (speed-6 flow: none-vs-Wiener with
+        frame-level taps, no SGR search): host solves the tap sets from
+        the post-CDEF planes, then ONE device call filters all three
+        planes, sums per-unit SSE and composes the restored planes
+        (ops/lrf_jax.lr_decide_device).  Returns False when ineligible
+        (host per-unit path runs instead)."""
+        from rav1e_tpu.ops import lrf_np as lr
+
+        self._lr_chroma = {1: {}, 2: {}}
+        self._lr_chroma_taps = {}
+        self.lr_types = [1, 0, 0]
+        with self.stats.stage("lr_solve_y"):
+            src_f = self.src[0][: self.out_h, : self.out_w].astype(np.float64)
+            vt, ht = lr.solve_wiener(
+                self.rec[0][: self.out_h, : self.out_w].astype(np.float64),
+                src_f)
+        taps_y = (vt, ht) if (vt, ht) != ((0, 0, 0), (0, 0, 0)) else None
+        taps_c = {}
+        cw = (self.out_w + 1) >> 1
+        ch = (self.out_h + 1) >> 1
+        if self._is420:
+            for plane in (1, 2):
+                vtc, htc = lr.solve_wiener(
+                    self.rec[plane][:ch, :cw].astype(np.float64),
+                    self.src[plane][:ch, :cw].astype(np.float64))
+                vtc = (0, int(vtc[1]), int(vtc[2]))  # chroma outer tap is 0
+                htc = (0, int(htc[1]), int(htc[2]))
+                if (vtc, htc) != ((0, 0, 0), (0, 0, 0)):
+                    taps_c[plane] = (vtc, htc)
+        rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
+        cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
+        if taps_y is None and not taps_c:
+            for ur in range(len(rows)):
+                for uc in range(len(cols)):
+                    self._lr_params[(ur, uc)] = None
+            return True
+        from rav1e_tpu.ops.lrf_jax import lr_decide_device
+
+        res = lr_decide_device(self, taps_y, taps_c)
+        if res is None:
+            return False
+        comp, choice = res
+        for ur, (y0, y1) in enumerate(rows):
+            for uc, (x0, x1) in enumerate(cols):
+                if taps_y is not None and choice[0][ur, uc]:
+                    self._lr_params[(ur, uc)] = (
+                        "wiener", vt, ht, comp[0][y0:y1, x0:x1])
+                else:
+                    self._lr_params[(ur, uc)] = None
+        rows_c = lr.unit_ranges(self.LR_UNIT >> 1, ch, shifted=True)
+        cols_c = lr.unit_ranges(self.LR_UNIT >> 1, cw)
+        for plane, tps in taps_c.items():
+            if not choice[plane].any():
+                continue
+            units = {}
+            for ur, (y0, y1) in enumerate(rows_c):
+                for uc, (x0, x1) in enumerate(cols_c):
+                    units[(ur, uc)] = (comp[plane][y0:y1, x0:x1]
+                                       if choice[plane][ur, uc] else None)
+            self._lr_chroma[plane] = units
+            self._lr_chroma_taps[plane] = tps
+            self.lr_types[plane] = 2  # coded RESTORE_WIENER
+        return True
 
     def _lr_decide_chroma(self) -> None:
         """Chroma restoration (reference: src/lrf.rs restores all 3

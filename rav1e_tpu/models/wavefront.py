@@ -1146,20 +1146,27 @@ class LaunchedWavefrontBatch:
         self.geom = geom
         self.fes = fes
         self.out = out
-        self._np = None
-        try:
-            out.copy_to_host_async()
-        except Exception:
-            pass
+        # split the output device-side into per-frame parts, each in the
+        # SINGLE-frame layout: a frame's collect() then transfers only its
+        # own ~1/F share instead of blocking on the whole batch download
+        F = len(fes)
+        K, B = geom.steps, geom.width
+        fe0 = fes[0]
+        self.parts = [
+            _batch_part_slicer(F, f, K, B, fe0.h, fe0.w)(out)
+            for f in range(F)]
+        for p in self.parts:
+            try:
+                p.copy_to_host_async()
+            except Exception:
+                pass
 
     def slot(self, f: int) -> _BatchSlot:
         return _BatchSlot(self, f)
 
     def collect(self, f: int) -> "WavefrontResult":
-        if self._np is None:
-            self._np = np.asarray(self.out)
-        return _unpack_batch_frame(self.geom, self.fes[f], self._np,
-                                   len(self.fes), f)
+        return unpack_wavefront(self.geom, self.fes[f],
+                                np.asarray(self.parts[f]))
 
 
 def launch_wavefront_batch(fes, tiles) -> LaunchedWavefrontBatch | None:
@@ -1258,28 +1265,32 @@ def _src_slicer(F: int, f: int, nY: int, nC: int):
     return fn
 
 
-def _unpack_batch_frame(geom, fe, out: np.ndarray, F: int,
-                        f: int) -> "WavefrontResult":
-    """Frame f's WavefrontResult out of a batched pass's packed output."""
-    K, B = geom.steps, geom.width
-    Hp, Wp = fe.h, fe.w
-    rec_words = K * 4 * (F * B) * 1688
-    packed_all = out[: rec_words * 2].view(np.int16).reshape(
-        K, 4, F * B, 1688)
-    packed = np.ascontiguousarray(packed_all[:, :, f * B : (f + 1) * B, :])
-    nY, nC = Hp * Wp, (Hp >> 1) * (Wp >> 1)
-    o = rec_words * 2
-    recYa = out[o : o + F * nY].reshape(F * Hp, Wp)
-    recUa = out[o + F * nY : o + F * (nY + nC)].reshape(F * (Hp >> 1),
-                                                        Wp >> 1)
-    recVa = out[o + F * (nY + nC) : o + F * (nY + 2 * nC)].reshape(
-        F * (Hp >> 1), Wp >> 1)
-    rec = [
-        recYa[f * Hp : (f + 1) * Hp].astype(np.int32),
-        recUa[f * (Hp >> 1) : (f + 1) * (Hp >> 1)].astype(np.int32),
-        recVa[f * (Hp >> 1) : (f + 1) * (Hp >> 1)].astype(np.int32),
-    ]
-    return _build_result(geom, packed, rec)
+def _batch_part_slicer(F: int, f: int, K: int, B: int, Hp: int, Wp: int):
+    """Jitted device-side extraction of frame f's share of a batched
+    pass's packed output, re-laid-out to the single-frame format
+    (records bytes, then recon Y/U/V) so unpack_wavefront reads it."""
+    key = ("part", F, f, K, B, Hp, Wp)
+    fn = _SLICE_CACHE.get(key)
+    if fn is None:
+        import jax as _jax
+
+        nY, nC = Hp * Wp, (Hp >> 1) * (Wp >> 1)
+        rec_bytes = K * 4 * F * B * 1688 * 2
+
+        def sl(out):
+            recs = out[:rec_bytes].reshape(K, 4, F * B, 1688 * 2)
+            part = recs[:, :, f * B : (f + 1) * B, :].reshape(-1)
+            o = rec_bytes
+            y = out[o + f * nY : o + (f + 1) * nY]
+            o += F * nY
+            u = out[o + f * nC : o + (f + 1) * nC]
+            o += F * nC
+            v = out[o + f * nC : o + (f + 1) * nC]
+            return jnp.concatenate([part, y, u, v])
+
+        fn = _jax.jit(sl)
+        _SLICE_CACHE[key] = fn
+    return fn
 
 
 def _sym_bits_row(row, n):
