@@ -483,6 +483,10 @@ struct BlockCache {
     size_t cursor = 0;
 };
 
+// quantizer deadzone bias numerator (x/32 of a step); settable for
+// calibration experiments (rav1e_tpu/ops/quantize_np.QUANT_BIAS_NUM)
+int g_quant_bias = 13;
+
 }  // namespace
 
 extern "C" {
@@ -604,7 +608,7 @@ int encode_intra_block(
     const size_t ystride = (size_t)bh * bh + (size_t)bw * bw + 1;
     int tt_sym = 1;  // DTT4_IDTX set symbol (1 = DCT_DCT)
     int tt_txt = TX_DCT_DCT;
-    fdct_quant(res, bw, bh, fy_v, fy_h, fy_s, dc_q, ac_q, shift_y, 13, bd,
+    fdct_quant(res, bw, bh, fy_v, fy_h, fy_s, dc_q, ac_q, shift_y, g_quant_bias, bd,
                lv_y, dq_y, 0.0);
     if (tx_search && (bw > bh ? bw : bh) <= 16 && q_nonzero) {
         // full DTT4_IDTX race, mirrored on intra_frame._code_plane_tx
@@ -615,7 +619,7 @@ int encode_intra_block(
             if (cand) {
                 const double *m = mats_y_ext + (size_t)(cand - 1) * ystride;
                 fdct_quant(res, bw, bh, m, m + (size_t)bh * bh,
-                           m[ystride - 1], dc_q, ac_q, shift_y, 13, bd,
+                           m[ystride - 1], dc_q, ac_q, shift_y, g_quant_bias, bd,
                            lv_t, dq_t, 0.0);
                 lv = lv_t;
                 dq = dq_t;
@@ -670,7 +674,7 @@ int encode_intra_block(
         for (int c = 0; c < cw; c++)
             res_u[r * cw + c] =
                 src_u[(int64_t)(cy + r) * stride_c + cx + c] - pred_u[r * cw + c];
-    fdct_quant(res_u, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_u, dq_u, 0.0);
+    fdct_quant(res_u, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, g_quant_bias, bd, lv_u, dq_u, 0.0);
     build_edges(rec_v, stride_c, cx, cy, cw, ch, ha, hl, bd, max_x_c, max_y_c,
                 above_v, left_v);
     predict(P, DC_PRED, 0, above_v, left_v, cw, ch, ha, hl, bd, pred_v);
@@ -678,7 +682,7 @@ int encode_intra_block(
         for (int c = 0; c < cw; c++)
             res_v[r * cw + c] =
                 src_v[(int64_t)(cy + r) * stride_c + cx + c] - pred_v[r * cw + c];
-    fdct_quant(res_v, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd, lv_v, dq_v, 0.0);
+    fdct_quant(res_v, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, g_quant_bias, bd, lv_v, dq_v, 0.0);
 
     auto sym_bits0 = [](const uint16_t *row, int s) {
         int fl = s == 0 ? 32768 : row[s - 1];
@@ -741,7 +745,7 @@ int encode_intra_block(
                             sp[(int64_t)(cy + rr) * stride_c + cx + cc]
                             - cp[rr * cw + cc];
                 fdct_quant(rc_c, cw, ch, mcp, mcp + (size_t)ch * ch,
-                           mcp[cstride - 1], dc_q, ac_q, 0, 13, bd, cl, cq,
+                           mcp[cstride - 1], dc_q, ac_q, 0, g_quant_bias, bd, cl, cq,
                            0.0);
                 cost += plane_cost_t(rc_c, cl, cq, UV_RD[ci].txt);
             }
@@ -849,7 +853,7 @@ int encode_intra_block(
                 for (int c = 0; c < cw; c++)
                     res_c[r * cw + c] = sp[(int64_t)(cy + r) * stride_c + cx + c]
                                         - cand_p[pi][r * cw + c];
-            fdct_quant(res_c, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, 13, bd,
+            fdct_quant(res_c, cw, ch, fc_v, fc_h, fc_s, dc_q, ac_q, 0, g_quant_bias, bd,
                        cand_l[pi], cand_q[pi], 0.0);
             cost_cfl += plane_cost(res_c, cand_l[pi], cand_q[pi]);
             alphas[pi] = alpha;
@@ -955,6 +959,8 @@ int encode_intra_block(
 }
 
 void *block_cache_new(void) { return new BlockCache(); }
+
+void set_quant_bias(int b) { g_quant_bias = b; }
 
 // Append pre-serialized block records (the device wavefront pass's output,
 // already in the cache's native int32 layout: 15-int header + levels when

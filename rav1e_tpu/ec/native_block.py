@@ -95,6 +95,10 @@ def _configure():
         _ci, _ci,                      # cdef_bits, cdef_idx
     ]
     _lib.encode_sb_cached.restype = ctypes.c_int
+    _lib.set_quant_bias.argtypes = [_ci]
+    from rav1e_tpu.ops.quantize_np import QUANT_BIAS_NUM
+
+    _lib.set_quant_bias(QUANT_BIAS_NUM)
     _lib.wavefront_cache_push_run.argtypes = [
         _vp, _vp,                      # cache, packed int16
         _vp, _vp,                      # avail, avail8

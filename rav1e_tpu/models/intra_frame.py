@@ -862,6 +862,11 @@ class IntraFrameEncoder:
             finally:
                 self._wf_launched = None
             if wf is not None:
+                dev_out = getattr(wf, "dev_out", None)
+                if dev_out is not None:
+                    g = wf.geom
+                    self._wf_dev_out = (
+                        dev_out, g.steps * 4 * g.width * 1688 * 2)
                 return self._encode_tiles_wavefront(wf)
         tiles = self._tile_grid()
         frame_cdf = self.cdf

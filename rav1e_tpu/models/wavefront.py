@@ -1012,7 +1012,9 @@ class LaunchedWavefront:
             pass
 
     def collect(self) -> "WavefrontResult":
-        return _collect_wavefront(self)
+        r = _collect_wavefront(self)
+        r.dev_out = self.out  # device-resident copy for the filter chain
+        return r
 
 
 def run_wavefront(fe, tiles) -> WavefrontResult | None:
@@ -1165,8 +1167,10 @@ class LaunchedWavefrontBatch:
         return _BatchSlot(self, f)
 
     def collect(self, f: int) -> "WavefrontResult":
-        return unpack_wavefront(self.geom, self.fes[f],
-                                np.asarray(self.parts[f]))
+        r = unpack_wavefront(self.geom, self.fes[f],
+                             np.asarray(self.parts[f]))
+        r.dev_out = self.parts[f]  # device-resident copy for the chain
+        return r
 
 
 def launch_wavefront_batch(fes, tiles) -> LaunchedWavefrontBatch | None:

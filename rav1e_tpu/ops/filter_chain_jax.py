@@ -23,7 +23,7 @@ _KERNELS: dict = {}
 
 
 def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w,
-                 want_db_host=True):
+                 want_db_host=True, resident=None):
     import jax
     import jax.numpy as jnp
 
@@ -40,8 +40,15 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w,
     cdef_kernel = (cj._make_search_kernel(bd, w, h) if damping else None)
 
     nsby, nsbx = -(-h // 64), -(-w // 64)
+    # resident-recon variant: the pre-filter recon is read from the
+    # wavefront pass's device-resident output (offset rec_bytes) and only
+    # the host-encoded edge superblocks (bottom stripe below dev_h, right
+    # stripe beyond dev_w) ride the upload
+    rec_bytes = dev_h = dev_w = 0
+    if resident is not None:
+        rec_bytes, dev_h, dev_w = resident
 
-    def run(src_pack, up, lims, sb_lam):
+    def run(src_pack, up, lims, sb_lam, wf_out=None):
         # src planes from the wavefront's packed upload (padded dims)
         sY = src_pack[:nY_src].reshape(Hp, Wp)[:h, :w].astype(jnp.uint16)
         sU = src_pack[nY_src : nY_src + nC_src].reshape(
@@ -56,9 +63,42 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w,
             o += n
             return a
 
-        recY = take(nY).reshape(h, w).astype(jnp.int32)
-        recU = take(nC).reshape(ch, cw).astype(jnp.int32)
-        recV = take(nC).reshape(ch, cw).astype(jnp.int32)
+        if resident is not None:
+            oo = rec_bytes
+            recY = wf_out[oo : oo + nY_src].reshape(Hp, Wp)[:h, :w] \
+                .astype(jnp.int32)
+            oo += nY_src
+            recU = wf_out[oo : oo + nC_src].reshape(
+                Hp >> 1, Wp >> 1)[:ch, :cw].astype(jnp.int32)
+            oo += nC_src
+            recV = wf_out[oo : oo + nC_src].reshape(
+                Hp >> 1, Wp >> 1)[:ch, :cw].astype(jnp.int32)
+            if dev_h < h:
+                recY = recY.at[dev_h:h, :].set(
+                    take((h - dev_h) * w).reshape(h - dev_h, w)
+                    .astype(jnp.int32))
+                recU = recU.at[dev_h >> 1 : ch, :].set(
+                    take((ch - (dev_h >> 1)) * cw)
+                    .reshape(ch - (dev_h >> 1), cw).astype(jnp.int32))
+                recV = recV.at[dev_h >> 1 : ch, :].set(
+                    take((ch - (dev_h >> 1)) * cw)
+                    .reshape(ch - (dev_h >> 1), cw).astype(jnp.int32))
+            if dev_w < w:
+                recY = recY.at[:dev_h, dev_w:w].set(
+                    take(dev_h * (w - dev_w)).reshape(dev_h, w - dev_w)
+                    .astype(jnp.int32))
+                recU = recU.at[: dev_h >> 1, dev_w >> 1 : cw].set(
+                    take((dev_h >> 1) * (cw - (dev_w >> 1)))
+                    .reshape(dev_h >> 1, cw - (dev_w >> 1))
+                    .astype(jnp.int32))
+                recV = recV.at[: dev_h >> 1, dev_w >> 1 : cw].set(
+                    take((dev_h >> 1) * (cw - (dev_w >> 1)))
+                    .reshape(dev_h >> 1, cw - (dev_w >> 1))
+                    .astype(jnp.int32))
+        else:
+            recY = take(nY).reshape(h, w).astype(jnp.int32)
+            recU = take(nC).reshape(ch, cw).astype(jnp.int32)
+            recV = take(nC).reshape(ch, cw).astype(jnp.int32)
         txw = take(n_mi).reshape(skip_h, skip_w).astype(jnp.int32)
         txh = take(n_mi).reshape(skip_h, skip_w).astype(jnp.int32)
         bx = jax.lax.bitcast_convert_type(
@@ -141,11 +181,37 @@ def filter_chain_device(fe):
     # per-unit trials (SGR search / per-unit Wiener taps); the plain
     # speed-6 LR flow runs its trials from the device-resident planes
     want_db_host = bool(fe.lrf and getattr(fe, "sgr_search", False))
+    wf_dev = getattr(fe, "_wf_dev_out", None)
+    import os
+
+    if os.environ.get("RAV1E_TPU_CHAIN_RESIDENT", "1") == "0":
+        wf_dev = None
+    resident = None
+    parts = []
+    if wf_dev is not None:
+        out_dev, rec_bytes = wf_dev
+        dev_h, dev_w = (h // 64) * 64, (w // 64) * 64
+        resident = (rec_bytes, dev_h, dev_w)
+        # host-encoded edge stripes only (the device region rides the
+        # wavefront pass's resident output, no re-upload)
+        if dev_h < h:
+            parts += [fe.rec[0][dev_h:h, :w].astype(np.uint8).ravel(),
+                      fe.rec[1][dev_h >> 1 : ch, :cw].astype(np.uint8).ravel(),
+                      fe.rec[2][dev_h >> 1 : ch, :cw].astype(np.uint8).ravel()]
+        if dev_w < w:
+            parts += [
+                fe.rec[0][:dev_h, dev_w:w].astype(np.uint8).ravel(),
+                fe.rec[1][: dev_h >> 1, dev_w >> 1 : cw].astype(np.uint8).ravel(),
+                fe.rec[2][: dev_h >> 1, dev_w >> 1 : cw].astype(np.uint8).ravel()]
+    else:
+        parts += [fe.rec[0][:h, :w].astype(np.uint8).ravel(),
+                  fe.rec[1][:ch, :cw].astype(np.uint8).ravel(),
+                  fe.rec[2][:ch, :cw].astype(np.uint8).ravel()]
     key = (fe.h, fe.w, w, h, fe.bd, fe.cdef_damping, skip_h, skip_w,
-           want_db_host)
+           want_db_host, resident)
     k = _KERNELS.get(key)
     if k is None:
-        k = _make_kernel(*key)
+        k = _make_kernel(*key[:-1], resident=resident)
         _KERNELS[key] = k
 
     lims = np.zeros((4, 4), np.float32)
@@ -154,10 +220,7 @@ def filter_chain_device(fe):
         lim, bl, th = thresholds(lv, fe.lf_sharpness, fe.bd)
         lims[slot] = (lim, bl, th, 1.0 if lv else 0.0)
 
-    upload = np.concatenate([
-        fe.rec[0][:h, :w].astype(np.uint8).ravel(),
-        fe.rec[1][:ch, :cw].astype(np.uint8).ravel(),
-        fe.rec[2][:ch, :cw].astype(np.uint8).ravel(),
+    upload = np.concatenate(parts + [
         info.txw.astype(np.uint8).ravel(), info.txh.astype(np.uint8).ravel(),
         info.bx.astype(np.int16).ravel().view(np.uint8),
         info.by.astype(np.int16).ravel().view(np.uint8),
@@ -167,9 +230,15 @@ def filter_chain_device(fe):
     # cdef_idx literals; only the LRF two-pass flow provides that
     sb_lam = np.float32(fe.lam if (fe.lrf and fe.cdef_damping) else np.inf)
     try:
-        (packed, db_y16, cdef_y16, db_u16, db_v16,
-         cdef_u16, cdef_v16) = k(src_dev, jnp.asarray(upload),
-                                 jnp.asarray(lims), sb_lam)
+        if resident is not None:
+            (packed, db_y16, cdef_y16, db_u16, db_v16,
+             cdef_u16, cdef_v16) = k(src_dev, jnp.asarray(upload),
+                                     jnp.asarray(lims), sb_lam,
+                                     wf_out=out_dev)
+        else:
+            (packed, db_y16, cdef_y16, db_u16, db_v16,
+             cdef_u16, cdef_v16) = k(src_dev, jnp.asarray(upload),
+                                     jnp.asarray(lims), sb_lam)
         # schedule the D2H copy NOW; the prefetch of the next frames'
         # wavefront fires later, in _finish_lr AFTER this frame's LAST
         # device use (the LR trial) — enqueueing it here would make the

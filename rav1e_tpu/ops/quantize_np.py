@@ -25,6 +25,15 @@ def ac_q(q_idx: int, delta: int = 0, bit_depth: int = 8) -> int:
     return int(_TABLES[f"ac_q_{bit_depth}"][i])
 
 
+import os as _os
+
+# deadzone bias numerator (x/32 of a quantizer step).  13/32 was tuned
+# empirically (PROGRESS notes 2026-08-16); override for calibration
+# experiments via RAV1E_TPU_QUANT_BIAS - quantize_np, transforms_jax and
+# native/block_intra.cc all read this single value.
+QUANT_BIAS_NUM = int(_os.environ.get("RAV1E_TPU_QUANT_BIAS", "13"))
+
+
 def tx_scale(w: int, h: int) -> int:
     """spec av1_get_tx_scale: extra right-shift for large transforms."""
     pels = w * h
@@ -43,7 +52,7 @@ def quantize(coeffs: np.ndarray, dc: int, ac: int, w: int, h: int) -> np.ndarray
     x = coeffs.astype(np.int64) << shift
     sign = np.sign(x)
     mag = np.abs(x)
-    bias = (q * 13) >> 5
+    bias = (q * QUANT_BIAS_NUM) >> 5
     level = (mag + bias) // q
     # clamp level magnitude to the coded range
     level = np.minimum(level, (1 << 15) - 1)

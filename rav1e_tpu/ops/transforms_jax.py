@@ -489,11 +489,13 @@ def _q_grid(shape2, dc_q, ac_q):
 def quantize(coeffs: jax.Array, dc_q, ac_q, shift: int) -> jax.Array:
     """Deadzone quantizer (bias 13/32), exact vs quantize_np.quantize.
     dc_q/ac_q: int32 scalars or (batch,) arrays.  shift: static tx_scale."""
+    from rav1e_tpu.ops.quantize_np import QUANT_BIAS_NUM
+
     q = _q_grid(coeffs.shape[-2:], dc_q, ac_q)
     x = coeffs << shift
     sign = jnp.sign(x)
     mag = jnp.abs(x)
-    bias = (q * 13) >> 5
+    bias = (q * QUANT_BIAS_NUM) >> 5
     m = mag + bias
     # exact integer division via fp32 reciprocal + one-step correction
     # (integer divide lowers poorly on TPU; fp32 error is << 1 level here
