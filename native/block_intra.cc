@@ -316,7 +316,9 @@ void dr_predict_angle(const Ptrs &p, int p_angle, const int64_t *above,
 
 // entropy/coeffs.py:31 get_txsize_entropy_ctx (leaf tx dims are <= 32 here)
 inline int tx_size_ctx(int w, int h) {
-    auto lg = [](int d) { return d >= 32 ? 3 : d >= 16 ? 2 : d >= 8 ? 1 : 0; };
+    auto lg = [](int d) {
+        return d >= 64 ? 4 : d >= 32 ? 3 : d >= 16 ? 2 : d >= 8 ? 1 : 0;
+    };
     return (lg(w) + lg(h) + 1) >> 1;
 }
 
@@ -418,14 +420,17 @@ int code_block_symbols(
             tx_sym = tt;  // set-2 symbol: IDTX, DCT, AA, AD, DA
             tx_ns = 5;
         }
+        // TX sizes above 32 keep only the top-left 32x32 coefficients
+        // (spec 7.13.3 zero rule); contexts still index the true size
+        const int ctw = tw > 32 ? 32 : tw, cth = th > 32 ? 32 : th;
         int ei = 0;
-        while (eob_area[ei] < tw * th) ei++;
+        while (eob_area[ei] < ctw * cth) ei++;
         const int eob_ns = 5 + ei;
         uint16_t *eob_row =
             P.c[R_EOB16 + ei] + (int64_t)ptype * 2 * (eob_ns + 1);
         const int txs_br = txs < 3 ? txs : 3;
         int ret = msac_encode_txb(
-            enc, lv, tw, th, scan, ptype, 0, tctx, dctx,
+            enc, lv, ctw, cth, scan, ptype, 0, tctx, dctx,
             P.c[R_TXB_SKIP] + ((int64_t)txs * 13 + tctx) * 3,
             eob_row, eob_ns,
             P.c[R_EOB_EXTRA] + ((int64_t)txs * 2 + ptype) * 9 * 3,
@@ -485,7 +490,7 @@ struct BlockCache {
 
 // quantizer deadzone bias numerator (x/32 of a step); settable for
 // calibration experiments (rav1e_tpu/ops/quantize_np.QUANT_BIAS_NUM)
-int g_quant_bias = 13;
+int g_quant_bias = 16;
 
 }  // namespace
 
@@ -1005,13 +1010,17 @@ int replay_one(BlockCache *bc, MsacEnc *enc, const Ptrs &P,
     const int uv_mode = hd[14];
     bc->cursor += 15;
     const int cw = bw >> 1, ch = bh >> 1;
+    // coded level counts: TX sizes above 32 store only the 32x32 corner
+    const size_t ny = (size_t)(bw > 32 ? 32 : bw) * (bh > 32 ? 32 : bh);
+    const size_t nc = (size_t)(cw > 32 ? 32 : cw) * (ch > 32 ? 32 : ch);
     const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
     if (!skip) {
         lv_y = &bc->buf[bc->cursor];
-        lv_u = lv_y + bw * bh;
-        lv_v = lv_u + cw * ch;
-        bc->cursor += (size_t)bw * bh + 2 * (size_t)cw * ch;
+        lv_u = lv_y + ny;
+        lv_v = lv_u + nc;
+        bc->cursor += ny + 2 * nc;
     }
+    // scans cover the CODED grid (clamped at 32 for TX_64X64)
     auto lg = [](int d) { return d >= 32 ? 3 : d >= 16 ? 2 : d >= 8 ? 1 : 0; };
     const int32_t *scan_y = (const int32_t *)scans[lg(bw) * 4 + lg(bh)];
     const int32_t *scan_c = (const int32_t *)scans[lg(cw) * 4 + lg(ch)];
@@ -1052,6 +1061,8 @@ struct SbWalk {
     const uint8_t *split16 = nullptr;
     int split16_stride = 0;
     int rdo_split8 = 0;
+    const uint8_t *none64 = nullptr;  // per-SB: code PARTITION_NONE at 64
+    int none64_stride = 0;
     int mi_cols, mi_rows, adapt, q_nonzero;
     int tx0, ty0, tx1, ty1;
     int cdef_bits = 0, cdef_pending = 0, cdef_idx = -1;
@@ -1095,7 +1106,9 @@ struct SbWalk {
         const int nsyms = size == 8 ? 4 : 10;
         bool want_split;
         if (size > 32) {
-            want_split = true;
+            want_split = !(none64 && has_rows && has_cols
+                           && none64[(int64_t)(y / 64) * none64_stride
+                                     + x / 64]);
         } else if (size == 32 && rdo_partition && has_rows && has_cols) {
             want_split = split32[(int64_t)(y / 32) * split_stride + x / 32] != 0;
         } else if (size == 16 && rdo_split8 && split16 && has_rows
@@ -1160,6 +1173,7 @@ int encode_sb_cached(
     const uint64_t *pctx, uint16_t *part_cdf,
     const uint8_t *split32, int split_stride, int rdo_partition,
     const uint8_t *split16, int split16_stride, int rdo_split8,
+    const uint8_t *none64, int none64_stride,
     int cdef_bits, int cdef_idx)
 {
     Ptrs P;
@@ -1185,6 +1199,8 @@ int encode_sb_cached(
     w.split16 = split16;
     w.split16_stride = split16_stride;
     w.rdo_split8 = rdo_split8;
+    w.none64 = none64;
+    w.none64_stride = none64_stride;
     w.mi_cols = mi_cols;
     w.mi_rows = mi_rows;
     w.adapt = adapt;
@@ -1221,12 +1237,15 @@ int encode_cached_block(
     const int uv_mode = h[14];
     bc->cursor += 15;
     const int cw = bw >> 1, ch = bh >> 1;
+    // coded level counts: TX sizes above 32 store only the 32x32 corner
+    const size_t ny = (size_t)(bw > 32 ? 32 : bw) * (bh > 32 ? 32 : bh);
+    const size_t nc = (size_t)(cw > 32 ? 32 : cw) * (ch > 32 ? 32 : ch);
     const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
     if (!skip) {
         lv_y = &bc->buf[bc->cursor];
-        lv_u = lv_y + bw * bh;
-        lv_v = lv_u + cw * ch;
-        bc->cursor += (size_t)bw * bh + 2 * (size_t)cw * ch;
+        lv_u = lv_y + ny;
+        lv_v = lv_u + nc;
+        bc->cursor += ny + 2 * nc;
     }
     Ptrs P;
     for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
@@ -1253,7 +1272,12 @@ int encode_cached_block(
 // avail: (K, B, 4, 5, 4) int32 (ha, hl, n_tr, n_bl); slot 0 = the 32x32
 //   quad, slots 1..4 its 16x16 leaves.  avail8: (K, B, 4, 4, 4, 4).
 // stat_out: [0:13] mode counts, [13] blocks8, [14] blocks16, [15] blocks32,
-//   [16] skip, [17] cfl, [18] adst, [19] total blocks.
+//   [16] skip, [17] cfl, [18] adst, [19] total blocks, [20] blocks64.
+//
+// A quad-0 record with meta[0] == 2 marks the whole SB as a single
+// 64x64 block (PARTITION_NONE at the SB root): its header fields are in
+// quad 0's meta slots, the TX_64X64 luma levels (32x32 corner) in quad
+// 0's lv_y, and the 32x32 chroma levels in quads 1/2's lv_y slots.
 void wavefront_cache_push_run(
     void *cache, const int16_t *packed,
     const int32_t *avail, const int32_t *avail8,
@@ -1283,7 +1307,10 @@ void wavefront_cache_push_run(
                            au, av, delta, 0, 0, 0, uv};
         bc->buf.insert(bc->buf.end(), hdr, hdr + 15);
         if (!skip) {
-            const int ny = bw * bh, nc = (bw >> 1) * (bh >> 1);
+            // coded level counts (TX above 32 keeps the 32x32 corner)
+            const int ny = (bw > 32 ? 32 : bw) * (bh > 32 ? 32 : bh);
+            const int nc = ((bw >> 1) > 32 ? 32 : (bw >> 1))
+                           * ((bh >> 1) > 32 ? 32 : (bh >> 1));
             size_t o = bc->buf.size();
             bc->buf.resize(o + ny + 2 * nc);
             int32_t *dst = &bc->buf[o];
@@ -1308,7 +1335,7 @@ void wavefront_cache_push_run(
             }
         }
         stat_out[mode]++;
-        stat_out[bw == 8 ? 13 : (bw == 16 ? 14 : 15)]++;
+        stat_out[bw == 8 ? 13 : (bw == 16 ? 14 : (bw == 32 ? 15 : 20))]++;
         stat_out[16] += skip;
         stat_out[17] += uv == 13;  // UV_CFL_PRED
         stat_out[18] += tt == 2;
@@ -1318,6 +1345,21 @@ void wavefront_cache_push_run(
     for (int i = 0; i < nsb; i++) {
         const int k = steps[i], li = lanes[i];
         const int sy = rows[i] * 64, sx = cols[i] * 64;
+        const int16_t *rec0 = packed + ((size_t)(k * 4 + 0) * B + li) * 1688;
+        if (rec0[0] == 2) {  // whole SB is one 64x64 block
+            const int16_t *rec1 = rec0 + (size_t)B * 1688;
+            const int16_t *rec2 = rec1 + (size_t)B * 1688;
+            const int32_t *avq = avail + ((((size_t)k * B + li) * 4) * 5) * 4;
+            emit(rec0, 1, rec0 + 152, rec1 + 152, rec2 + 152,
+                 sx, sy, 64, 64, avq[0], avq[1]);
+            int r1 = (sy + 64) >> 2, c1 = (sx + 64) >> 2;
+            if (r1 > mic_rows) r1 = mic_rows;
+            if (c1 > mic_cols) c1 = mic_cols;
+            for (int r = sy >> 2; r < r1; r++)
+                memset(mi_coded + (int64_t)r * mic_cols + (sx >> 2), 1,
+                       c1 - (sx >> 2));
+            continue;
+        }
         for (int q = 0; q < 4; q++) {
             const int16_t *rec = packed +
                 ((size_t)(k * 4 + q) * B + li) * 1688;

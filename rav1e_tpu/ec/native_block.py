@@ -92,6 +92,7 @@ def _configure():
         _vp, _vp,                      # pctx, partition cdf
         _vp, _ci, _ci,                 # split map, stride, rdo_partition
         _vp, _ci, _ci,                 # split16 map, stride, rdo_split8
+        _vp, _ci,                      # none64 map, stride
         _ci, _ci,                      # cdef_bits, cdef_idx
     ]
     _lib.encode_sb_cached.restype = ctypes.c_int
@@ -225,7 +226,7 @@ class NativeBlockCoder:
         rr = np.ascontiguousarray(rcs[:, 0])
         cc = np.ascontiguousarray(rcs[:, 1])
         info = fe.db_info
-        stats = np.zeros(20, np.int64)
+        stats = np.zeros(21, np.int64)
         assert wf.packed.dtype == np.int16 and wf.packed.flags.c_contiguous
         _lib.wavefront_cache_push_run(
             self._cache, wf.packed.ctypes.data,
@@ -284,6 +285,13 @@ class NativeBlockCoder:
             assert m.flags.c_contiguous
             return m
         split = _u8(fe._rd_maps["split32"])
+        none64 = fe._rd_maps.get("none64")
+        if none64 is not None:
+            none64 = _u8(none64)
+            self._none64_keep = none64
+            n64_ptr, n64_stride = none64.ctypes.data, none64.shape[1]
+        else:
+            n64_ptr, n64_stride = None, 0
         split16 = fe._rd_maps.get("split16")
         if split16 is not None:
             split16 = _u8(split16)
@@ -307,6 +315,7 @@ class NativeBlockCoder:
             1 if fe.rdo_partition else 0,
             s16_ptr, s16_stride,
             1 if (getattr(fe, "rdo_split8", False) and s16_ptr) else 0,
+            n64_ptr, n64_stride,
             cdef_bits, cdef_idx,
         )
         if ret < 0:

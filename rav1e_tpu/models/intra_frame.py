@@ -146,6 +146,11 @@ class IntraFrameEncoder:
             # leaf sizes here are {16, 32}: RD split only when both sides
             # of the decision are inside the allowed partition range
             self.rdo_partition = (ss.speed <= 8 and pmin <= 16 and pmax >= 32)
+            # 64x64 root blocks (PARTITION_NONE at the SB): intra device
+            # wavefront trial; reference walks to BLOCK_64X64 in
+            # rdo_partition_decision (src/rdo.rs)
+            self.rdo_none64 = (self.rdo_partition and pmax >= 64
+                               and type(self) is IntraFrameEncoder)
             # 8x8 leaves: thorough speeds only (host RD trials; the device
             # wavefront covers the 16/32 range)
             self.rdo_split8 = (ss.speed <= 3 and pmin <= 8
@@ -159,6 +164,8 @@ class IntraFrameEncoder:
             self.sgr_search = ss.speed <= 5
         else:
             self.rdo_partition = speed <= 8
+            self.rdo_none64 = (self.rdo_partition
+                               and type(self) is IntraFrameEncoder)
             self.rdo_split8 = (speed <= 3
                                and type(self) is IntraFrameEncoder)
             self.tx_type_search = speed <= 7  # reference: rdo_tx_decision
@@ -747,7 +754,8 @@ class IntraFrameEncoder:
         for m in range(13):
             if st[m]:
                 s.mode_counts[MODE_NAMES[m]] += int(st[m])
-        for i, nm in ((13, "8x8"), (14, "16x16"), (15, "32x32")):
+        for i, nm in ((13, "8x8"), (14, "16x16"), (15, "32x32"),
+                      (20, "64x64")):
             if st[i]:
                 s.bsize_counts[nm] += int(st[i])
         s.skip_blocks += int(st[16])
@@ -778,6 +786,13 @@ class IntraFrameEncoder:
             sm16 = np.zeros((self.h // 16, self.w // 16), bool)
             sm16[: smap16.shape[0], : smap16.shape[1]] = smap16
             self._rd_maps["split16"] = sm16
+        n64_kb = getattr(wf, "none64", None)
+        if n64_kb is not None and getattr(self, "rdo_none64", False):
+            g = wf.geom
+            n64 = np.zeros((self.h // 64, self.w // 64), bool)
+            dev = g.device_sb
+            n64[dev] = n64_kb[g.sb_step[dev], g.sb_lane[dev]]
+            self._rd_maps["none64"] = n64
 
         self._nbc.cache_start()
         self.cdf = frame_cdf.copy()  # throwaway basis for pass-A symbols
@@ -1459,11 +1474,17 @@ class IntraFrameEncoder:
         nsyms = 4 if size == 8 else 10
         sym = self.enc.symbol_adapt if self.adapt else self.enc.symbol
         if size > 32:
-            # 64x64 leaves: subclasses may claim the whole SB as one block
-            # (inter merge-to-64; reference: rdo_partition_decision walking
-            # up to BLOCK_64X64 in src/rdo.rs)
+            # 64x64 leaves: the device wavefront's none64 map (intra) or
+            # the subclass merge test (inter merge-to-64); reference:
+            # rdo_partition_decision walking up to BLOCK_64X64 (src/rdo.rs)
+            none64 = False
+            if size == 64 and has_rows and has_cols \
+                    and self._rd_maps is not None:
+                m = self._rd_maps.get("none64")
+                none64 = m is not None and bool(m[y // 64][x // 64])
             want_split = not (size == 64
-                              and self._merge64_ok(x, y, has_rows, has_cols))
+                              and (none64 or self._merge64_ok(
+                                  x, y, has_rows, has_cols)))
         elif size == 32 and self.rdo_partition and has_rows and has_cols:
             if self._rd_maps is not None:
                 want_split = bool(self._rd_maps["split32"][y // 32][x // 32])

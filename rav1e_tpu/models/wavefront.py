@@ -235,10 +235,12 @@ _IS_DIR[_DIR_MODES] = True
 def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
                tx_search: bool, fine_dir: bool, mode_mask: tuple,
                mi_cols: int, mi_rows: int, allow_split: bool,
-               allow_split8: bool = False, uv_search: bool = False):
+               allow_split8: bool = False, uv_search: bool = False,
+               allow_n64: bool = False):
     """Build (cached) the jitted wavefront pass for one geometry/config."""
     key = (Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
-           mi_cols, mi_rows, allow_split, allow_split8, uv_search)
+           mi_cols, mi_rows, allow_split, allow_split8, uv_search,
+           allow_n64)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = _make_pass(*key)
@@ -247,7 +249,8 @@ def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
 
 
 def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
-               mi_cols, mi_rows, allow_split, allow_split8, uv_search):
+               mi_cols, mi_rows, allow_split, allow_split8, uv_search,
+               allow_n64):
     """Build the jitted tiled wavefront pass.
 
     Memory layout is the perf-critical choice: reconstruction lives as
@@ -269,6 +272,13 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
     mats = {}
     for n in (4, 8, 16, 32):
         mats[(n, 0)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.DCT_DCT, n, n))
+    if allow_n64:
+        # TX_64X64 keeps only the top-left 32x32 coefficients (spec
+        # 7.13.3 zero rule); for the orthogonal DCT basis, truncating the
+        # forward matrices to those rows/cols IS the least-squares fit
+        _F64v, _F64hT = tj.fwd_mats(tn.DCT_DCT, 64, 64)
+        mats[(64, 0)] = (jnp.asarray(_F64v[:32, :]),
+                         jnp.asarray(_F64hT[:, :32]))
     for n in (4, 8, 16):
         mats[(n, 1)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.ADST_ADST, n, n))
         mats[(n, 2)] = tuple(jnp.asarray(m) for m in tj.fwd_mats(tn.ADST_DCT, n, n))
@@ -619,6 +629,73 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                   lv_v.astype(jnp.int16))
         return ctxY, ctxU, ctxV, out, levels, cost
 
+    def encode_leaf64(ctxY, ctxU, ctxV, srcYt, srcUt, srcVt, ha, hl,
+                      lam, qdc, qac):
+        """Whole-SB 64x64 intra trial (PARTITION_NONE at the SB root,
+        reference: rdo_partition_decision walking up to BLOCK_64X64 in
+        src/rdo.rs).  Candidates: DC/V/H/SMOOTH/SMOOTH_V/SMOOTH_H/PAETH —
+        none reads above-right/below-left, so plain above/left edges are
+        decoder-exact; V/H at delta 0 skip the intra edge filter (spec
+        7.11.2 applies it only for angles off 90/180).  Luma TX_64X64
+        keeps the top-left 32x32 coefficients; chroma is 32x32 DC with
+        DCT (CFL is not allowed above 32x32, spec 5.11.42)."""
+        zero = jnp.zeros((ctxY.shape[0],), jnp.int32)
+        above, left = edges_local(ctxY, 0, 0, 64, 64, ha, hl, zero, zero)
+        src = srcYt
+        dc = ij.dc_predict(above, left, 64, 64, ha, hl, bd)
+        nd = _nondir_preds(above, left, 64)
+        vp = jnp.broadcast_to(above[:, None, 1:65], dc.shape)
+        hp = jnp.broadcast_to(left[:, 1:65, None], dc.shape)
+        stack = jnp.concatenate(
+            [dc[:, None], vp[:, None], hp[:, None], nd], axis=1)  # (B,7,...)
+        mode_ids = jnp.asarray([0, 1, 2, 9, 10, 11, 12], jnp.int32)
+        Fv, FhT = mats[(64, 0)]
+        resid_all = src[:, None] - stack
+        cf_all = tj.fdct_batch(resid_all, Fv, FhT)  # (B, 7, 32, 32)
+        lv_all = tj.quantize(cf_all, qdc[:, None], qac[:, None], 2)
+        dq_all = tj.dequantize(lv_all, qdc[:, None], qac[:, None], 2, bd)
+        qerr = ((cf_all - dq_all) << 2).astype(jnp.float32)
+        dist_all = (qerr * qerr).sum((-1, -2)) * DIST_SCALE
+        cost_all = dist_all + lam[:, None] * coeff_rate(lv_all)
+        ci = jnp.argmin(cost_all, axis=1)
+        mode = mode_ids[ci]
+        g1 = lambda a: jnp.take_along_axis(
+            a, ci[:, None, None, None], axis=1)[:, 0]
+        pred = g1(stack)
+        lv = g1(lv_all)
+        dq = g1(dq_all)
+        dq64 = jnp.zeros(src.shape, jnp.int32)
+        dq64 = dq64.at[:, :32, :32].set(dq)
+        inv = tj.inv_txfm(dq64, tn.DCT_DCT, bd)
+        recon_y = jnp.clip(pred + inv, 0, maxval)
+        ctxY = jax.lax.dynamic_update_slice(ctxY, recon_y, (0, 1, 1))
+        Fvc, FhTc = mats[(32, 0)]
+        pred_u, lv_u, dq_u, _ru, src_u_b, _cu = chroma_dc(
+            ctxU, srcUt, 0, 0, 32, ha, hl, Fvc, FhTc, qdc, qac, lam)
+        pred_v, lv_v, dq_v, _rv, src_v_b, _cv = chroma_dc(
+            ctxV, srcVt, 0, 0, 32, ha, hl, Fvc, FhTc, qdc, qac, lam)
+        recon_u = jnp.clip(pred_u + tj.inv_txfm(dq_u, tn.DCT_DCT, bd),
+                           0, maxval)
+        recon_v = jnp.clip(pred_v + tj.inv_txfm(dq_v, tn.DCT_DCT, bd),
+                           0, maxval)
+        ctxU = jax.lax.dynamic_update_slice(ctxU, recon_u, (0, 1, 1))
+        ctxV = jax.lax.dynamic_update_slice(ctxV, recon_v, (0, 1, 1))
+        skip = (jnp.abs(lv).sum((-1, -2)) + jnp.abs(lv_u).sum((-1, -2))
+                + jnp.abs(lv_v).sum((-1, -2))) == 0
+        dist = ((recon_y - src).astype(jnp.float32) ** 2).sum((-1, -2))
+        dist = dist + ((recon_u - src_u_b).astype(jnp.float32) ** 2).sum(
+            (-1, -2))
+        dist = dist + ((recon_v - src_v_b).astype(jnp.float32) ** 2).sum(
+            (-1, -2))
+        rate = coeff_rate(lv) + coeff_rate(lv_u) + coeff_rate(lv_v) + 7.0
+        cost = dist + lam * rate
+        zi = jnp.zeros_like(mode)
+        out64 = dict(mode=mode, delta=zi, tt=jnp.ones_like(mode), skip=skip,
+                     au=zi, av=zi, uv=zi)
+        return ctxY, ctxU, ctxV, out64, (
+            lv.astype(jnp.int16), lv_u.astype(jnp.int16),
+            lv_v.astype(jnp.int16)), cost
+
     def compose_ctx(t, r, c, n, ext):
         """Context tile (B, n+1, n+ext+1) from the tiled plane t (R,C,n,n):
         own tile framed by the above row (with above-right extension),
@@ -666,6 +743,8 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         part_bits = params[o : o + 2]
         o += 2
         part_bits16 = params[o : o + 2]
+        o += 2
+        part_bits64 = params[o : o + 2]
         o += 2
         bits_uv14 = params[o : o + 182].reshape(13, 14)
         o += 182
@@ -839,8 +918,19 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                 lv_v_m = jnp.where(split[:, None],
                                    lvs16[2].transpose(1, 0, 2).reshape(Bn, 256),
                                    lv32[2].reshape(Bn, 256))
+                c_q = jnp.minimum(cost_none, cost_split)
                 return (ctxY, ctxU, ctxV), (split, out32, outs16, split8s,
-                                            outs8, lv_y_m, lv_u_m, lv_v_m)
+                                            outs8, lv_y_m, lv_u_m, lv_v_m,
+                                            c_q)
+
+            if allow_n64:
+                # whole-SB 64x64 trial from the same pre-quad context
+                # snapshot (PARTITION_NONE at the root vs the quad chain)
+                ha64 = av_k[:, 0, 0, 0] > 0
+                hl64 = av_k[:, 0, 0, 1] > 0
+                (ctxY64, ctxU64, ctxV64, out64, lv64, cost64) = encode_leaf64(
+                    ctxY, ctxU, ctxV, sYt, sUt, sVt, ha64, hl64,
+                    lam_k[:, 0], qdc_k[:, 0], qac_k[:, 0])
 
             (ctxY, ctxU, ctxV), qouts = jax.lax.scan(
                 quad, (ctxY, ctxU, ctxV),
@@ -848,20 +938,45 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                  av8_k.swapaxes(0, 1), lam_k.swapaxes(0, 1),
                  qdc_k.swapaxes(0, 1), qac_k.swapaxes(0, 1)))
 
+            if allow_n64:
+                quadsum = qouts[-1].sum(axis=0)
+                pick64 = (cost64 + lam_k[:, 0] * part_bits64[0]
+                          < quadsum + lam_k[:, 0] * part_bits64[1])
+                p3 = pick64[:, None, None]
+                selY = jnp.where(p3, ctxY64[:, 1:65, 1:65],
+                                 ctxY[:, 1:65, 1:65])
+                selU = jnp.where(p3, ctxU64[:, 1:33, 1:33],
+                                 ctxU[:, 1:33, 1:33])
+                selV = jnp.where(p3, ctxV64[:, 1:33, 1:33],
+                                 ctxV[:, 1:33, 1:33])
+                qouts = qouts + (pick64, out64,
+                                 lv64[0].reshape(lv64[0].shape[0], 1024),
+                                 lv64[1].reshape(lv64[1].shape[0], 1024),
+                                 lv64[2].reshape(lv64[2].shape[0], 1024))
+            else:
+                selY = ctxY[:, 1:65, 1:65]
+                selU = ctxU[:, 1:33, 1:33]
+                selV = ctxV[:, 1:33, 1:33]
+
             # write the finished SB tiles back (invalid lanes dropped)
             rr = jnp.where(val_k, sbr_k, R)
-            tY = tY.at[rr, sbc_k].set(ctxY[:, 1:65, 1:65], mode="drop",
+            tY = tY.at[rr, sbc_k].set(selY, mode="drop",
                                       unique_indices=True)
-            tU = tU.at[rr, sbc_k].set(ctxU[:, 1:33, 1:33], mode="drop",
+            tU = tU.at[rr, sbc_k].set(selU, mode="drop",
                                       unique_indices=True)
-            tV = tV.at[rr, sbc_k].set(ctxV[:, 1:33, 1:33], mode="drop",
+            tV = tV.at[rr, sbc_k].set(selV, mode="drop",
                                       unique_indices=True)
             return (tY, tU, tV), qouts
 
         (tY, tU, tV), outs = jax.lax.scan(
             step, (tY, tU, tV),
             (sbr, sbc, valid, avail, avail8, allow, lam_q, qdc_q, qac_q))
-        split, out32, outs16, split8, outs8, lv_y, lv_u, lv_v = outs
+        if allow_n64:
+            (split, out32, outs16, split8, outs8, lv_y, lv_u, lv_v, _cq,
+             pick64, out64, lv64y, lv64u, lv64v) = outs
+        else:
+            (split, out32, outs16, split8, outs8, lv_y, lv_u, lv_v,
+             _cq) = outs
         # pack: (K, 4, B, 152) int16 metadata + (K, 4, B, 1536) levels
         FIELDS = ("mode", "delta", "tt", "skip", "au", "av", "uv")
         pk = lambda o: [o[f].astype(jnp.int32) if f == "skip" else o[f]
@@ -872,7 +987,21 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         s16 = split8.astype(jnp.int32).transpose(0, 1, 3, 2)  # (K, 4, B, 4)
         m8 = jnp.stack(pk(outs8), axis=-1)  # (K, 4, 4, 4, B, 7)
         m8 = m8.transpose(0, 1, 4, 2, 3, 5).reshape(K, 4, B, 112)
-        meta = jnp.concatenate([split[..., None].astype(jnp.int32), m32,
+        split_f = split.astype(jnp.int32)
+        if allow_n64:
+            # a chosen 64x64 root block: flag 2 in meta[0]; its header
+            # fields ride quad 0's out32 slots, its TX_64X64 luma levels
+            # (32x32 corner) quad 0's lv_y, and the 32x32 chroma levels
+            # quads 1/2's lv_y slots (see wavefront_cache_push_run)
+            split_f = jnp.where(pick64[:, None, :], 2, split_f)
+            m64 = jnp.stack(pk(out64), axis=-1)  # (K, B, 7)
+            m32 = m32.at[:, 0].set(
+                jnp.where(pick64[..., None], m64, m32[:, 0]))
+            p2 = pick64[..., None]
+            lv_y = lv_y.at[:, 0].set(jnp.where(p2, lv64y, lv_y[:, 0]))
+            lv_y = lv_y.at[:, 1].set(jnp.where(p2, lv64u, lv_y[:, 1]))
+            lv_y = lv_y.at[:, 2].set(jnp.where(p2, lv64v, lv_y[:, 2]))
+        meta = jnp.concatenate([split_f[..., None], m32,
                                 s16, m16, m8], axis=-1).astype(jnp.int16)
         packed = jnp.concatenate([meta, lv_y, lv_u, lv_v], axis=-1)
         p_u8 = jax.lax.bitcast_convert_type(packed, jnp.uint8).reshape(-1)
@@ -894,12 +1023,13 @@ class WavefrontResult:
     per-SB block records in decode order."""
 
     def __init__(self, geom: WavefrontGeometry, rec, split, out32, out16,
-                 levels, split16=None, out8=None, packed=None):
+                 levels, split16=None, out8=None, packed=None, none64=None):
         self.geom = geom
         # raw (K, 4, B, 1688) int16 device output — the native cache-build
         # fast path walks it directly (ec/native_block.py
         # cache_push_wavefront)
         self.packed = packed
+        self.none64 = none64  # (K, B) bool: SB coded as one 64x64 block
         self.rec = rec  # [Y, U, V] int32 numpy
         # stacked (K, 4, B[, ...]) / (K, 4, 4, B[, ...]) / (K, 4, 4, 4, B)
         self.split = split
@@ -919,6 +1049,8 @@ class WavefrontResult:
                 if not geom.device_sb[r, c_]:
                     continue
                 k, li = geom.sb_step[r, c_], geom.sb_lane[r, c_]
+                if none64 is not None and none64[k, li]:
+                    continue
                 for q in range(4):
                     qsplit = bool(split[k, q, li])
                     self.split_map[2 * r + (_QOFF[q][0] // 32),
@@ -937,6 +1069,20 @@ class WavefrontResult:
         g = self.geom
         k, li = g.sb_step[r, c_], g.sb_lane[r, c_]
         sy, sx = r * 64, c_ * 64
+        if self.none64 is not None and self.none64[k, li]:
+            # one 64x64 root block: header in quad 0's out32 slots, luma
+            # TX_64X64 levels (32x32 corner) in quad 0's lv_y, chroma in
+            # quads 1/2's lv_y slots
+            o = self.out32
+            avq = g.avail[k, li, 0]
+            return [(sx, sy, 64, 64, int(o["mode"][k, 0, li]),
+                     bool(o["skip"][k, 0, li]), int(o["tt"][k, 0, li]),
+                     int(avq[0, 0]), int(avq[0, 1]),
+                     int(o["au"][k, 0, li]), int(o["av"][k, 0, li]),
+                     int(o["delta"][k, 0, li]), int(o["uv"][k, 0, li]),
+                     self.lv_y[k, 0, li].reshape(32, 32),
+                     self.lv_y[k, 1, li].reshape(32, 32),
+                     self.lv_y[k, 2, li].reshape(32, 32))]
         recs = []
         for q in range(4):
             avq = g.avail[k, li, q]
@@ -1038,7 +1184,8 @@ def _pass_flags(fe) -> tuple:
             bool(fe.tx_type_search and fe.q > 0), bool(fe.fine_dir),
             _mode_mask(fe), bool(fe.rdo_partition),
             bool(getattr(fe, "rdo_split8", False)),
-            bool(getattr(fe, "uv_search", False) and fe.q > 0))
+            bool(getattr(fe, "uv_search", False) and fe.q > 0),
+            bool(getattr(fe, "rdo_none64", False)))
 
 
 def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
@@ -1054,7 +1201,7 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
     flags = _pass_flags(fe)
     fn = build_pass(fe.h, fe.w, K, B, flags[0], flags[1], flags[2], flags[3],
                     flags[4], fe.mi_cols, fe.mi_rows, flags[5], flags[6],
-                    flags[7])
+                    flags[7], flags[8])
 
     # per-quadrant lambda / quantizers (activity AQ and segmentation maps)
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
@@ -1202,7 +1349,8 @@ def launch_wavefront_batch(fes, tiles) -> LaunchedWavefrontBatch | None:
 
     fn = build_pass(F * fe0.h, fe0.w, K, F * B, flags0[0], flags0[1],
                     flags0[2], flags0[3], flags0[4], fe0.mi_cols,
-                    fe0.mi_rows, flags0[5], flags0[6], flags0[7])
+                    fe0.mi_rows, flags0[5], flags0[6], flags0[7],
+                    flags0[8])
 
     # extended lane grids: frame f occupies lanes [f*B, (f+1)*B) with its
     # tile rows offset by f*R in the stacked plane
@@ -1326,8 +1474,10 @@ def _mode_bit_params(fe) -> np.ndarray:
     pbits8 = _sym_bits_row(cdf.partition[0], 4)
     part_bits16 = np.asarray(
         [pbits16[0], pbits16[3] + 4 * pbits8[0]], np.float32)
-    return np.concatenate([part_bits, part_bits16, bits_uv14.ravel(),
-                           bits_sign, bits_alpha.ravel(),
+    pbits64 = _sym_bits_row(cdf.partition[(4 - 1) * 4 + 0], 10)
+    part_bits64 = np.asarray([pbits64[0], pbits64[3]], np.float32)
+    return np.concatenate([part_bits, part_bits16, part_bits64,
+                           bits_uv14.ravel(), bits_sign, bits_alpha.ravel(),
                            bits_angle]).astype(np.float32)
 
 
@@ -1358,7 +1508,8 @@ def _build_result(geom, packed: np.ndarray, rec: list) -> "WavefrontResult":
     int16 records + int32 recon planes."""
     K, _, B, _ = packed.shape
     meta = packed[..., :152]
-    split_np = meta[..., 0].astype(bool)
+    split_np = meta[..., 0] == 1
+    none64_np = meta[:, 0, :, 0] == 2  # quad-0 flag: one 64x64 root block
     f32names = ("mode", "delta", "tt", "skip", "au", "av", "uv")
     out32_np = {nm: meta[..., 1 + i] for i, nm in enumerate(f32names)}
     split16_np = meta[..., 8:12].transpose(0, 1, 3, 2).astype(bool)
@@ -1369,7 +1520,8 @@ def _build_result(geom, packed: np.ndarray, rec: list) -> "WavefrontResult":
     levels = (packed[..., 152:1176], packed[..., 1176:1432],
               packed[..., 1432:1688])
     return WavefrontResult(geom, rec, split_np, out32_np, out16_np, levels,
-                           split16_np, out8_np, packed=packed)
+                           split16_np, out8_np, packed=packed,
+                           none64=none64_np)
 
 
 def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":

@@ -27,11 +27,11 @@ def ac_q(q_idx: int, delta: int = 0, bit_depth: int = 8) -> int:
 
 import os as _os
 
-# deadzone bias numerator (x/32 of a quantizer step).  13/32 was tuned
-# empirically (PROGRESS notes 2026-08-16); override for calibration
-# experiments via RAV1E_TPU_QUANT_BIAS - quantize_np, transforms_jax and
-# native/block_intra.cc all read this single value.
-QUANT_BIAS_NUM = int(_os.environ.get("RAV1E_TPU_QUANT_BIAS", "13"))
+# deadzone bias numerator (x/32 of a quantizer step).  16/32 (round-half)
+# won the BD-rate ladder vs 13/32 (mean -25.5% vs -18.6% against rav1e s6,
+# 2026-08-19); override via RAV1E_TPU_QUANT_BIAS - quantize_np, transforms_jax
+# and native/block_intra.cc all read this single value.
+QUANT_BIAS_NUM = int(_os.environ.get("RAV1E_TPU_QUANT_BIAS", "16"))
 
 
 def tx_scale(w: int, h: int) -> int:
