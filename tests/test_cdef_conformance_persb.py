@@ -132,8 +132,11 @@ def test_per_sb_recorder_path_conforms():
 
 def test_per_sb_varied_map_conforms():
     """A clip whose forced per-SB map is genuinely spatial (left SBs get
-    strong strengths, noise-texture SBs get weak/none)."""
-    seen = _probe_run(persb_content(448, 192, seed=4), q=200)
+    strong strengths, noise-texture SBs get weak/none).  q must stay low
+    enough that recon noise keeps correlating with the source noise; at
+    very coarse q the argmin legitimately saturates to the strongest pair
+    everywhere."""
+    seen = _probe_run(persb_content(448, 192, seed=4), q=160)
     engaged = [sb for sb in seen if sb is not None]
     assert engaged
     maps = [sb[3] for sb in engaged]
