@@ -240,19 +240,20 @@ class Context:
         if getattr(self._encoder, "_prefetched_list", None):
             return
         # consecutive queued key frames batch into ONE device pass: the
-        # wavefront scan underfills the chip, and pairing frames (F=2)
-        # already saturates it — measured per-frame compute F=1: 0.52s,
-        # F=2: 0.31s, F=4: 0.32s at 1080p — while keeping the pipeline
-        # bubble (host idle until the batch lands) at its smallest.
+        # wavefront scan underfills the chip (measured per-frame compute
+        # F=1: 0.52s, F=2: 0.31s, F=4: 0.32s at 1080p).  F=4 wins end to
+        # end since the eager-phase1 pipelining amortizes each batch's
+        # exposed wall time over four frames' host entropy work.
+        F = 4
         n_run = 0
         for t in self._ftype_q:
-            if t != "key" or n_run >= 2:
+            if t != "key" or n_run >= F:
                 break
             n_run += 1
         try:
             if n_run >= 2:
                 self._encoder.prefetch_key_frames(
-                    [self.frame_q[i][1] for i in range(2)])
+                    [self.frame_q[i][1] for i in range(n_run)])
             else:
                 self._encoder.prefetch_key_frame(self.frame_q[0][1])
         except Exception:

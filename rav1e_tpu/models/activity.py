@@ -13,12 +13,15 @@ import numpy as np
 
 
 def activity_mask(luma: np.ndarray) -> np.ndarray:
-    """Per-8x8 spatial variance of the source luma (float64)."""
+    """Per-8x8 spatial variance of the source luma (float64 result).
+    Integer moment sums (no full-plane float copies): 8-bit samples keep
+    x^2 block sums below 2^23, so int32 products cannot overflow."""
     h, w = luma.shape
     h8, w8 = h // 8, w // 8
-    b = luma[: h8 * 8, : w8 * 8].reshape(h8, 8, w8, 8).astype(np.float64)
-    b = b.transpose(0, 2, 1, 3).reshape(h8, w8, 64)
-    return b.var(axis=2)
+    b = luma[: h8 * 8, : w8 * 8].reshape(h8, 8, w8, 8)
+    s1 = b.sum(axis=(1, 3), dtype=np.int64)
+    s2 = (b * b).sum(axis=(1, 3), dtype=np.int64)
+    return s2 / 64.0 - (s1 / 64.0) ** 2
 
 
 def distortion_scales(act: np.ndarray) -> np.ndarray:

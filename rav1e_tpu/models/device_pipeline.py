@@ -204,6 +204,61 @@ def frame_rd_maps(y_plane: np.ndarray, dc_q: int, ac_q: int, lam: float) -> dict
     return out
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _band_maps_packed(y: jax.Array, q: tuple, lam) -> jax.Array:
+    """Device-fused band analysis: mode maps for 32/16 blocks plus the
+    32->16 split decision, packed into ONE int32 vector (the chip tunnel
+    charges ~50-80 ms latency per transfer, so everything rides one)."""
+    m32, c32, _ = rd_analysis(y, 32, q, lam)
+    m16, c16, _ = rd_analysis(y, 16, q, lam)
+    by, bx = c32.shape
+    c16sum = c16.reshape(by, 2, bx, 2).sum(axis=(1, 3))
+    split = (c16sum + lam * 6.0 < c32).astype(jnp.int32)
+    return jnp.concatenate([m32.ravel(), m16.ravel(), split.ravel()])
+
+
+class LaunchedBandMaps:
+    """Handle to an in-flight band RD analysis (JAX async dispatch): maps
+    for the frame's host-path edge band (partial superblocks), launched
+    right after the wavefront pass so the chip computes them while the
+    host walks the device output.  collect() returns frame_rd_maps-shaped
+    numpy maps; the band's pixel offset rides on the handle."""
+
+    def __init__(self, y0: int, x0: int, out: jax.Array, shape: tuple):
+        self.y0 = y0
+        self.x0 = x0
+        self._out = out
+        self._shape = shape  # band (h, w)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+
+    def collect(self) -> dict:
+        v = np.asarray(self._out)
+        h, w = self._shape
+        n32 = (h // 32) * (w // 32)
+        n16 = (h // 16) * (w // 16)
+        out = {
+            32: (v[:n32].reshape(h // 32, w // 32),),
+            16: (v[n32 : n32 + n16].reshape(h // 16, w // 16),),
+            "split32": v[n32 + n16 :].reshape(h // 32, w // 32).astype(bool),
+        }
+        return out
+
+
+def launch_band_rd_maps(y_band: np.ndarray, dc_q: int, ac_q: int,
+                        lam: float, y0: int, x0: int) -> LaunchedBandMaps:
+    """Async frame_rd_maps over a plane band (dims multiples of 32).
+    Used for the partial-superblock edge rows/cols the wavefront pass
+    does not cover: the host block coder consumes these mode/split maps
+    instead of running per-block python RD trials (SURVEY 2.5 'device
+    analysis feeds host entropy' for the frame edges)."""
+    yj = jnp.asarray(y_band, jnp.int32)
+    out = _band_maps_packed(yj, (int(dc_q), int(ac_q)), float(lam))
+    return LaunchedBandMaps(y0, x0, out, y_band.shape)
+
+
 def frame_mode_maps(y_plane: np.ndarray) -> dict:
     """Run device mode analysis for the block sizes the encoder uses.
     y_plane: padded (SB-aligned) int32 numpy luma plane."""

@@ -194,10 +194,35 @@ class IntraFrameEncoder:
     def encode(self, planes: list) -> tuple:
         """planes: [Y, U, V] uint8/16 arrays at the REAL frame size.
         Returns (tile_bytes, recon) with recon cropped to the real size."""
+        self.phase1(planes)
+        return self._finish_encode()
+
+    def phase1(self, planes: list) -> None:
+        """Device-heavy phase: collect the wavefront output, build the
+        block cache, and ENQUEUE the in-loop filter chain (no wait).
+        Idempotent.  The orchestration runs phase1 for every frame of a
+        batched launch back-to-back so all their device work queues ahead
+        of any frame's host entropy pass (SURVEY 2.6 pipelining)."""
+        if getattr(self, "_phase1_done", False):
+            return
         if not getattr(self, "_prepared", False):
             with self.stats.stage("prepare"):
                 self.prepare(planes)
-        return self._finish_encode()
+        self._p1_data = self._encode_tiles()
+        self._chain_launch = None
+        if not (self.lf_search and any(self.lf_levels)):
+            try:
+                from rav1e_tpu.ops.filter_chain_jax import launch_filter_chain
+
+                with self.stats.stage("filters"):
+                    self._chain_launch = launch_filter_chain(self)
+            except Exception:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "device filter chain launch failed; host path",
+                    exc_info=True)
+        self._phase1_done = True
 
     def _fire_prefetch(self) -> None:
         """Lookahead-overlap hook: enqueue the NEXT frame's device pass so
@@ -381,22 +406,67 @@ class IntraFrameEncoder:
                 logging.getLogger("rav1e_tpu").warning(
                     "device wavefront launch failed; host fallback",
                     exc_info=True)
+        self._launch_band_maps()
         self._prepared = True
 
+    def _launch_band_maps(self) -> None:
+        """Async device RD maps for the edge band the wavefront does not
+        cover (partial superblocks at the frame's bottom/right): the host
+        block path consumes these as its mode/split decisions instead of
+        running per-block python RD trials (~0.7 s/frame at 1080p)."""
+        self._band_maps = None
+        wf = getattr(self, "_wf_launched", None)
+        if wf is None or getattr(self, "wavefront_mesh", None) is not None:
+            return
+        g = wf.geom
+        host_sb = ~g.device_sb
+        if not host_sb.any():
+            return
+        try:
+            from rav1e_tpu.models.device_pipeline import launch_band_rd_maps
+
+            bands = []
+            # bottom band: rows where EVERY SB is host (partial bottom
+            # rows); right band: partial right columns above that
+            rows_all = host_sb.all(axis=1)
+            r0 = int(np.argmax(rows_all)) if rows_all.any() \
+                else g.device_sb.shape[0]
+            if rows_all.any():
+                bands.append((r0 * 64, 0, self.src[0][r0 * 64 : self.h, :]))
+            if r0 > 0:
+                cols_any = host_sb[:r0].any(axis=0)
+                if cols_any.any():
+                    c0 = int(np.argmax(cols_any))
+                    bands.append((0, c0 * 64,
+                                  self.src[0][: r0 * 64, c0 * 64 : self.w]))
+            self._band_maps = [
+                launch_band_rd_maps(b, self.dc_q, self.ac_q, self.lam, y0, x0)
+                for (y0, x0, b) in bands]
+        except Exception:
+            import logging
+
+            logging.getLogger("rav1e_tpu").warning(
+                "band RD map launch failed; host trials", exc_info=True)
+            self._band_maps = None
+
     def _finish_encode(self) -> tuple:
-        data = self._encode_tiles()
+        data = self._p1_data
         chain_done = False
-        if not (self.lf_search and any(self.lf_levels)):
+        if self._chain_launch is not None:
             try:
-                from rav1e_tpu.ops.filter_chain_jax import filter_chain_device
+                from rav1e_tpu.ops.filter_chain_jax import (
+                    collect_filter_chain,
+                )
 
                 with self.stats.stage("filters"):
-                    chain_done = filter_chain_device(self)
+                    chain_done = collect_filter_chain(self, self._chain_launch)
             except Exception:
                 import logging
 
                 logging.getLogger("rav1e_tpu").warning(
                     "device filter chain failed; host path", exc_info=True)
+            finally:
+                self._chain_launch = None
         if chain_done:
             data2 = self._finish_lr(data)
             return data2
@@ -793,6 +863,38 @@ class IntraFrameEncoder:
             dev = g.device_sb
             n64[dev] = n64_kb[g.sb_step[dev], g.sb_lane[dev]]
             self._rd_maps["none64"] = n64
+        if getattr(self, "_band_maps", None):
+            # edge-band device maps: mode + split decisions for the
+            # partial SBs the host path codes (no python RD trials)
+            try:
+                # only HOST-path positions take band values: device SBs'
+                # split decisions are the wavefront's (overwriting them
+                # would desync the pass-A cache from the pass-B walk)
+                dev = wf.geom.device_sb
+                dev32 = np.zeros((self.h // 32, self.w // 32), bool)
+                dev32[: dev.shape[0] * 2, : dev.shape[1] * 2] = np.repeat(
+                    np.repeat(dev, 2, 0), 2, 1)
+                mm32 = np.zeros((self.h // 32, self.w // 32), np.int32)
+                mm16 = np.zeros((self.h // 16, self.w // 16), np.int32)
+                for bm in self._band_maps:
+                    m = bm.collect()
+                    yb, xb = bm.y0 // 32, bm.x0 // 32
+                    sp = m["split32"]
+                    ys = slice(yb, yb + sp.shape[0])
+                    xs = slice(xb, xb + sp.shape[1])
+                    sm[ys, xs] = np.where(dev32[ys, xs], sm[ys, xs], sp)
+                    m32 = m[32][0]
+                    mm32[ys, xs] = m32
+                    m16 = m[16][0]
+                    mm16[bm.y0 // 16 : bm.y0 // 16 + m16.shape[0],
+                         bm.x0 // 16 : bm.x0 // 16 + m16.shape[1]] = m16
+                self._mode_maps = {32: (mm32,), 16: (mm16,)}
+            except Exception:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "band RD map collect failed; host trials", exc_info=True)
+            self._band_maps = None
 
         self._nbc.cache_start()
         self.cdf = frame_cdf.copy()  # throwaway basis for pass-A symbols
@@ -1060,11 +1162,49 @@ class IntraFrameEncoder:
         self._lr_chroma = {1: {}, 2: {}}
         self._lr_chroma_taps = {}
         self.lr_types = [1, 0, 0]
+        chain_lr = getattr(self, "_chain_lr", None)
+        if chain_lr is not None:
+            # taps solved + trials + composition already ran inside the
+            # filter-chain jit program (filter_chain_jax lr_fuse)
+            comp, choice, taps, en = chain_lr
+            self._chain_lr = None
+            rows = lr.unit_ranges(self.LR_UNIT, self.out_h, shifted=True)
+            cols = lr.unit_ranges(self.LR_UNIT, self.out_w)
+            vt, ht = tuple(int(t) for t in taps[0]), tuple(
+                int(t) for t in taps[1])
+            for ur, (y0, y1) in enumerate(rows):
+                for uc, (x0, x1) in enumerate(cols):
+                    if en[0] and choice[0][ur, uc]:
+                        self._lr_params[(ur, uc)] = (
+                            "wiener", vt, ht, comp[0][y0:y1, x0:x1])
+                    else:
+                        self._lr_params[(ur, uc)] = None
+            cw = (self.out_w + 1) >> 1
+            ch = (self.out_h + 1) >> 1
+            rows_c = lr.unit_ranges(self.LR_UNIT >> 1, ch, shifted=True)
+            cols_c = lr.unit_ranges(self.LR_UNIT >> 1, cw)
+            for plane in (1, 2):
+                if not (en[plane] and choice[plane].any()):
+                    continue
+                units = {}
+                for ur, (y0, y1) in enumerate(rows_c):
+                    for uc, (x0, x1) in enumerate(cols_c):
+                        units[(ur, uc)] = (comp[plane][y0:y1, x0:x1]
+                                           if choice[plane][ur, uc] else None)
+                self._lr_chroma[plane] = units
+                tr = taps[2 * plane], taps[2 * plane + 1]
+                self._lr_chroma_taps[plane] = (
+                    tuple(int(t) for t in tr[0]),
+                    tuple(int(t) for t in tr[1]))
+                self.lr_types[plane] = 2  # coded RESTORE_WIENER
+            return True
         with self.stats.stage("lr_solve_y"):
-            src_f = self.src[0][: self.out_h, : self.out_w].astype(np.float64)
+            # int planes go straight in: solve_wiener subsamples before
+            # its float64 feature build (full-plane casts here cost
+            # ~150 ms/frame at 1080p for nothing)
             vt, ht = lr.solve_wiener(
-                self.rec[0][: self.out_h, : self.out_w].astype(np.float64),
-                src_f)
+                self.rec[0][: self.out_h, : self.out_w],
+                self.src[0][: self.out_h, : self.out_w])
         taps_y = (vt, ht) if (vt, ht) != ((0, 0, 0), (0, 0, 0)) else None
         taps_c = {}
         cw = (self.out_w + 1) >> 1
@@ -1072,8 +1212,8 @@ class IntraFrameEncoder:
         if self._is420:
             for plane in (1, 2):
                 vtc, htc = lr.solve_wiener(
-                    self.rec[plane][:ch, :cw].astype(np.float64),
-                    self.src[plane][:ch, :cw].astype(np.float64))
+                    self.rec[plane][:ch, :cw],
+                    self.src[plane][:ch, :cw])
                 vtc = (0, int(vtc[1]), int(vtc[2]))  # chroma outer tap is 0
                 htc = (0, int(htc[1]), int(htc[2]))
                 if (vtc, htc) != ((0, 0, 0), (0, 0, 0)):
@@ -1708,14 +1848,14 @@ class IntraFrameEncoder:
         """SAD-based intra mode choice over cheap candidates.  Uses the
         device (TPU) mode map when available (source-edge approximation),
         falling back to the exact recon-edge host loop."""
-        if (
-            self._mode_maps is not None
-            and bw == bh
-            and bw in self._mode_maps
-            and x % bw == 0
-            and y % bh == 0
-        ):
-            return int(self._mode_maps[bw][0][y // bh][x // bw])
+        if self._mode_maps is not None:
+            # rect frame-edge blocks (16x8 at the bottom row etc.) read
+            # the map of their CONTAINING square — the analysis covered
+            # that area (source edge-padded), and the choice is advisory
+            n = max(bw, bh)
+            m = self._mode_maps.get(n)
+            if m is not None and x % n == 0 and y % n == 0:
+                return int(m[0][y // n][x // n])
         rec = self.rec[0]
         have_above = self._have_above(y)
         have_left = self._have_left(x)

@@ -170,6 +170,7 @@ class FrameEncoder:
             return self.prefetch_key_frame(frames[0], q_idx)
         for f, fe in enumerate(fes):
             fe._wf_launched = batch.slot(f)
+            fe._launch_band_maps()
         self._prefetched_list = [(fr, q, fe) for fr, fe in zip(frames, fes)]
 
     def encode_key_frame(self, frame, q_idx: int | None = None) -> bytes:
@@ -177,9 +178,25 @@ class FrameEncoder:
         pre = getattr(self, "_prefetched", None)
         plist = getattr(self, "_prefetched_list", None)
         if plist:
+            # eager phase1 across the whole batch: every frame's cache
+            # build + filter-chain ENQUEUE happens before any frame's
+            # host entropy pass, keeping the chip's queue full
+            for (fr_, _q_, fe_) in plist:
+                try:
+                    fe_.phase1([p.window() for p in fr_.planes])
+                except Exception:
+                    import logging
+
+                    logging.getLogger("rav1e_tpu").warning(
+                        "batched phase1 failed; lazy path", exc_info=True)
+                    break
+        batch_tail = True  # last frame of its batch (or unbatched)
+        if plist:
             head = plist.pop(0)
             if not plist:
                 self._prefetched_list = None
+            else:
+                batch_tail = False
             if head[0] is frame and head[1] == q:
                 pre = head
             else:  # out-of-order pickup: drop the stale batch
@@ -191,7 +208,11 @@ class FrameEncoder:
         else:
             fe = self._build_key_encoder(q)
         damping = fe.cdef_damping
-        fe._after_launch = self.prefetch_hook
+        # the NEXT batch's wavefront enqueues only after the LAST frame of
+        # the current batch has enqueued its filter/LR device work —
+        # firing it earlier puts the tail frames' small device calls
+        # behind the next batch's big compute in the chip's queue
+        fe._after_launch = self.prefetch_hook if batch_tail else None
         planes = [p.window() for p in frame.planes]
         tile, recon = fe.encode(planes)
         self.stats.merge(fe.stats)

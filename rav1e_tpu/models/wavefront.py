@@ -361,7 +361,8 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         left = jnp.concatenate([tl[:, None], left_v], axis=1)
         return above, left
 
-    def chroma_dc(ctxC, srcCt, ly2, lx2, n2, ha, hl, Fvc, FhTc, qdc, qac, lam):
+    def chroma_dc(ctxC, srcCt, ly2, lx2, n2, ha, hl, Fvc, FhTc, qdc, qac,
+                  lam, shift=0):
         zero = jnp.zeros((ctxC.shape[0],), jnp.int32)
         ab, lf = edges_local(ctxC, ly2, lx2, n2, n2, ha, hl, zero, zero)
         pred = ij.dc_predict(ab, lf, n2, n2, ha, hl, bd)
@@ -369,8 +370,8 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                                       (srcCt.shape[0], n2, n2))
         res = src_b - pred
         cf = tj.fdct_batch(res, Fvc, FhTc)
-        lvp = tj.quantize(cf, qdc, qac, 0)
-        dqp = tj.dequantize(lvp, qdc, qac, 0, bd)
+        lvp = tj.quantize(cf, qdc, qac, shift)
+        dqp = tj.dequantize(lvp, qdc, qac, shift, bd)
         invp = tj.inv_txfm(dqp, tn.DCT_DCT, bd)
         dist = ((res - invp).astype(jnp.float32) ** 2).sum((-1, -2))
         return pred, lvp, dqp, res, src_b, dist + lam * coeff_rate(lvp)
@@ -671,9 +672,11 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         ctxY = jax.lax.dynamic_update_slice(ctxY, recon_y, (0, 1, 1))
         Fvc, FhTc = mats[(32, 0)]
         pred_u, lv_u, dq_u, _ru, src_u_b, _cu = chroma_dc(
-            ctxU, srcUt, 0, 0, 32, ha, hl, Fvc, FhTc, qdc, qac, lam)
+            ctxU, srcUt, 0, 0, 32, ha, hl, Fvc, FhTc, qdc, qac, lam,
+            shift=1)  # TX_32X32 tx_scale
         pred_v, lv_v, dq_v, _rv, src_v_b, _cv = chroma_dc(
-            ctxV, srcVt, 0, 0, 32, ha, hl, Fvc, FhTc, qdc, qac, lam)
+            ctxV, srcVt, 0, 0, 32, ha, hl, Fvc, FhTc, qdc, qac, lam,
+            shift=1)
         recon_u = jnp.clip(pred_u + tj.inv_txfm(dq_u, tn.DCT_DCT, bd),
                            0, maxval)
         recon_v = jnp.clip(pred_v + tj.inv_txfm(dq_v, tn.DCT_DCT, bd),
@@ -1227,27 +1230,30 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
 
 def _fill_lane_params(fe, geom, lam_q, qdc_q, qac_q) -> None:
     """Per-quadrant lambda / quantizers from the frame's activity-AQ and
-    segmentation maps, into (K, B, 4) lane grids."""
-    K, B = geom.steps, geom.width
+    segmentation maps, into (K, B, 4) lane grids (vectorized: the K*B*4
+    python loop cost ~60 ms/frame at 1080p)."""
     lam_map = getattr(fe, "_lam_map", None)
     if lam_map is None and fe.seg_map is None:
         return
-    for k in range(K):
-        for li in range(B):
-            if not geom.valid[k, li]:
-                continue
-            r, c_ = int(geom.sbr[k, li]), int(geom.sbc[k, li])
-            for q in range(4):
-                y32 = r * 2 + (_QOFF[q][0] // 32)
-                x32 = c_ * 2 + (_QOFF[q][1] // 32)
-                if lam_map is not None:
-                    lam_q[k, li, q] = lam_map[
-                        min(y32, lam_map.shape[0] - 1),
-                        min(x32, lam_map.shape[1] - 1)]
-                if fe.seg_map is not None:
-                    sid = int(fe.seg_map[y32 * 8, x32 * 8])
-                    qdc_q[k, li, q], qac_q[k, li, q] = fe._seg_q[sid]
-                    lam_q[k, li, q] = fe._seg_lam[sid]
+    qy = np.asarray([o[0] // 32 for o in _QOFF])[None, None, :]
+    qx = np.asarray([o[1] // 32 for o in _QOFF])[None, None, :]
+    y32 = geom.sbr[:, :, None] * 2 + qy  # (K, B, 4)
+    x32 = geom.sbc[:, :, None] * 2 + qx
+    valid = geom.valid[:, :, None]
+    if lam_map is not None:
+        yi = np.minimum(y32, lam_map.shape[0] - 1)
+        xi = np.minimum(x32, lam_map.shape[1] - 1)
+        lam_q[:] = np.where(valid, lam_map[yi, xi], lam_q)
+    if fe.seg_map is not None:
+        yi = np.minimum(y32 * 8, fe.seg_map.shape[0] - 1)
+        xi = np.minimum(x32 * 8, fe.seg_map.shape[1] - 1)
+        sid = fe.seg_map[yi, xi].astype(np.int64)
+        seg_dc = np.asarray([d for (d, _a) in fe._seg_q], np.float32)
+        seg_ac = np.asarray([a for (_d, a) in fe._seg_q], np.float32)
+        seg_lam = np.asarray(fe._seg_lam, np.float32)
+        qdc_q[:] = np.where(valid, seg_dc[sid], qdc_q)
+        qac_q[:] = np.where(valid, seg_ac[sid], qac_q)
+        lam_q[:] = np.where(valid, seg_lam[sid], lam_q)
 
 
 def _geom_dev(geom):

@@ -22,8 +22,57 @@ _log = logging.getLogger("rav1e_tpu")
 _KERNELS: dict = {}
 
 
+def _wiener_solve_dev(jnp, d, s, h, w):
+    """Device Wiener tap solve (one direction pair): least-squares fit of
+    the symmetric 7-tap residual model, the jnp analog of
+    lrf_np.solve_wiener's normal equations.  d/s: (h, w) int32.  Returns
+    (vtaps3, htaps3) float32 (UNquantized; caller rounds/clips).
+    Sums are accumulated per 64-row band in f32 then reduced, keeping
+    relative error ~1e-7 on 1080p planes."""
+    from rav1e_tpu.ops.lrf_np import WIENER_TAPS_MIN, WIENER_TAPS_MAX
+
+    def solve_dir(axis):
+        if axis == 0:
+            pad = jnp.pad(d, ((3, 3), (0, 0)), mode="edge")
+            cols = [pad[3 - k : h + 3 - k, :] + pad[3 + k : h + 3 + k, :]
+                    for k in (3, 2, 1)]
+        else:
+            pad = jnp.pad(d, ((0, 0), (3, 3)), mode="edge")
+            cols = [pad[:, 3 - k : w + 3 - k] + pad[:, 3 + k : w + 3 + k]
+                    for k in (3, 2, 1)]
+        f = [(c - 2 * d).astype(jnp.float32) for c in cols]
+        b = (s - d).astype(jnp.float32)
+
+        def acc(x, y):
+            # band-partial sums: f32 keeps ~7 digits; whole-plane sums of
+            # ~1e6-magnitude products need the two-stage reduction
+            prod = x * y
+            nb = (h + 63) // 64
+            pads = nb * 64 - h
+            p2 = jnp.pad(prod, ((0, pads), (0, 0)))
+            return p2.reshape(nb, 64 * w).sum(axis=1).sum()
+
+        M = jnp.stack([jnp.stack([acc(f[i], f[j]) for j in range(3)])
+                       for i in range(3)])
+        r = jnp.stack([acc(f[i], b) for i in range(3)])
+        ridge = 1e-6 * (M[0, 0] + M[1, 1] + M[2, 2]) + 1e-3
+        coef = jnp.linalg.solve(M + ridge * jnp.eye(3, dtype=jnp.float32), r)
+        taps = jnp.round(coef * 128.0)
+        lo = jnp.asarray(WIENER_TAPS_MIN, jnp.float32)
+        hi = jnp.asarray(WIENER_TAPS_MAX, jnp.float32)
+        return jnp.clip(taps, lo, hi).astype(jnp.int32)
+
+    return solve_dir(0), solve_dir(1)
+
+
+def _taps7_dev(jnp, t3):
+    """wiener_7tap in jnp: [c0, c1, c2, 128 - 2*(c0+c1+c2), c2, c1, c0]."""
+    mid = 128 - 2 * (t3[0] + t3[1] + t3[2])
+    return jnp.stack([t3[0], t3[1], t3[2], mid, t3[2], t3[1], t3[0]])
+
+
 def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w,
-                 want_db_host=True, resident=None):
+                 want_db_host=True, resident=None, lr_fuse=None):
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +97,30 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w,
     if resident is not None:
         rec_bytes, dev_h, dev_w = resident
 
-    def run(src_pack, up, lims, sb_lam, wf_out=None):
+    lr_tabs = None
+    if lr_fuse is not None:
+        # restoration-unit geometry + stripe gather tables (host consts)
+        from rav1e_tpu.ops import lrf_np as lrn
+        from rav1e_tpu.ops.lrf_jax import _gather_tables
+
+        out_w, out_h = lr_fuse
+        cwo, cho = (out_w + 1) >> 1, (out_h + 1) >> 1
+
+        def unit_tabs(hh, ww, unit):
+            rows = lrn.unit_ranges(unit, hh, shifted=True)
+            cols = lrn.unit_ranges(unit, ww)
+            ru = np.zeros(hh, np.int32)
+            for i, (s0, e0) in enumerate(rows):
+                ru[s0:e0] = i
+            cu = np.zeros(ww, np.int32)
+            for i, (s0, e0) in enumerate(cols):
+                cu[s0:e0] = i
+            return rows, cols, ru, cu
+
+        lr_tabs = (unit_tabs(out_h, out_w, 64), unit_tabs(cho, cwo, 32),
+                   _gather_tables(out_h, 64), _gather_tables(cho, 32))
+
+    def run(src_pack, up, lims, sb_lam, lr_lam, wf_out=None):
         # src planes from the wavefront's packed upload (padded dims)
         sY = src_pack[:nY_src].reshape(Hp, Wp)[:h, :w].astype(jnp.uint16)
         sU = src_pack[nY_src : nY_src + nC_src].reshape(
@@ -154,6 +226,69 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w,
             use_sb.astype(jnp.uint8).reshape(1),
             frame_best.astype(jnp.uint8).reshape(1),
             idx_map.astype(jnp.uint8).ravel()]
+
+        if lr_fuse is not None:
+            # ---- fused loop restoration: Wiener tap solve (normal
+            # equations, device) + none-vs-Wiener per-unit decision +
+            # composed planes — no extra device round trips.  Reference
+            # analog: the Wiener arm of rdo_loop_decision (src/rdo.rs) +
+            # the per-unit loops of src/lrf.rs, run as one fused stage
+            # after CDEF in the same jit program. ----
+            from rav1e_tpu.ops.lrf_jax import (LR_RATE_C, LR_RATE_Y,
+                                               _wiener_body)
+
+            tabY, tabC, gY, gC = lr_tabs
+
+            def unit_sse(d, rows, cols):
+                a = jnp.stack([d[s0:e0].sum(axis=0, dtype=jnp.int32)
+                               for (s0, e0) in rows])
+                return jnp.stack([a[:, s0:e0].sum(axis=1, dtype=jnp.int32)
+                                  for (s0, e0) in cols], axis=1)
+
+            def lr_plane(cd16, db16, src, tab, gt, rate, hh, ww,
+                         chroma):
+                cdi = cd16[:hh, :ww].astype(jnp.int32)
+                si = src[:hh, :ww].astype(jnp.int32)
+                v3, h3 = _wiener_solve_dev(jnp, cdi, si, hh, ww)
+                if chroma:
+                    v3 = v3.at[0].set(0)  # chroma outer tap is 0 (spec)
+                    h3 = h3.at[0].set(0)
+                en = (jnp.abs(v3).sum() + jnp.abs(h3).sum()) > 0
+                rows, cols, ru, cu = tab
+                ridx, use_db = gt
+                rest = _wiener_body(jax, jnp, cd16, db16,
+                                    jnp.asarray(ridx), jnp.asarray(use_db),
+                                    _taps7_dev(jnp, v3), _taps7_dev(jnp, h3),
+                                    bd, ww, hh)
+                d0 = (cdi - si) ** 2
+                d1 = (rest - si) ** 2
+                s0 = unit_sse(d0, rows, cols)
+                s1 = unit_sse(d1, rows, cols)
+                take = (s1.astype(jnp.float32) + lr_lam * rate
+                        < s0.astype(jnp.float32)) & en
+                tpx = jnp.take(jnp.take(take, jnp.asarray(ru), axis=0),
+                               jnp.asarray(cu), axis=1)
+                comp = jnp.where(tpx, rest, cdi)
+                return comp, take, v3, h3, en
+
+            cY, tY, vY, hY, eY = lr_plane(y_out, dbY16, sY, tabY, gY,
+                                          LR_RATE_Y, out_h, out_w, False)
+            cU, tU, vU, hU, eU = lr_plane(u_out, dbU.astype(jnp.uint16),
+                                          sU, tabC, gC, LR_RATE_C,
+                                          cho, cwo, True)
+            cV, tV, vV, hV, eV = lr_plane(v_out, dbV.astype(jnp.uint16),
+                                          sV, tabC, gC, LR_RATE_C,
+                                          cho, cwo, True)
+            taps = jnp.stack([vY, hY, vU, hU, vV, hV])  # (6, 3) int32
+            en3 = jnp.stack([eY, eU, eV]).astype(jnp.uint8)
+            parts += [
+                cY.astype(jnp.uint8).ravel(), cU.astype(jnp.uint8).ravel(),
+                cV.astype(jnp.uint8).ravel(),
+                tY.astype(jnp.uint8).ravel(), tU.astype(jnp.uint8).ravel(),
+                tV.astype(jnp.uint8).ravel(),
+                jax.lax.bitcast_convert_type(
+                    taps.astype(jnp.int32), jnp.uint8).ravel(),
+                en3]
         return (jnp.concatenate(parts), dbY16, y_out,
                 dbU.astype(jnp.uint16), dbV.astype(jnp.uint16),
                 u_out.astype(jnp.uint16), v_out.astype(jnp.uint16))
@@ -162,15 +297,24 @@ def _make_kernel(Hp, Wp, coded_w, coded_h, bd, damping, skip_h, skip_w,
 
 
 def filter_chain_device(fe):
-    """Run deblock (+ CDEF search/apply when damping > 0) on device for an
-    IntraFrameEncoder with a device-resident source (fe._src_dev from the
-    wavefront launch).  Mutates fe.rec in place, sets fe._deblock_copy and
-    fe._dev_db/_dev_cdef, and returns the CDEF strength codes (or None
-    when CDEF is off).  Returns False if ineligible (caller keeps the host
-    path)."""
+    """Launch + collect in one call (the non-pipelined path)."""
+    h = launch_filter_chain(fe)
+    if h is None:
+        return False
+    return collect_filter_chain(fe, h)
+
+
+def launch_filter_chain(fe):
+    """Enqueue deblock (+ CDEF search/apply when damping > 0) on device
+    for an IntraFrameEncoder with a device-resident source (fe._src_dev
+    from the wavefront launch).  Returns an opaque handle for
+    collect_filter_chain (which fills fe.rec and the CDEF fields), or
+    None when ineligible (caller keeps the host path).  Split so the
+    orchestration can enqueue every batched frame's chain back-to-back
+    before any host entropy work (SURVEY 2.6 pipelining)."""
     src_dev = getattr(fe, "_src_dev", None)
     if src_dev is None or fe.bd != 8 or not fe._is420:
-        return False
+        return None
     import jax.numpy as jnp
 
     h, w = fe.coded_h, fe.coded_w
@@ -207,11 +351,21 @@ def filter_chain_device(fe):
         parts += [fe.rec[0][:h, :w].astype(np.uint8).ravel(),
                   fe.rec[1][:ch, :cw].astype(np.uint8).ravel(),
                   fe.rec[2][:ch, :cw].astype(np.uint8).ravel()]
+    # fused LR decision (tap solve + trials + composition) rides the same
+    # jit program when the frame is in the plain speed-6 LR envelope.
+    # RAV1E_TPU_LR_FUSE=0 keeps the host tap solve (parity tests compare
+    # the device flow byte-for-byte against the pure-python oracle, and
+    # the device normal-equation solve picks slightly different taps)
+    lr_fuse = None
+    if (fe.lrf and not getattr(fe, "sgr_search", False) and fe.bd == 8
+            and fe._is420 and fe.q > 0
+            and os.environ.get("RAV1E_TPU_LR_FUSE", "1") != "0"):
+        lr_fuse = (fe.out_w, fe.out_h)
     key = (fe.h, fe.w, w, h, fe.bd, fe.cdef_damping, skip_h, skip_w,
-           want_db_host, resident)
+           want_db_host, resident, lr_fuse)
     k = _KERNELS.get(key)
     if k is None:
-        k = _make_kernel(*key[:-1], resident=resident)
+        k = _make_kernel(*key[:-2], resident=resident, lr_fuse=lr_fuse)
         _KERNELS[key] = k
 
     lims = np.zeros((4, 4), np.float32)
@@ -229,24 +383,42 @@ def filter_chain_device(fe):
     # per-SB CDEF needs the deferred entropy pass (pass B) to interleave
     # cdef_idx literals; only the LRF two-pass flow provides that
     sb_lam = np.float32(fe.lam if (fe.lrf and fe.cdef_damping) else np.inf)
+    lr_lam = np.float32(fe.lam)
     try:
         if resident is not None:
             (packed, db_y16, cdef_y16, db_u16, db_v16,
              cdef_u16, cdef_v16) = k(src_dev, jnp.asarray(upload),
-                                     jnp.asarray(lims), sb_lam,
+                                     jnp.asarray(lims), sb_lam, lr_lam,
                                      wf_out=out_dev)
         else:
             (packed, db_y16, cdef_y16, db_u16, db_v16,
              cdef_u16, cdef_v16) = k(src_dev, jnp.asarray(upload),
-                                     jnp.asarray(lims), sb_lam)
+                                     jnp.asarray(lims), sb_lam, lr_lam)
         # schedule the D2H copy NOW; the prefetch of the next frames'
-        # wavefront fires later, in _finish_lr AFTER this frame's LAST
+        # wavefront fires later, in _finish_lr AFTER the batch's LAST
         # device use (the LR trial) — enqueueing it here would make the
         # LR device calls queue behind that big batched compute
         try:
             packed.copy_to_host_async()
         except Exception:
             pass
+    except Exception as e:
+        _log.warning("device filter chain unavailable (%s); host path", e)
+        return None
+    return (packed, db_y16, cdef_y16, db_u16, db_v16, cdef_u16, cdef_v16,
+            want_db_host, lr_fuse)
+
+
+def collect_filter_chain(fe, handle) -> bool:
+    """Wait on a launch_filter_chain handle and fill fe.rec /
+    fe._dev_db / fe._dev_cdef / CDEF strengths (+ the fused LR decision
+    when the kernel ran it).  Returns False if the device run failed
+    (caller keeps the host path)."""
+    (packed, db_y16, cdef_y16, db_u16, db_v16, cdef_u16, cdef_v16,
+     want_db_host, lr_fuse) = handle
+    h, w = fe.coded_h, fe.coded_w
+    ch, cw = h >> 1, w >> 1
+    try:
         with fe.stats.stage("chain_wait"):
             out = np.asarray(packed)
     except Exception as e:
@@ -284,10 +456,10 @@ def filter_chain_device(fe):
             # device-resident trials only (_lr_decide reads the _dev_db/
             # _dev_cdef refs); None makes any stray host read fail safe
             fe._deblock_copy = None
+    nsby, nsbx = -(-h // 64), -(-w // 64)
     if fe.cdef_damping:
         from rav1e_tpu.ops.cdef_jax import _sb_result
 
-        nsby, nsbx = -(-h // 64), -(-w // 64)
         use_sb, frame_best = bool(out[o]), int(out[o + 1])
         idx_map = out[o + 2 : o + 2 + nsby * nsbx].reshape(nsby, nsbx)
         fe.cdef_strengths, fe.cdef_sb = _sb_result(
@@ -295,4 +467,27 @@ def filter_chain_device(fe):
     else:
         fe.cdef_strengths = None
         fe.cdef_sb = None
+    o += 2 + nsby * nsbx
+    fe._chain_lr = None
+    if lr_fuse is not None:
+        from rav1e_tpu.ops import lrf_np as lrn
+
+        out_w, out_h = lr_fuse
+        cwo, cho = (out_w + 1) >> 1, (out_h + 1) >> 1
+        nYo, nCo = out_h * out_w, cho * cwo
+        comp = []
+        for n, (hh, ww) in ((nYo, (out_h, out_w)), (nCo, (cho, cwo)),
+                            (nCo, (cho, cwo))):
+            comp.append(out[o : o + n].reshape(hh, ww).astype(np.int32))
+            o += n
+        nuY = (lrn.count_units(64, out_h), lrn.count_units(64, out_w))
+        nuC = (lrn.count_units(32, cho), lrn.count_units(32, cwo))
+        choice = {}
+        for p, (nr, nc) in ((0, nuY), (1, nuC), (2, nuC)):
+            choice[p] = out[o : o + nr * nc].reshape(nr, nc).astype(bool)
+            o += nr * nc
+        taps = out[o : o + 6 * 3 * 4].copy().view(np.int32).reshape(6, 3)
+        o += 6 * 3 * 4
+        en = out[o : o + 3] != 0
+        fe._chain_lr = (comp, choice, taps, en)
     return True

@@ -604,7 +604,7 @@ def tx_alpha(w: int, h: int, bit_depth: int = 8) -> float:
 
 
 def fdct_quant_native(resid: np.ndarray, tx_type: int, dc_q: int, ac_q: int,
-                      bit_depth: int = 8, bias_num: int = 13,
+                      bit_depth: int = 8, bias_num: int | None = None,
                       thr1: float = 0.0):
     """Fused forward transform + quantize + dequantize via native/transforms.cc.
     Returns (levels, dq) int32 (h, w); exact match of forward_transform +
@@ -616,6 +616,13 @@ def fdct_quant_native(resid: np.ndarray, tx_type: int, dc_q: int, ac_q: int,
     and libaom's optimize_txb)."""
     import ctypes
 
+    if bias_num is None:
+        # track the live deadzone setting — the C++ block coder reads the
+        # same value through set_quant_bias, so python/native paths stay
+        # byte-identical (a hardcoded 13 here vs 16 there desynced them)
+        from rav1e_tpu.ops.quantize_np import QUANT_BIAS_NUM
+
+        bias_num = QUANT_BIAS_NUM
     h, w = resid.shape
     nat = _native_inv()
     if not nat:

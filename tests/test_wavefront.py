@@ -149,6 +149,6 @@ def test_batched_keyframes_match_single():
         batched = _encode_keyframes(320, 256, 5, True)
     finally:
         WF.launch_wavefront_batch = orig
-    assert calls and calls[0] == (2, True), calls  # batch really engaged
+    assert calls and calls[0][0] >= 2 and calls[0][1], calls  # batch engaged
     single = _encode_keyframes(320, 256, 5, False)
     assert batched == single
