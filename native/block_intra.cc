@@ -546,12 +546,14 @@ int encode_intra_block(
     const bool y_dir = y_mode >= V_PRED && y_mode <= D67;
     int n_tr = 0, n_bl = 0;
     if (y_dir) {  // intra_frame.py _edge_avail (decoder blockDecoded analog)
+        // top-right segment = block WIDTH, bottom-left = block HEIGHT
+        // (dav1d ipred_prepare); equal for squares, distinct for rect
         if (y > ty0 && x + bw < tx1 &&
             mi_coded[(int64_t)((y - 1) / 4) * mi_stride + (x + bw) / 4])
-            n_tr = bh;
+            n_tr = bw;
         if (x > tx0 && y + bh < ty1 &&
             mi_coded[(int64_t)((y + bh) / 4) * mi_stride + (x - 1) / 4])
-            n_bl = bw;
+            n_bl = bh;
     }
     build_edges(rec_y, stride_y, x, y, bw, bh, ha, hl, bd, max_x_y, max_y_y,
                 above, left, n_tr, n_bl);

@@ -116,6 +116,12 @@ class InterFrameEncoder(IntraFrameEncoder):
                                    NEW_NEARESTMV)
         self.comp_block_count = 0  # compound blocks coded (test introspection)
         self.me_range = 16  # full-pel search radius (px)
+        # frame-level interpolation filter (signaled in the frame header,
+        # spec read_interpolation_filter; chosen per frame by the subpel
+        # probe in _choose_interp_filter).  Reference analog: rav1e's
+        # FilterMode set, selected here at frame granularity
+        self.interp_filter = mc.FILTER_REGULAR
+        self.filter_search = speed <= 8
         self.use_satd_subpel = speed <= 8  # subpel refinement toggle
 
     def _pre_encode(self) -> None:
@@ -142,6 +148,54 @@ class InterFrameEncoder(IntraFrameEncoder):
                     "device ME unavailable (%s); host fallback", e
                 )
                 self._me_maps = {}
+        if self.filter_search:
+            self._choose_interp_filter()
+
+    def _choose_interp_filter(self) -> None:
+        """Frame-level REGULAR/SMOOTH/SHARP selection: SATD-refine a
+        sample of 16x16 blocks to quarter-pel (same steps as
+        _motion_search), then compare each filter's SAD at the refined
+        subpel MVs.  Fullpel MVs see no filter at all, so only subpel
+        samples vote; REGULAR keeps ties (its CDF/derivation cost is the
+        decoder default)."""
+        rid = self.ref_ids[0]
+        me_map = self._me_maps.get(rid)
+        totals = {mc.FILTER_REGULAR: 0, mc.FILTER_SMOOTH: 0,
+                  mc.FILTER_SHARP: 0}
+        n_sub = 0
+        bs = 16
+        step = max(32, ((self.out_w // 8) // 32) * 32)  # <= 8 sample cols
+        for y in range(0, self.out_h - bs, max(32, step)):
+            for x in range(0, self.out_w - bs, step):
+                if me_map is not None:
+                    m = me_map[min(y // 32, me_map.shape[0] - 1)][
+                        min(x // 32, me_map.shape[1] - 1)]
+                    best = (int(m[0]), int(m[1]))
+                else:
+                    best = (0, 0)
+                best_cost = self._satd(rid, x, y, bs, bs, best)
+                for st in (4, 2):
+                    trial = best
+                    for dr, dc in ((-st, 0), (st, 0), (0, -st), (0, st)):
+                        mv = (trial[0] + dr, trial[1] + dc)
+                        s = self._satd(rid, x, y, bs, bs, mv)
+                        if s < best_cost:
+                            best, best_cost = mv, s
+                if best[0] % 8 == 0 and best[1] % 8 == 0:
+                    continue  # fullpel: filter-invariant
+                n_sub += 1
+                src = self.src[0][y : y + bs, x : x + bs].astype(np.int64)
+                for f in totals:
+                    pred = mc.put_single(
+                        self.refs[rid][0], x, y, bs, bs, best[0], best[1],
+                        0, 0, self.bd, ref_w=self.out_w, ref_h=self.out_h,
+                        filter_x=f, filter_y=f)
+                    totals[f] += int(np.abs(src - pred).sum())
+        if n_sub < 4:
+            return
+        best_f = min(totals, key=lambda f: (totals[f], f != mc.FILTER_REGULAR))
+        if totals[best_f] < totals[mc.FILTER_REGULAR]:
+            self.interp_filter = best_f
 
     # -- prediction ----------------------------------------------------------
 
@@ -155,15 +209,19 @@ class InterFrameEncoder(IntraFrameEncoder):
 
     def _mc_pred(self, rid: int, plane: int, px: int, py: int, w: int, h: int, mv) -> np.ndarray:
         sx, sy, rw, rh = self._plane_geom(plane)
+        f = self.interp_filter
         return mc.put_single(self.refs[rid][plane], px, py, w, h, mv[0], mv[1],
-                             sx, sy, self.bd, ref_w=rw, ref_h=rh)
+                             sx, sy, self.bd, ref_w=rw, ref_h=rh,
+                             filter_x=f, filter_y=f)
 
     def _mc_pred_comp(self, rids, plane, px, py, w, h, mv_pair) -> np.ndarray:
         """Averaged compound prediction (spec 7.11.3.1 COMPOUND_AVERAGE)."""
         sx, sy, rw, rh = self._plane_geom(plane)
+        f = self.interp_filter
         p0, p1 = (
             mc.put_prep(self.refs[rid][plane], px, py, w, h, mv[0], mv[1],
-                        sx, sy, self.bd, ref_w=rw, ref_h=rh)
+                        sx, sy, self.bd, ref_w=rw, ref_h=rh,
+                        filter_x=f, filter_y=f)
             for rid, mv in zip(rids, mv_pair)
         )
         return mc.avg_compound(p0, p1, self.bd)
@@ -442,9 +500,11 @@ class InterFrameEncoder(IntraFrameEncoder):
             self.rec[plane][py : py + th, px : px + tw] = coded
         return dist, rate, (rid, mode, mv, idx)
 
-    def _rd_split_32(self, x: int, y: int, cdf_row) -> bool:
-        """Inter NONE(32)-vs-SPLIT(4x16) partition RD.  Trials do not touch
-        the MV grid (coding replays decisions against the true stacks).
+    def _rd_part(self, x: int, y: int, size: int, cdf_row) -> int:
+        """Inter partition RD at one interior square: NONE vs SPLIT(4x
+        half), plus HORZ/VERT rect halves when non_square_partition is on.
+        Trials do not touch the MV grid (coding replays decisions against
+        the true stacks).  Reference: rdo_partition_decision (src/rdo.rs).
 
         TODO(known issue): on compound-capable (reference_select) frames,
         mixed 16/32 grids desync libdav1d — the compound MV-stack/context
@@ -452,40 +512,48 @@ class InterFrameEncoder(IntraFrameEncoder):
         (single-reference frames conform).  Until that is probed and fixed,
         partition RD runs on single-reference frames only."""
         if self.reference_select:
-            return False
-        half = 16
+            return self.P_NONE
+        half = size // 2
         cx, cy = x >> self.sub_x, y >> self.sub_y
-        ccw, cch = 32 >> self.sub_x, 32 >> self.sub_y
+        ccw, cch = size >> self.sub_x, size >> self.sub_y
         saves = [
-            self.rec[0][y : y + 32, x : x + 32].copy(),
+            self.rec[0][y : y + size, x : x + size].copy(),
             self.rec[1][cy : cy + cch, cx : cx + ccw].copy(),
             self.rec[2][cy : cy + cch, cx : cx + ccw].copy(),
         ]
 
         def restore():
-            self.rec[0][y : y + 32, x : x + 32] = saves[0]
+            self.rec[0][y : y + size, x : x + size] = saves[0]
             self.rec[1][cy : cy + cch, cx : cx + ccw] = saves[1]
             self.rec[2][cy : cy + cch, cx : cx + ccw] = saves[2]
 
         lam = self.lam
-        dist_n, rate_n, dec_n = self._trial_inter(x, y, 32, 32)
-        rate_n += self._sym_bits(cdf_row[:11], self.P_NONE)
-        cost_none = dist_n + lam * rate_n
-        restore()
-        dist_s = 0
-        rate_s = self._sym_bits(cdf_row[:11], self.P_SPLIT)
-        decs = {}
-        for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
-            d, r, dec = self._trial_inter(x + dx, y + dy, half, half)
-            decs[(x + dx, y + dy, half, half)] = dec
-            dist_s += d
-            rate_s += r + 2.0  # child partition NONE symbols ~2 bits
-        restore()
-        if dist_s + lam * rate_s < cost_none:
-            self._pending_inter.update(decs)
-            return True
-        self._pending_inter[(x, y, 32, 32)] = dec_n
-        return False
+        _CHILDREN = {
+            self.P_NONE: ((0, 0, size, size),),
+            self.P_SPLIT: ((0, 0, half, half), (half, 0, half, half),
+                           (0, half, half, half), (half, half, half, half)),
+            self.P_HORZ: ((0, 0, size, half), (0, half, size, half)),
+            self.P_VERT: ((0, 0, half, size), (half, 0, half, size)),
+        }
+        best = None  # (cost, part, decs)
+        for part in (self.P_NONE, self.P_SPLIT) + self._rect_arms(size):
+            dist = 0.0
+            rate = self._sym_bits(cdf_row[:11], part)
+            decs = {}
+            for (dx, dy, bw, bh) in _CHILDREN[part]:
+                d, r, dec = self._trial_inter(x + dx, y + dy, bw, bh)
+                decs[(x + dx, y + dy, bw, bh)] = dec
+                dist += d
+                rate += r
+                if part == self.P_SPLIT:
+                    rate += 2.0  # child partition NONE symbols ~2 bits
+            restore()
+            cost = dist + lam * rate
+            if best is None or cost < best[0]:
+                best = (cost, part, decs)
+        _, part, decs = best
+        self._pending_inter.update(decs)
+        return part
 
     def _replay_decision(self, pend, x, y, bw, bh, tile):
         """Re-derive a cached partition-trial decision against the

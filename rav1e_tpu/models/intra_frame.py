@@ -155,6 +155,10 @@ class IntraFrameEncoder:
             # wavefront covers the 16/32 range)
             self.rdo_split8 = (ss.speed <= 3 and pmin <= 8
                                and type(self) is IntraFrameEncoder)
+            # interior rectangular partitions (HORZ/VERT) in the host RD
+            # path; reference: the non_square_partition preset gating
+            # rdo_partition_decision's rect arms (src/rdo.rs)
+            self.rect_parts = ss.non_square_partition and self.rdo_partition
             self.tx_type_search = ss.rdo_tx_decision
             self.fine_dir = ss.fine_directional_intra
             self.lf_search = ss.speed <= 5 and not ss.fast_deblock
@@ -168,6 +172,7 @@ class IntraFrameEncoder:
                                and type(self) is IntraFrameEncoder)
             self.rdo_split8 = (speed <= 3
                                and type(self) is IntraFrameEncoder)
+            self.rect_parts = speed <= 3 and self.rdo_partition
             self.tx_type_search = speed <= 7  # reference: rdo_tx_decision
             self.sgr_search = speed <= 5  # reference: sgr_complexity preset
             # CFL chroma (reference: ComplexKeyframes prediction set);
@@ -1606,6 +1611,7 @@ class IntraFrameEncoder:
         if mc >= self.mi_cols or mr >= self.mi_rows:
             return
         bsl = {8: 1, 16: 2, 32: 3, 64: 4}[size]
+        part_rd = None
         half_mi = size // 8
         has_rows = (mr + half_mi) < self.mi_rows
         has_cols = (mc + half_mi) < self.mi_cols
@@ -1627,33 +1633,38 @@ class IntraFrameEncoder:
                                   x, y, has_rows, has_cols)))
         elif size == 32 and self.rdo_partition and has_rows and has_cols:
             if self._rd_maps is not None:
-                want_split = bool(self._rd_maps["split32"][y // 32][x // 32])
+                part_rd = (self.P_SPLIT
+                           if self._rd_maps["split32"][y // 32][x // 32]
+                           else self.P_NONE)
             elif self._lr_replay and (x, y, 32) in self._split_cache:
-                want_split = self._split_cache[(x, y, 32)]
+                part_rd = int(self._split_cache[(x, y, 32)])
             elif self.use_native:
-                want_split = self._rd_split_32(x, y, cdf_row)
-                self._split_cache[(x, y, 32)] = want_split
+                part_rd = self._rd_part(x, y, 32, cdf_row)
+                self._split_cache[(x, y, 32)] = part_rd
             else:
-                want_split = False
+                part_rd = self.P_NONE
+            want_split = part_rd == self.P_SPLIT
         elif size == 16 and self.rdo_split8 and has_rows and has_cols:
             if self._rd_maps is not None:
                 sm16 = self._rd_maps.get("split16")
-                want_split = (sm16 is not None
-                              and bool(sm16[y // 16][x // 16]))
+                part_rd = (self.P_SPLIT
+                           if sm16 is not None and sm16[y // 16][x // 16]
+                           else self.P_NONE)
             elif self._lr_replay and (x, y, 16) in self._split_cache:
-                want_split = self._split_cache[(x, y, 16)]
+                part_rd = int(self._split_cache[(x, y, 16)])
             elif self.use_native:
-                want_split = self._rd_split(x, y, 16, cdf_row)
-                self._split_cache[(x, y, 16)] = want_split
-                if want_split:
-                    # a 16-leaf candidate from the 32-level trial is obsolete
-                    self._pending.pop((x, y), None)
+                part_rd = self._rd_part(x, y, 16, cdf_row)
+                self._split_cache[(x, y, 16)] = part_rd
             else:
-                want_split = False
+                part_rd = self.P_NONE
+            want_split = part_rd == self.P_SPLIT
         else:
             want_split = False
         if has_rows and has_cols:
-            part = self.P_SPLIT if want_split else self.P_NONE
+            if size <= 32 and part_rd is not None:
+                part = part_rd
+            else:
+                part = self.P_SPLIT if want_split else self.P_NONE
             sym(part, cdf_row[: nsyms + 1])
         elif has_cols:
             # bottom edge: HORZ (top half) or SPLIT; bool with gathered cdf
@@ -1795,13 +1806,24 @@ class IntraFrameEncoder:
         }
         return dist, rate, info
 
-    def _rd_split_32(self, x: int, y: int, cdf_row) -> bool:
-        return self._rd_split(x, y, 32, cdf_row)
+    def _rect_arms(self, size: int) -> tuple:
+        """Which rect partition arms to trial at an interior square.
+        VERT (tall halves) is off for 4:2:2: Subsampled_Size maps tall
+        16/32 halves to BLOCK_INVALID chroma there (same rule the
+        right-edge column handles in _partition)."""
+        if not getattr(self, "rect_parts", False):
+            return ()
+        arms = [self.P_HORZ]
+        if not (self.sub_x == 1 and self.sub_y == 0):
+            arms.append(self.P_VERT)
+        return tuple(arms)
 
-    def _rd_split(self, x: int, y: int, size: int, cdf_row) -> bool:
-        """Try NONE(size) vs SPLIT(4x half); pick by SSE + lambda*bits.
-        Reference analog: rdo_partition_decision's NONE-vs-SPLIT arm
-        (src/rdo.rs); used for 32->16 and (at thorough speeds) 16->8."""
+    def _rd_part(self, x: int, y: int, size: int, cdf_row) -> int:
+        """Partition RD at one interior square: NONE vs SPLIT(4x half),
+        plus HORZ/VERT (2 rect halves) when non_square_partition is on.
+        Pick by SSE + lambda*bits; returns the chosen PartitionType.
+        Reference analog: rdo_partition_decision (src/rdo.rs) incl. its
+        rect arms; used for 32 and (at thorough speeds) 16."""
         half = size // 2
         cx, cy = x >> self.sub_x, y >> self.sub_y
         ccw, cch = size >> self.sub_x, size >> self.sub_y
@@ -1820,27 +1842,35 @@ class IntraFrameEncoder:
             self.rec[2][cy : cy + cch, cx : cx + ccw] = saves[2]
             self.mi_coded[mr : mr + n4, mc : mc + n4] = saves[3]
 
-        dist_n, rate_n, info_n = self._analyze_block(x, y, size, size)
-        rate_n += self._sym_bits(cdf_row[:11], self.P_NONE)
-        cost_none = dist_n + self._lam_for(x, y) * rate_n
-        restore()
-
-        dist_s, rate_s = 0.0, self._sym_bits(cdf_row[:11], self.P_SPLIT)
-        infos = {}
-        for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
-            # recursive 16->8 exploration happens through _partition's own
-            # want_split consult; here each child is tried as a leaf
-            d, r, info = self._analyze_block(x + dx, y + dy, half, half)
-            infos[(x + dx, y + dy)] = info
-            dist_s += d
-            rate_s += r + 2.0  # child partition NONE symbols ~2 bits
-        cost_split = dist_s + self._lam_for(x, y) * rate_s
-        restore()
-        if cost_split < cost_none:
-            self._pending.update(infos)
-            return True
-        self._pending[(x, y)] = info_n
-        return False
+        lam = self._lam_for(x, y)
+        _CHILDREN = {
+            self.P_NONE: ((0, 0, size, size),),
+            self.P_SPLIT: ((0, 0, half, half), (half, 0, half, half),
+                           (0, half, half, half), (half, half, half, half)),
+            self.P_HORZ: ((0, 0, size, half), (0, half, size, half)),
+            self.P_VERT: ((0, 0, half, size), (half, 0, half, size)),
+        }
+        best = None  # (cost, part, infos)
+        for part in (self.P_NONE, self.P_SPLIT) + self._rect_arms(size):
+            dist = 0.0
+            rate = self._sym_bits(cdf_row[:11], part)
+            infos = {}
+            for (dx, dy, bw, bh) in _CHILDREN[part]:
+                # recursive 16->8 exploration happens through _partition's
+                # own consult; here each child is tried as a leaf
+                d, r, info = self._analyze_block(x + dx, y + dy, bw, bh)
+                infos[(x + dx, y + dy)] = info
+                dist += d
+                rate += r
+                if part == self.P_SPLIT:
+                    rate += 2.0  # child partition NONE symbols ~2 bits
+            cost = dist + lam * rate
+            restore()
+            if best is None or cost < best[0]:
+                best = (cost, part, infos)
+        _, part, infos = best
+        self._pending.update(infos)
+        return part
 
     # -- leaf block ----------------------------------------------------------
 
@@ -2321,10 +2351,13 @@ class IntraFrameEncoder:
         mcr = (px + tw) // 4
         if (py > self.ty0 and px + tw < self.tx1
                 and self.mi_coded[(py - 1) // 4, mcr]):
-            tr = th
+            # the top-right segment is one block WIDTH long (and the
+            # bottom-left one block HEIGHT) — dav1d's ipred_prepare
+            # convention; equal for squares, distinct for rect blocks
+            tr = tw
         if (px > self.tx0 and py + th < self.ty1
                 and self.mi_coded[(py + th) // 4, (px - 1) // 4]):
-            bl = tw
+            bl = th
         return tr, bl
 
     def _code_plane_tx(self, plane: int, px: int, py: int, tw: int, th: int,

@@ -331,6 +331,7 @@ class FrameEncoder:
             disable_cdf_update=False,
             order_hint=order_hint & 0x7F,
             loop_filter_levels=fe.lf_levels,
+            interp_filter=fe.interp_filter,
             tile_cols_log2=self.tile_cols_log2,
             tile_rows_log2=self.tile_rows_log2,
             refresh_frame_flags=refresh_flags,

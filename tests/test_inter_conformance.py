@@ -156,14 +156,14 @@ def test_inter_partition_rd_conforms():
     import rav1e_tpu.models.inter_frame as inf
 
     splits = []
-    orig = inf.InterFrameEncoder._rd_split_32
+    orig = inf.InterFrameEncoder._rd_part
 
-    def probe(self, x, y, cdf_row):
-        r = orig(self, x, y, cdf_row)
-        splits.append(r)
+    def probe(self, x, y, size, cdf_row):
+        r = orig(self, x, y, size, cdf_row)
+        splits.append(r == self.P_SPLIT)
         return r
 
-    inf.InterFrameEncoder._rd_split_32 = probe
+    inf.InterFrameEncoder._rd_part = probe
     rng = np.random.default_rng(3)
     big = np.clip(
         (np.add.outer(np.arange(96 + 256), np.arange(128 + 256)) * 3 % 200)
@@ -181,5 +181,5 @@ def test_inter_partition_rd_conforms():
     try:
         run_clip(frames, q=120, low_latency=True)
     finally:
-        inf.InterFrameEncoder._rd_split_32 = orig
+        inf.InterFrameEncoder._rd_part = orig
     assert any(splits), "no 32->16 inter split ever chosen"
