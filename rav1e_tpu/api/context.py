@@ -233,11 +233,11 @@ class Context:
         its quantizer is already known (constant-q, no rate control)."""
         if self._rc is not None or self._tp_alloc is not None:
             return
-        if not self.frame_q or self._ftype_q[0] != "key":
+        if not self.frame_q:
             return
         if getattr(self._encoder, "_prefetched", None) is not None:
             return
-        if getattr(self._encoder, "_prefetched_list", None):
+        if getattr(self._encoder, "_prefetched_next", None):
             return
         # consecutive queued key frames batch into ONE device pass: the
         # wavefront scan underfills the chip (measured per-frame compute
@@ -245,6 +245,29 @@ class Context:
         # end since the eager-phase1 pipelining amortizes each batch's
         # exposed wall time over four frames' host entropy work.
         F = 4
+        plist = getattr(self._encoder, "_prefetched_list", None)
+        if plist:
+            # a batch is in flight: double-buffer the batch AFTER it (the
+            # in-flight frames are still queued — skip them by identity)
+            inflight = {id(fr) for (fr, _q, _fe) in plist}
+            frames = []
+            for i, t in enumerate(self._ftype_q):
+                if i >= len(self.frame_q):
+                    break
+                fr = self.frame_q[i][1]
+                if id(fr) in inflight:
+                    continue
+                if t != "key" or len(frames) >= F:
+                    break
+                frames.append(fr)
+            if len(frames) >= 2:
+                try:
+                    self._encoder.prefetch_key_frames(frames, into_next=True)
+                except Exception:
+                    pass
+            return
+        if self._ftype_q[0] != "key":
+            return
         n_run = 0
         for t in self._ftype_q:
             if t != "key" or n_run >= F:

@@ -987,8 +987,9 @@ class IntraFrameEncoder:
                 dev_out = getattr(wf, "dev_out", None)
                 if dev_out is not None:
                     g = wf.geom
+                    # recon planes start after the int8-transport records
                     self._wf_dev_out = (
-                        dev_out, g.steps * 4 * g.width * 1688 * 2)
+                        dev_out, g.steps * 4 * g.width * 1688)
                 return self._encode_tiles_wavefront(wf)
         tiles = self._tile_grid()
         frame_cdf = self.cdf

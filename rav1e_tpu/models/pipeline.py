@@ -104,6 +104,8 @@ class FrameEncoder:
     # frame's device pass is enqueued, so the next frame's pass can queue
     # behind it and execute during this frame's host entropy work
     prefetch_hook = None
+    # double buffer: the NEXT batch, launched while the current one drains
+    _prefetched_next = None
 
     def _build_key_encoder(self, q: int) -> IntraFrameEncoder:
         lf = self.lf_levels_for(q)
@@ -138,12 +140,18 @@ class FrameEncoder:
         fe.prepare([p.window() for p in frame.planes])
         self._prefetched = (frame, q, fe)
 
-    def prefetch_key_frames(self, frames, q_idx: int | None = None) -> None:
+    def prefetch_key_frames(self, frames, q_idx: int | None = None,
+                            into_next: bool = False) -> None:
         """Batched lookahead: prepare N key-frame encoders and enqueue ONE
         batched wavefront pass over all of them (F*B lanes — see
         wavefront.launch_wavefront_batch).  Falls back to a single-frame
-        prefetch when the batch is ineligible."""
+        prefetch when the batch is ineligible.  With into_next the batch
+        lands in the _prefetched_next slot (double buffering: launched
+        while the PREVIOUS batch's host entropy work drains, so its device
+        compute overlaps instead of stalling the next pickup)."""
         if len(frames) < 2:
+            if into_next:
+                return
             return self.prefetch_key_frame(frames[0], q_idx)
         q = self.cfg.quantizer if q_idx is None else q_idx
         fes = []
@@ -166,17 +174,29 @@ class FrameEncoder:
                     "batched wavefront launch failed; single-frame path",
                     exc_info=True)
         if batch is None:
+            if into_next:
+                return
             self._prefetched = None
             return self.prefetch_key_frame(frames[0], q_idx)
         for f, fe in enumerate(fes):
             fe._wf_launched = batch.slot(f)
             fe._launch_band_maps()
-        self._prefetched_list = [(fr, q, fe) for fr, fe in zip(frames, fes)]
+        plist = [(fr, q, fe) for fr, fe in zip(frames, fes)]
+        if into_next:
+            self._prefetched_next = plist
+        else:
+            self._prefetched_list = plist
 
     def encode_key_frame(self, frame, q_idx: int | None = None) -> bytes:
         q = self.cfg.quantizer if q_idx is None else q_idx
         pre = getattr(self, "_prefetched", None)
         plist = getattr(self, "_prefetched_list", None)
+        if not plist and getattr(self, "_prefetched_next", None):
+            # promote the double-buffered next batch (its wavefront has
+            # been computing on-device while the last batch's host
+            # entropy work ran)
+            plist = self._prefetched_list = self._prefetched_next
+            self._prefetched_next = None
         if plist:
             # eager phase1 across the whole batch: every frame's cache
             # build + filter-chain ENQUEUE happens before any frame's
@@ -190,6 +210,15 @@ class FrameEncoder:
                     logging.getLogger("rav1e_tpu").warning(
                         "batched phase1 failed; lazy path", exc_info=True)
                     break
+            # the whole batch's device work is now enqueued: launch the
+            # NEXT batch's wavefront behind it so the chip computes it
+            # while this batch's host entropy passes run
+            if (self.prefetch_hook is not None
+                    and getattr(self, "_prefetched_next", None) is None):
+                try:
+                    self.prefetch_hook()
+                except Exception:
+                    pass
         batch_tail = True  # last frame of its batch (or unbatched)
         if plist:
             head = plist.pop(0)
@@ -199,8 +228,9 @@ class FrameEncoder:
                 batch_tail = False
             if head[0] is frame and head[1] == q:
                 pre = head
-            else:  # out-of-order pickup: drop the stale batch
+            else:  # out-of-order pickup: drop the stale batches
                 self._prefetched_list = None
+                self._prefetched_next = None
                 pre = None
         if pre is not None and pre[0] is frame and pre[1] == q:
             fe = pre[2]

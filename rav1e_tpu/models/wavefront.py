@@ -224,6 +224,9 @@ def geometry_for(coded_w: int, coded_h: int, w: int, h: int, mi_cols: int,
 
 
 _PASS_CACHE: dict = {}
+# count of int8-escape refetches (observability + tests): frames whose
+# records had a |value| > 127 and transferred the int16 copy instead
+ESC_REFETCHES = 0
 
 # directional mode ids and base angles (intra_np order)
 _DIR_MODES = np.array([ij.V, ij.H, ij.D45, ij.D135, ij.D113, ij.D157,
@@ -1007,11 +1010,19 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         meta = jnp.concatenate([split_f[..., None], m32,
                                 s16, m16, m8], axis=-1).astype(jnp.int16)
         packed = jnp.concatenate([meta, lv_y, lv_u, lv_v], axis=-1)
-        p_u8 = jax.lax.bitcast_convert_type(packed, jnp.uint8).reshape(-1)
+        # int8 transport: meta fields and quantized levels almost always
+        # fit a byte, and the chip tunnel (~30 MB/s D2H measured) is the
+        # collect bottleneck — so ship bytes, halving the exposed wait.
+        # Rare lanes with |value| > 127 set an escape flag; the host then
+        # refetches the device-resident int16 copy (second output, never
+        # transferred otherwise).
+        p_i8 = jnp.clip(packed, -128, 127).astype(jnp.int8)
+        p_u8 = jax.lax.bitcast_convert_type(p_i8, jnp.uint8).reshape(-1)
+        esc = (jnp.abs(packed) > 127).any(axis=(0, 1, 3)).astype(jnp.uint8)
         recY = tY.transpose(0, 2, 1, 3).reshape(Hp * Wp).astype(jnp.uint8)
         recU = tU.transpose(0, 2, 1, 3).reshape(-1).astype(jnp.uint8)
         recV = tV.transpose(0, 2, 1, 3).reshape(-1).astype(jnp.uint8)
-        return jnp.concatenate([p_u8, recY, recU, recV])
+        return jnp.concatenate([p_u8, recY, recU, recV, esc]), packed
 
     return jax.jit(run)
 
@@ -1151,10 +1162,11 @@ class LaunchedWavefront:
     encode with frame N's host entropy pass (SURVEY 2.6 lookahead
     pipelining)."""
 
-    def __init__(self, geom, fe, out):
+    def __init__(self, geom, fe, out, p16=None):
         self.geom = geom
         self.fe = fe
         self.out = out
+        self.p16 = p16  # device-resident int16 records (escape refetch)
         try:  # schedule the D2H copy as soon as the compute finishes
             out.copy_to_host_async()
         except Exception:
@@ -1225,7 +1237,8 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
     # keep the device-resident source for the downstream filter chain
     # (deblock/CDEF need src for their searches; no re-upload)
     fe._src_dev = upload_dev
-    return LaunchedWavefront(geom, fe, fn(upload_dev, *dev))
+    vec, p16 = fn(upload_dev, *dev)
+    return LaunchedWavefront(geom, fe, vec, p16)
 
 
 def _fill_lane_params(fe, geom, lam_q, qdc_q, qac_q) -> None:
@@ -1297,15 +1310,17 @@ class _BatchSlot:
 
 
 class LaunchedWavefrontBatch:
-    def __init__(self, geom, fes, out):
+    def __init__(self, geom, fes, out, p16=None):
         self.geom = geom
         self.fes = fes
         self.out = out
+        self.p16 = p16  # device-resident int16 records (escape refetch)
         # split the output device-side into per-frame parts, each in the
         # SINGLE-frame layout: a frame's collect() then transfers only its
         # own ~1/F share instead of blocking on the whole batch download
         F = len(fes)
         K, B = geom.steps, geom.width
+        self._B = B
         fe0 = fes[0]
         self.parts = [
             _batch_part_slicer(F, f, K, B, fe0.h, fe0.w)(out)
@@ -1320,8 +1335,11 @@ class LaunchedWavefrontBatch:
         return _BatchSlot(self, f)
 
     def collect(self, f: int) -> "WavefrontResult":
+        B = self._B
+        p16_f = (self.p16[:, :, f * B : (f + 1) * B, :]
+                 if self.p16 is not None else None)
         r = unpack_wavefront(self.geom, self.fes[f],
-                             np.asarray(self.parts[f]))
+                             np.asarray(self.parts[f]), packed16=p16_f)
         r.dev_out = self.parts[f]  # device-resident copy for the chain
         return r
 
@@ -1399,7 +1417,8 @@ def launch_wavefront_batch(fes, tiles) -> LaunchedWavefrontBatch | None:
     for f, fe in enumerate(fes):
         # frame-local [Y, U, V] device view for the downstream filter chain
         fe._src_dev = _src_slicer(F, f, nY, nC)(upload_dev)
-    return LaunchedWavefrontBatch(geom, list(fes), fn(upload_dev, *dev))
+    vec, p16 = fn(upload_dev, *dev)
+    return LaunchedWavefrontBatch(geom, list(fes), vec, p16)
 
 
 _BATCH_GEOM_CACHE: dict = {}
@@ -1433,10 +1452,10 @@ def _batch_part_slicer(F: int, f: int, K: int, B: int, Hp: int, Wp: int):
         import jax as _jax
 
         nY, nC = Hp * Wp, (Hp >> 1) * (Wp >> 1)
-        rec_bytes = K * 4 * F * B * 1688 * 2
+        rec_bytes = K * 4 * F * B * 1688  # int8 transport
 
         def sl(out):
-            recs = out[:rec_bytes].reshape(K, 4, F * B, 1688 * 2)
+            recs = out[:rec_bytes].reshape(K, 4, F * B, 1688)
             part = recs[:, :, f * B : (f + 1) * B, :].reshape(-1)
             o = rec_bytes
             y = out[o + f * nY : o + (f + 1) * nY]
@@ -1444,7 +1463,9 @@ def _batch_part_slicer(F: int, f: int, K: int, B: int, Hp: int, Wp: int):
             u = out[o + f * nC : o + (f + 1) * nC]
             o += F * nC
             v = out[o + f * nC : o + (f + 1) * nC]
-            return jnp.concatenate([part, y, u, v])
+            o += F * nC
+            e = out[o + f * B : o + (f + 1) * B]
+            return jnp.concatenate([part, y, u, v, e])
 
         fn = _jax.jit(sl)
         _SLICE_CACHE[key] = fn
@@ -1487,20 +1508,32 @@ def _mode_bit_params(fe) -> np.ndarray:
                            bits_angle]).astype(np.float32)
 
 
-def unpack_wavefront(geom, fe, out: np.ndarray,
-                     Wp: int | None = None) -> "WavefrontResult":
-    """Unpack one device pass's packed output array (int16 metadata +
-    levels, then uint8 recon planes).  Wp overrides the plane width for
-    tile-sharded runs (fe.w is the full-frame width)."""
+def unpack_wavefront(geom, fe, out: np.ndarray, Wp: int | None = None,
+                     packed16=None) -> "WavefrontResult":
+    """Unpack one device pass's packed output array (int8-transport
+    records, then uint8 recon planes, then per-lane escape flags).  Wp
+    overrides the plane width for tile-sharded runs (fe.w is the
+    full-frame width).  packed16: the device-resident int16 records,
+    fetched only when a lane escaped the int8 range."""
     K, B = geom.steps, geom.width
     Hp = fe.h
     if Wp is None:
         Wp = fe.w
     rec_words = K * 4 * B * 1688
-    packed = out[: rec_words * 2].view(np.int16).reshape(K, 4, B, 1688)
     nY = Hp * Wp
     nC = (Hp >> 1) * (Wp >> 1)
-    o = rec_words * 2
+    esc = out[rec_words + nY + 2 * nC :]
+    if esc.size and esc.any():
+        if packed16 is None:
+            raise RuntimeError(
+                "wavefront int8 escape without an int16 refetch source")
+        global ESC_REFETCHES
+        ESC_REFETCHES += 1
+        packed = np.asarray(packed16).reshape(K, 4, B, 1688)
+    else:
+        packed = out[:rec_words].view(np.int8).astype(np.int16).reshape(
+            K, 4, B, 1688)
+    o = rec_words
     # writable int32 copies: the in-loop filters (deblock/CDEF/LRF) and the
     # host partial-SB encode mutate these in place (transfer rode uint8)
     rec = [out[o : o + nY].reshape(Hp, Wp).astype(np.int32),
@@ -1532,4 +1565,5 @@ def _build_result(geom, packed: np.ndarray, rec: list) -> "WavefrontResult":
 
 def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":
     return unpack_wavefront(launched.geom, launched.fe,
-                            np.asarray(launched.out))
+                            np.asarray(launched.out),
+                            packed16=launched.p16)

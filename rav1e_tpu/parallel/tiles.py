@@ -128,12 +128,14 @@ def run_wavefront_sharded(fe, tiles, mesh: Mesh):
                                     geom.avail, geom.avail8, geom.allow_z1)]
     vfn = jax.jit(jax.vmap(fn, in_axes=(0,) + (None,) * 6),
                   in_shardings=(shard,) + (rep,) * 6,
-                  out_shardings=shard)
-    out = np.asarray(vfn(jax.device_put(up, shard), *dev))
+                  out_shardings=(shard, shard))
+    vec, p16 = vfn(jax.device_put(up, shard), *dev)
+    out = np.asarray(vec)
 
     results = []
     for t in range(ncols):
-        results.append(wfm.unpack_wavefront(geom, fe, out[t], tile_w))
+        results.append(wfm.unpack_wavefront(geom, fe, out[t], tile_w,
+                                            packed16=p16[t]))
     return ShardedWavefrontResult(fe, results, tw)
 
 

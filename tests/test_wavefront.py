@@ -152,3 +152,32 @@ def test_batched_keyframes_match_single():
     assert calls and calls[0][0] >= 2 and calls[0][1], calls  # batch engaged
     single = _encode_keyframes(320, 256, 5, False)
     assert batched == single
+
+
+def test_int8_escape_refetch():
+    """Levels beyond int8 (very low q, harsh content) must take the
+    escape path: the int16 records are refetched and the stream still
+    decodes bit-exactly."""
+    from rav1e_tpu.models import wavefront as wfm
+
+    w, h = 320, 256
+    rng = np.random.default_rng(3)
+    # checkerboard impulses: huge DCT coefficients at q=2
+    y = (((np.add.outer(np.arange(h), np.arange(w)) % 2) * 255)
+         .astype(np.uint8))
+    y[rng.integers(0, h, 500), rng.integers(0, w, 500)] = 0
+    u = np.full((h // 2, w // 2), 20, np.uint8)
+    v = np.full((h // 2, w // 2), 235, np.uint8)
+    before = wfm.ESC_REFETCHES
+    fe = IntraFrameEncoder(w, h, q_idx=2, device_modes=True)
+    tile, recon = fe.encode([y.astype(np.int32), u.astype(np.int32),
+                             v.astype(np.int32)])
+    assert wfm.ESC_REFETCHES > before, "escape path never engaged"
+    seq = Sequence(width=w, height=h)
+    fp = FrameParams(base_q_idx=2, disable_cdf_update=False)
+    fp.loop_filter_levels = fe.lf_levels
+    data = temporal_delimiter() + write_sequence_header_obu(seq) + \
+        write_frame_obu(seq, fp, tile)
+    dec = dav1d.decode_stream([data])[0]
+    for p in range(3):
+        assert np.array_equal(dec[p].astype(np.int32), recon[p]), p
