@@ -1342,6 +1342,9 @@ void wavefront_cache_push_run(
         stat_out[17] += uv == 13;  // UV_CFL_PRED
         stat_out[18] += tt == 2;
         stat_out[19]++;
+        // [21..25]: per-DTT4_IDTX-symbol counts (0 IDTX, 1 DCT_DCT,
+        // 2 ADST_ADST, 3 ADST_DCT, 4 DCT_ADST)
+        if (tt >= 0 && tt <= 4) stat_out[21 + tt]++;
     };
 
     for (int i = 0; i < nsb; i++) {

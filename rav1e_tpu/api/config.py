@@ -27,9 +27,12 @@ class SpeedSettings:
     multiref: bool = True
     fast_deblock: bool = False
     reduced_tx_set: bool = False
-    tx_domain_distortion: bool = True
-    tx_domain_rate: bool = False
-    encode_bottomup: bool = False
+    # NOTE: the reference's encode_bottomup / tx_domain_distortion /
+    # tx_domain_rate fields are intentionally absent: this encoder's
+    # device wavefront always measures tx-domain distortion for the mode
+    # race and pixel-domain for the final tx choice, and bottom-up
+    # partitioning is not implemented.  Fields that change no behavior
+    # are not exposed.
     rdo_tx_decision: bool = True
     prediction_modes: str = "simple"  # simple | complex_keyframes | complex_all
     include_near_mvs: bool = False
@@ -47,11 +50,10 @@ class SpeedSettings:
         if not 0 <= speed <= 10:
             raise InvalidConfig(f"speed must be 0..=10, got {speed}")
         s = cls(speed=speed)
-        s.encode_bottomup = speed == 0
         s.multiref = speed <= 7
-        s.partition_range = (
-            (4, 64) if speed <= 1 else (8, 64) if speed <= 8 else (32, 64)
-        )
+        # truthful range: 4x4 leaves are not implemented, so the minimum
+        # is 8 at every speed (the reference opens 4x4 at speed <= 1)
+        s.partition_range = (8, 64) if speed <= 8 else (32, 64)
         s.reduced_tx_set = speed >= 8
         s.rdo_tx_decision = speed <= 7
         s.prediction_modes = (

@@ -226,7 +226,7 @@ class NativeBlockCoder:
         rr = np.ascontiguousarray(rcs[:, 0])
         cc = np.ascontiguousarray(rcs[:, 1])
         info = fe.db_info
-        stats = np.zeros(21, np.int64)
+        stats = np.zeros(26, np.int64)
         assert wf.packed.dtype == np.int16 and wf.packed.flags.c_contiguous
         _lib.wavefront_cache_push_run(
             self._cache, wf.packed.ctypes.data,

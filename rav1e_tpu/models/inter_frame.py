@@ -63,9 +63,13 @@ _COMP_MODE_LISTS = {
 
 
 def size_group(bw: int, bh: int) -> int:
-    """spec Size_Group[bsize] (for the y_mode cdf in inter frames)."""
-    g = -(-(int(np.log2(bw)) + int(np.log2(bh))) // 2) - 2
-    return max(0, min(3, g))
+    """spec Size_Group[bsize] (for the y_mode cdf in inter frames).
+
+    The table follows the MIN dimension: Size_Group[32X16] == 2 ==
+    Size_Group[16X16] (rect blocks group with their shorter side's
+    square).  The old area-average formula desynced rect intra-in-inter
+    blocks against libdav1d."""
+    return max(0, min(3, int(np.log2(min(bw, bh))) - 2))
 
 
 class InterFrameEncoder(IntraFrameEncoder):
@@ -82,7 +86,7 @@ class InterFrameEncoder(IntraFrameEncoder):
                  chroma_sampling=(1, 1), speed_settings=None):
         super().__init__(width, height, q_idx, bit_depth=bit_depth,
                          adapt_cdf=adapt_cdf, speed=speed, use_native=use_native,
-                         device_modes=False, init_cdf=init_cdf,
+                         device_modes=None, init_cdf=init_cdf,
                          lf_levels=lf_levels, lf_sharpness=lf_sharpness,
                          cdef_damping=cdef_damping,
                          tile_cols_log2=tile_cols_log2,
@@ -122,7 +126,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         # FilterMode set, selected here at frame granularity
         self.interp_filter = mc.FILTER_REGULAR
         self.filter_search = speed <= 8
-        self.use_satd_subpel = speed <= 8  # subpel refinement toggle
+        # subpel refinement metric toggle (reference: SpeedSettings
+        # use_satd_subpel, src/api/config/speedsettings.rs)
+        self.use_satd_subpel = (speed_settings.use_satd_subpel
+                                if speed_settings is not None else speed <= 8)
 
     def _pre_encode(self) -> None:
         self.grid = mvp.MiGrid(self.mi_rows, self.mi_cols)
@@ -148,8 +155,112 @@ class InterFrameEncoder(IntraFrameEncoder):
                     "device ME unavailable (%s); host fallback", e
                 )
                 self._me_maps = {}
-        if self.filter_search:
+        # inter wavefront envelope: the whole coding datapath (MC + RD +
+        # transforms + recon) runs on device for single-LAST-reference
+        # 8-bit 4:2:0 frames; the host pass codes symbols from the device
+        # decisions (SURVEY 7 "key reformulation", extended to inter)
+        import os as _os
+
+        self.wf_inter = (
+            self.device_modes and self.use_native and self.q > 0
+            and self.bd == 8 and self._is420
+            and not self.reference_select
+            and self.ref_ids == [mvp.LAST_FRAME]
+            and self._me_maps.get(mvp.LAST_FRAME) is not None
+            and _os.environ.get("RAV1E_TPU_WF_INTER", "1") != "0")
+        if self.wf_inter:
+            # the device MC path evaluates the REGULAR filter set only;
+            # signal it in the header and skip the host probe
+            self.interp_filter = mc.FILTER_REGULAR
+        elif self.filter_search:
             self._choose_interp_filter()
+
+    # -- inter wavefront (device datapath) ----------------------------------
+
+    def _wf_capable(self) -> bool:
+        return bool(getattr(self, "wf_inter", False)
+                    and getattr(self, "wavefront_mesh", None) is None)
+
+    def _wavefront_eligible(self) -> bool:
+        if not getattr(self, "wf_inter", False):
+            return False
+        try:
+            from rav1e_tpu.models.wavefront import geometry_for
+
+            return geometry_for(self.coded_w, self.coded_h, self.w, self.h,
+                                self.mi_cols, self.mi_rows,
+                                tuple(self._tile_grid())) is not None
+        except Exception:
+            return False
+
+    def _encode_tiles(self):
+        wf = None
+        if getattr(self, "_wf_launched", None) is not None:
+            try:
+                with self.stats.stage("device_wait"):
+                    wf = self._wf_launched.collect()
+            except Exception:
+                import logging
+
+                logging.getLogger("rav1e_tpu").warning(
+                    "inter wavefront unavailable; host fallback",
+                    exc_info=True)
+            finally:
+                self._wf_launched = None
+        if wf is not None:
+            self._install_wavefront(wf)
+        return super()._encode_tiles()
+
+    def _install_wavefront(self, wf) -> None:
+        """Adopt a collected inter wavefront pass: device recon becomes
+        the frame recon, partition decisions become _rd_maps (with
+        coverage masks so host partial SBs keep their own RD), and the
+        per-block records feed _block's symbol-only path."""
+        g = wf.geom
+        self.rec = wf.rec
+        sm = np.zeros((self.h // 32, self.w // 32), bool)
+        smap = wf.split_map
+        sm[: smap.shape[0], : smap.shape[1]] = smap
+        dev = g.device_sb
+        n64 = np.zeros((self.h // 64, self.w // 64), bool)
+        if wf.none64 is not None:
+            n64[dev] = wf.none64[g.sb_step[dev], g.sb_lane[dev]]
+        cov64 = np.zeros_like(n64)
+        cov64[: dev.shape[0], : dev.shape[1]] = dev
+        cov32 = np.repeat(np.repeat(cov64, 2, 0), 2, 1)
+        self._rd_maps = {"split32": sm, "none64": n64,
+                         "cover32": cov32, "cover64": cov64}
+        self._wf_records = {}
+        for r in range(dev.shape[0]):
+            for c_ in range(dev.shape[1]):
+                if not dev[r, c_]:
+                    continue
+                for rec in wf.sb_records(r, c_):
+                    self._wf_records[tuple(rec[:4])] = rec
+        dev_out = getattr(wf, "dev_out", None)
+        if dev_out is not None:
+            from rav1e_tpu.models.wavefront import rec_width
+
+            self._wf_dev_out = (dev_out,
+                                g.steps * 4 * g.width * rec_width(True))
+
+    # device set-2 tx symbol -> transforms_np id (wavefront LUMA_TT order)
+    _SET2_TO_TF = {0: tf.IDTX, 1: tf.DCT_DCT, 2: tf.ADST_ADST,
+                   3: tf.ADST_DCT, 4: tf.DCT_ADST}
+
+    def _pick_mode_for_mv(self, mv: tuple, res) -> tuple:
+        """Cheapest codable (ymode, ref_mv_idx) for a device-chosen MV
+        given the coding-time stack (the decoder re-derives non-NEW MVs
+        from the stack, so the mode choice is pure rate optimization).
+        Mirrors _replay_decision's semantics."""
+        if mv == (0, 0):
+            return GLOBALMV, 0
+        if res.num_mv_found >= 1 and mv == tuple(res.stack[0]):
+            return NEARESTMV, 0
+        for di in (1, 2):
+            if res.num_mv_found > di and mv == tuple(res.stack[di]):
+                return NEARMV, di
+        return NEWMV, 0
 
     def _choose_interp_filter(self) -> None:
         """Frame-level REGULAR/SMOOTH/SHARP selection: SATD-refine a
@@ -752,6 +863,39 @@ class InterFrameEncoder(IntraFrameEncoder):
                                      res, y_mode, tt_y, skip,
                                      lv_y, lv_u, lv_v)
             return
+        wrec = None
+        if getattr(self, "_wf_records", None):
+            wrec = self._wf_records.pop((x, y, bw, bh), None)
+        if wrec is not None:
+            # device wavefront decision: symbols only (recon is the
+            # device reconstruction already installed in self.rec)
+            (_x, _y, _bw, _bh, dmode, dskip, dtt, _ha, _hl, _au, _av,
+             _delta, _uv, lvy, lvu, lvv, mvr, mvc) = wrec
+            lv_y = np.asarray(lvy, np.int32)
+            lv_u = np.asarray(lvu, np.int32)
+            lv_v = np.asarray(lvv, np.int32)
+            from rav1e_tpu.utils.stats import SET2_SYMBOL_NAMES
+
+            if dmode == 13:  # inter (LAST, REGULAR filter)
+                rid = mvp.LAST_FRAME
+                mvt = (int(mvr), int(mvc))
+                res = mvp.find_mv_stack(self.grid, mr, mc_, bw // 4,
+                                        bh // 4, rid, tile=tile,
+                                        sign_bias=self.sign_bias)
+                dmode2, idx = self._pick_mode_for_mv(mvt, res)
+                self.stats.record_block(13, bw, bh, bool(dskip),
+                                        "DCT_DCT", False)
+                self._code_inter_symbols(x, y, bw, bh, rid, dmode2, mvt,
+                                         idx, res, dmode2, tf.DCT_DCT,
+                                         bool(dskip), lv_y, lv_u, lv_v)
+            else:  # intra-in-inter decided on device (delta 0, DC chroma)
+                tt_y = self._SET2_TO_TF[int(dtt)]
+                self.stats.record_block(int(dmode), bw, bh, bool(dskip),
+                                        SET2_SYMBOL_NAMES[int(dtt)], False)
+                self._code_inter_symbols(x, y, bw, bh, None, None, None, 0,
+                                         None, int(dmode), tt_y,
+                                         bool(dskip), lv_y, lv_u, lv_v)
+            return
         pend = self._pending_inter.pop((x, y, bw, bh), None)
         rep = (self._replay_decision(pend, x, y, bw, bh, tile)
                if pend is not None else None)
@@ -969,6 +1113,10 @@ class InterFrameEncoder(IntraFrameEncoder):
         r1 = min(mr + n4h, self.mi_rows)
         self.above_skip[mc_:c1] = 1 if skip else 0
         self.left_skip[mr:r1] = 1 if skip else 0
+        # blockDecoded bookkeeping (spec 7.11.2): later blocks' intra edge
+        # availability (above-right / below-left) must see exactly what
+        # the decoder has decoded so far
+        self.mi_coded[mr : mr + n4h, mc_ : mc_ + n4w] = 1
         if is_comp:
             self.grid.set_block(
                 mr, mc_, n4w, n4h, rid[0], mv[0],

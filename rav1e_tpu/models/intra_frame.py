@@ -296,7 +296,8 @@ class IntraFrameEncoder:
 
         self._rd_maps = None
         if (self.device_modes and not self._wavefront_eligible()
-                and not self.rdo_split8):
+                and not self.rdo_split8
+                and type(self) is IntraFrameEncoder):
             try:
                 from rav1e_tpu.models.device_pipeline import frame_rd_maps
 
@@ -393,7 +394,7 @@ class IntraFrameEncoder:
                     "native block coder unavailable (%s); python path", e
                 )
         self._wf_launched = None
-        if launch and self._nbc is not None and self._wavefront_eligible():
+        if launch and self._wf_capable() and self._wavefront_eligible():
             try:
                 mesh = getattr(self, "wavefront_mesh", None)
                 if mesh is not None:
@@ -776,6 +777,12 @@ class IntraFrameEncoder:
         self.cdf = self.cdf_saved
         return datas
 
+    def _wf_capable(self) -> bool:
+        """Whether this encoder can CONSUME a wavefront result (the intra
+        flow needs the native block coder for the cache/replay passes;
+        the inter subclass overrides with its own gate)."""
+        return self._nbc is not None
+
     def _wavefront_eligible(self) -> bool:
         """Whether the device wavefront encode applies to this frame: the
         full-SB region is non-empty and the frame is in the wavefront
@@ -799,8 +806,10 @@ class IntraFrameEncoder:
         parts = []
         for (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta, uv,
              lvy, lvu, lvv) in wf.sb_records(r, c):
-            self.stats.record_block(mode, bw, bh, skip, int(tt == 2),
-                                    uv == UV_CFL)
+            from rav1e_tpu.utils.stats import SET2_SYMBOL_NAMES
+
+            self.stats.record_block(mode, bw, bh, skip,
+                                    SET2_SYMBOL_NAMES[tt], uv == UV_CFL)
             seg_symv = seg_ctx = seg_nsyms = 0
             if self.seg_map is not None:
                 mr, mc = y // 4, x // 4
@@ -821,9 +830,9 @@ class IntraFrameEncoder:
         self.mi_coded[sy // 4 : (sy + 64) // 4, sx // 4 : (sx + 64) // 4] = 1
 
     def _apply_wf_stats(self, st) -> None:
-        """Fold the native cache-build's int64[20] stats vector into
+        """Fold the native cache-build's int64[26] stats vector into
         EncoderStats (bulk analog of per-block record_block calls)."""
-        from rav1e_tpu.utils.stats import MODE_NAMES
+        from rav1e_tpu.utils.stats import MODE_NAMES, SET2_SYMBOL_NAMES
 
         s = self.stats
         for m in range(13):
@@ -835,9 +844,10 @@ class IntraFrameEncoder:
                 s.bsize_counts[nm] += int(st[i])
         s.skip_blocks += int(st[16])
         s.cfl_blocks += int(st[17])
-        if st[18]:
-            s.tx_type_counts["ADST_ADST"] += int(st[18])
-        s.tx_type_counts["DCT_DCT"] += int(st[19] - st[18])
+        # [21..25]: per-DTT4_IDTX-symbol counts (wavefront LUMA_TT order)
+        for sym, nm in enumerate(SET2_SYMBOL_NAMES):
+            if st[21 + sym]:
+                s.tx_type_counts[nm] += int(st[21 + sym])
         s.blocks += int(st[19])
 
     def _encode_tiles_wavefront(self, wf):
@@ -1623,17 +1633,27 @@ class IntraFrameEncoder:
         if size > 32:
             # 64x64 leaves: the device wavefront's none64 map (intra) or
             # the subclass merge test (inter merge-to-64); reference:
-            # rdo_partition_decision walking up to BLOCK_64X64 (src/rdo.rs)
+            # rdo_partition_decision walking up to BLOCK_64X64 (src/rdo.rs).
+            # A cover64 mask (inter wavefront) marks SBs whose decision is
+            # final in the map — the host merge trial must not re-decide
+            # (the device recon already assumed the mapped partition).
             none64 = False
+            covered64 = False
             if size == 64 and has_rows and has_cols \
                     and self._rd_maps is not None:
                 m = self._rd_maps.get("none64")
                 none64 = m is not None and bool(m[y // 64][x // 64])
+                cm = self._rd_maps.get("cover64")
+                covered64 = cm is not None and bool(cm[y // 64][x // 64])
             want_split = not (size == 64
-                              and (none64 or self._merge64_ok(
-                                  x, y, has_rows, has_cols)))
+                              and (none64 or (not covered64
+                                              and self._merge64_ok(
+                                                  x, y, has_rows, has_cols))))
         elif size == 32 and self.rdo_partition and has_rows and has_cols:
-            if self._rd_maps is not None:
+            cov32 = (self._rd_maps.get("cover32")
+                     if self._rd_maps is not None else None)
+            if self._rd_maps is not None and (
+                    cov32 is None or cov32[y // 32][x // 32]):
                 part_rd = (self.P_SPLIT
                            if self._rd_maps["split32"][y // 32][x // 32]
                            else self.P_NONE)
@@ -2043,8 +2063,10 @@ class IntraFrameEncoder:
                 if self.seg_map is not None:
                     self._seg_after_block(mr, mc, bw, bh, skip)
                 self.db_info.set_block(x, y, bw, bh, skip)
+                from rav1e_tpu.utils.stats import TX_TYPE_NAMES
+
                 self.stats.record_block(y_mode, bw, bh, skip,
-                                        int(ntt == tf.ADST_ADST), False)
+                                        TX_TYPE_NAMES[ntt], False)
                 return
 
         info = self._pending.pop((x, y), None)
@@ -2173,8 +2195,10 @@ class IntraFrameEncoder:
         self.above_skip[mc:c1] = 1 if skip else 0
         self.left_skip[mr:r1] = 1 if skip else 0
         self.mi_coded[mr : mr + n4h, mc : mc + n4w] = 1
+        from rav1e_tpu.utils.stats import TX_TYPE_NAMES
+
         self.stats.record_block(y_mode, bw, bh, bool(skip),
-                                int(tt_y == tf.ADST_ADST), uv_mode == UV_CFL)
+                                TX_TYPE_NAMES[tt_y], uv_mode == UV_CFL)
 
     def _code_block_fixed(self, x: int, y: int, bw: int, bh: int,
                           y_mode: int, y_delta: int, tt_y: int,

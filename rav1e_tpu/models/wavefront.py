@@ -235,15 +235,25 @@ _IS_DIR = np.zeros(13, bool)
 _IS_DIR[_DIR_MODES] = True
 
 
+# inter wavefront constants: MC gather margin (covers the +-44 px MV clamp
+# plus the 8-tap footprint), candidate counts per level
+MC_MARGIN = 48
+NCAND32 = 12
+NCAND64 = 8
+# device mv-coding bit overhead added to every inter candidate on top of
+# the host-computed per-candidate bias (is_inter + ref + mode symbols)
+INTER_MODE_BITS = 5.0
+
+
 def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
                tx_search: bool, fine_dir: bool, mode_mask: tuple,
                mi_cols: int, mi_rows: int, allow_split: bool,
                allow_split8: bool = False, uv_search: bool = False,
-               allow_n64: bool = False):
+               allow_n64: bool = False, inter_on: bool = False):
     """Build (cached) the jitted wavefront pass for one geometry/config."""
     key = (Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
            mi_cols, mi_rows, allow_split, allow_split8, uv_search,
-           allow_n64)
+           allow_n64, inter_on)
     fn = _PASS_CACHE.get(key)
     if fn is None:
         fn = _make_pass(*key)
@@ -251,9 +261,17 @@ def build_pass(Hp: int, Wp: int, K: int, B: int, bd: int, cfl_on: bool,
     return fn
 
 
+def rec_width(inter_on: bool) -> int:
+    """Per-(step, quad, lane) packed record width in int16 words: metadata
+    (split flag + per-block fields + split16 flags) then the merged Y/U/V
+    level buffers (see _make_pass `run`)."""
+    nf = 11 if inter_on else 7  # fields per block record
+    return 1 + 4 + nf * (1 + 4 + 16) + 1536
+
+
 def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                mi_cols, mi_rows, allow_split, allow_split8, uv_search,
-               allow_n64):
+               allow_n64, inter_on=False):
     """Build the jitted tiled wavefront pass.
 
     Memory layout is the perf-critical choice: reconstruction lives as
@@ -302,6 +320,160 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                             jnp.int32)
     dir_sizes = (8, 16, 32) if allow_split8 else (16, 32)
     dir_mats = {n: jnp.asarray(ij.dir_matrices(n)) for n in dir_sizes}
+
+    if inter_on:
+        # MC filter matrices (REGULAR set; the frame header signals
+        # REGULAR when the wavefront inter path is active)
+        from rav1e_tpu.ops import mc_jax as mcj
+        from rav1e_tpu.ops.quantize_np import tx_scale as _txs
+
+        mc_mats = {n: (jnp.asarray(mcj._hmats(n + 7, n, 0)),
+                       jnp.asarray(mcj._vmats(n, n + 7, 0)))
+                   for n in (64, 32, 16, 8)}
+        tx_alpha_n = {n: tn.tx_alpha(min(n, 32), min(n, 32), bd)
+                      for n in (64, 32, 16)}
+        THIN_RATE = 4.0  # host _thin_rate_bits default
+        HpM, WpM = Hp + 2 * MC_MARGIN, Wp + 2 * MC_MARGIN
+        HcM, WcM = (Hp >> 1) + 2 * MC_MARGIN, (Wp >> 1) + 2 * MC_MARGIN
+
+    def _grid_blocks(n):
+        """Flat (N,) px/py plane coords enumerating the n-blocks of every
+        SB in (R, C, quad[, leaf]) order (matching _QOFF/_SOFF z-order)."""
+        if n == 64:
+            idx = np.arange(R * C)
+            py = (idx // C) * 64
+            px = (idx % C) * 64
+        elif n == 32:
+            idx = np.arange(R * C * 4)
+            q = idx % 4
+            py = (idx // (C * 4)) * 64 + np.asarray(_QOFF)[q, 0]
+            px = ((idx // 4) % C) * 64 + np.asarray(_QOFF)[q, 1]
+        else:  # 16: (R, C, quad, leaf)
+            idx = np.arange(R * C * 16)
+            s = idx % 4
+            q = (idx // 4) % 4
+            py = (idx // (C * 16)) * 64 + np.asarray(_QOFF)[q, 0] \
+                + np.asarray(_SOFF)[s, 0]
+            px = ((idx // 16) % C) * 64 + np.asarray(_QOFF)[q, 1] \
+                + np.asarray(_SOFF)[s, 1]
+        return (jnp.asarray(py, jnp.int32), jnp.asarray(px, jnp.int32))
+
+    def _src_blocks(plane, n, sub):
+        """(N, n, n) source blocks in _grid_blocks order via reshape."""
+        n2 = n >> sub
+        hh, ww = plane.shape
+        if n == 64:
+            return plane.reshape(R, n2, C, n2).transpose(0, 2, 1, 3) \
+                .reshape(-1, n2, n2)
+        if n == 32:
+            return plane.reshape(R, 2, n2, C, 2, n2) \
+                .transpose(0, 3, 1, 4, 2, 5).reshape(-1, n2, n2)
+        return plane.reshape(R, 2, 2, n2, C, 2, 2, n2) \
+            .transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(-1, n2, n2)
+
+    def _inter_level(n, refYp, refUp, refVp, srcY, srcU, srcV, cands_mv,
+                     cands_bits, lam_f, qdc_i, qac_i):
+        """Inter candidate race + winner coding for every n-block of the
+        frame (the wavefront pass's device analog of the host
+        _decide_inter + _code_inter_tx + skip RD, inter_frame.py).
+        cands_mv: (N, C, 2) luma 1/8-pel; cands_bits: (N, C) mode+mv rate
+        bias; lam_f/qdc_i/qac_i: (N,) per-block.  Returns a dict of
+        per-block outputs in _grid_blocks order."""
+        py, px = _grid_blocks(n)
+        src_b = _src_blocks(srcY, n, 0)
+        n2 = n >> 1
+        shift = _txs(n, n)  # TX_64X64 keeps tx_scale 2 despite truncation
+        shift_c = _txs(n2, n2)
+        hmY, vmY = mc_mats[n]
+        hmC, vmC = mc_mats[n2]
+        Fv, FhT = mats[(n, 0)]
+        FvC, FhTC = mats[(n2, 0)]
+        thr1 = (lam_f * THIN_RATE / (tx_alpha_n[n] * qac_i.astype(jnp.float32))
+                + qac_i) / 2.0
+
+        def luma_code(mvr, mvc):
+            pred = mcj.mc_block_batch(refYp, MC_MARGIN, px, py, mvr, mvc,
+                                      n, n, 0, 0, bd, hmY, vmY)
+            resid = src_b - pred
+            cf = tj.fdct_batch(resid, Fv, FhT)
+            lv = tj.quantize(cf, qdc_i, qac_i, shift)
+            # level-1 coefficient thinning (host _thin_thr1 analog)
+            mag = jnp.abs(cf) << shift
+            drop = (jnp.abs(lv) == 1) & (mag.astype(jnp.float32)
+                                         < thr1[:, None, None])
+            drop = drop.at[:, 0, 0].set(False)
+            lv = jnp.where(drop, 0, lv)
+            dq = tj.dequantize(lv, qdc_i, qac_i, shift, bd)
+            return pred, resid, cf, lv, dq
+
+        costs = []
+        for c in range(cands_mv.shape[1]):
+            mvr, mvc = cands_mv[:, c, 0], cands_mv[:, c, 1]
+            _pred, _resid, cf, lv, dq = luma_code(mvr, mvc)
+            qerr = ((cf - dq) << shift).astype(jnp.float32)
+            dist = (qerr * qerr).sum((-1, -2)) * DIST_SCALE
+            costs.append(dist + lam_f * (coeff_rate(lv) + cands_bits[:, c]))
+        ci = jnp.argmin(jnp.stack(costs, 1), axis=1)  # (N,)
+        mv = jnp.take_along_axis(cands_mv, ci[:, None, None], axis=1)[:, 0]
+        mv_bits = jnp.take_along_axis(cands_bits, ci[:, None], axis=1)[:, 0]
+        mvr, mvc = mv[:, 0], mv[:, 1]
+
+        # winner: full coding on all three planes
+        pred, resid, cf, lv, dq = luma_code(mvr, mvc)
+        if n == 64:
+            dq64 = jnp.zeros(src_b.shape, jnp.int32).at[:, :32, :32].set(dq)
+            inv = tj.inv_txfm(dq64, tn.DCT_DCT, bd)
+        else:
+            inv = tj.inv_txfm(dq, tn.DCT_DCT, bd)
+        recon = jnp.clip(pred + inv, 0, maxval)
+
+        srcu_b = _src_blocks(srcU, n, 1)
+        srcv_b = _src_blocks(srcV, n, 1)
+
+        def chroma_code(refp, src_c):
+            predc = mcj.mc_block_batch(refp, MC_MARGIN, px >> 1, py >> 1,
+                                       mvr, mvc, n2, n2, 1, 1, bd, hmC, vmC)
+            residc = src_c - predc
+            cfc = tj.fdct_batch(residc, FvC, FhTC)
+            lvc = tj.quantize(cfc, qdc_i, qac_i, shift_c)
+            magc = jnp.abs(cfc) << shift_c
+            dropc = (jnp.abs(lvc) == 1) & (magc.astype(jnp.float32)
+                                           < thr1[:, None, None])
+            dropc = dropc.at[:, 0, 0].set(False)
+            lvc = jnp.where(dropc, 0, lvc)
+            dqc = tj.dequantize(lvc, qdc_i, qac_i, shift_c, bd)
+            invc = tj.inv_txfm(dqc, tn.DCT_DCT, bd)
+            reconc = jnp.clip(predc + invc, 0, maxval)
+            return predc, lvc, reconc
+
+        pred_u, lv_u, recon_u = chroma_code(refUp, srcu_b)
+        pred_v, lv_v, recon_v = chroma_code(refVp, srcv_b)
+
+        # skip-vs-code RD over all three planes (host _block analog)
+        sse = lambda a, b: ((a - b).astype(jnp.float32) ** 2).sum((-1, -2))
+        dist_code = (sse(recon, src_b) + sse(recon_u, srcu_b)
+                     + sse(recon_v, srcv_b))
+        dist_skip = (sse(pred, src_b) + sse(pred_u, srcu_b)
+                     + sse(pred_v, srcv_b))
+        rate = coeff_rate(lv) + coeff_rate(lv_u) + coeff_rate(lv_v)
+        has = (jnp.abs(lv).sum((-1, -2)) + jnp.abs(lv_u).sum((-1, -2))
+               + jnp.abs(lv_v).sum((-1, -2))) > 0
+        skip = (~has) | (dist_skip + lam_f * 2.0
+                         < dist_code + lam_f * rate)
+        s3 = skip[:, None, None]
+        lv = jnp.where(s3, 0, lv)
+        lv_u = jnp.where(s3, 0, lv_u)
+        lv_v = jnp.where(s3, 0, lv_v)
+        recon = jnp.where(s3, pred, recon)
+        recon_u = jnp.where(s3, pred_u, recon_u)
+        recon_v = jnp.where(s3, pred_v, recon_v)
+        over = mv_bits + INTER_MODE_BITS
+        cost = jnp.where(skip, dist_skip + lam_f * (2.0 + over),
+                         dist_code + lam_f * (rate + over))
+        return dict(cost=cost, skip=skip, mvr=mvr, mvc=mvc,
+                    recY=recon, recU=recon_u, recV=recon_v,
+                    lvY=lv.astype(jnp.int16), lvU=lv_u.astype(jnp.int16),
+                    lvV=lv_v.astype(jnp.int16))
 
     def _nondir_preds(above, left, n):
         """SMOOTH / SMOOTH_V / SMOOTH_H / PAETH (enum 9..12): (B, 4, n, n)."""
@@ -380,9 +552,12 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         return pred, lvp, dqp, res, src_b, dist + lam * coeff_rate(lvp)
 
     def encode_leaf(ctxY, ctxU, ctxV, srcYt, srcUt, srcVt, ly, lx, n, av4,
-                    lam, qdc, qac, allow_z1, tabs):
+                    lam, qdc, qac, allow_z1, tabs, inter=None):
         """One batch of n x n intra leaves at local offset (ly, lx) inside
-        the SB.  Returns updated context tiles, outputs and the RD cost."""
+        the SB.  Returns updated context tiles, outputs and the RD cost.
+        inter: per-lane precomputed inter-candidate outputs (_inter_level
+        gathers) racing against the intra result; the winner's recon is
+        what lands in the context carry."""
         n2 = n >> 1
         shift = 1 if n == 32 else 0
         ha = av4[:, 0] > 0
@@ -627,14 +802,49 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         rate = coeff_rate(lv) + coeff_rate(lv_u) + coeff_rate(lv_v) + 7.0
         cost = dist + lam * rate
 
+        mvr = jnp.zeros_like(mode)
+        mvc = jnp.zeros_like(mode)
+        if inter is not None:
+            # intra-vs-inter RD race; the inter side precomputed its full
+            # recon/levels (no carry dependence: MC reads the refs)
+            isel = inter["cost"] < cost
+            s3 = isel[:, None, None]
+            recon_y = jnp.where(s3, inter["recY"], recon_y)
+            recon_u = jnp.where(s3, inter["recU"], recon_u)
+            recon_v = jnp.where(s3, inter["recV"], recon_v)
+            ctxY = jax.lax.dynamic_update_slice(ctxY, recon_y,
+                                                (0, 1 + ly, 1 + lx))
+            ctxU = jax.lax.dynamic_update_slice(ctxU, recon_u,
+                                                (0, 1 + ly2, 1 + lx2))
+            ctxV = jax.lax.dynamic_update_slice(ctxV, recon_v,
+                                                (0, 1 + ly2, 1 + lx2))
+            mode = jnp.where(isel, 13, mode)
+            delta = jnp.where(isel, 0, delta)
+            tt = jnp.where(isel, 1, tt)
+            skip = jnp.where(isel, inter["skip"], skip)
+            alpha_u = jnp.where(isel, 0, alpha_u)
+            alpha_v = jnp.where(isel, 0, alpha_v)
+            uv_modev = jnp.where(isel, 0, uv_modev)
+            lv = jnp.where(s3, inter["lvY"].astype(jnp.int32), lv)
+            lv_u = jnp.where(s3, inter["lvU"].astype(jnp.int32), lv_u)
+            lv_v = jnp.where(s3, inter["lvV"].astype(jnp.int32), lv_v)
+            mvr = jnp.where(isel, inter["mvr"], 0)
+            mvc = jnp.where(isel, inter["mvc"], 0)
+            cost = jnp.minimum(cost, inter["cost"])
+
         out = dict(mode=mode, delta=delta, tt=tt, skip=skip,
                    au=alpha_u, av=alpha_v, uv=uv_modev)
+        if inter_on:
+            out["mvrh"] = mvr >> 6
+            out["mvrl"] = mvr - ((mvr >> 6) << 6)
+            out["mvch"] = mvc >> 6
+            out["mvcl"] = mvc - ((mvc >> 6) << 6)
         levels = (lv.astype(jnp.int16), lv_u.astype(jnp.int16),
                   lv_v.astype(jnp.int16))
         return ctxY, ctxU, ctxV, out, levels, cost
 
     def encode_leaf64(ctxY, ctxU, ctxV, srcYt, srcUt, srcVt, ha, hl,
-                      lam, qdc, qac):
+                      lam, qdc, qac, inter=None):
         """Whole-SB 64x64 intra trial (PARTITION_NONE at the SB root,
         reference: rdo_partition_decision walking up to BLOCK_64X64 in
         src/rdo.rs).  Candidates: DC/V/H/SMOOTH/SMOOTH_V/SMOOTH_H/PAETH —
@@ -696,8 +906,32 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         rate = coeff_rate(lv) + coeff_rate(lv_u) + coeff_rate(lv_v) + 7.0
         cost = dist + lam * rate
         zi = jnp.zeros_like(mode)
+        mvr = zi
+        mvc = zi
+        if inter is not None:
+            isel = inter["cost"] < cost
+            s3 = isel[:, None, None]
+            recon_y = jnp.where(s3, inter["recY"], recon_y)
+            recon_u = jnp.where(s3, inter["recU"], recon_u)
+            recon_v = jnp.where(s3, inter["recV"], recon_v)
+            ctxY = jax.lax.dynamic_update_slice(ctxY, recon_y, (0, 1, 1))
+            ctxU = jax.lax.dynamic_update_slice(ctxU, recon_u, (0, 1, 1))
+            ctxV = jax.lax.dynamic_update_slice(ctxV, recon_v, (0, 1, 1))
+            mode = jnp.where(isel, 13, mode)
+            skip = jnp.where(isel, inter["skip"], skip)
+            lv = jnp.where(s3, inter["lvY"].astype(jnp.int32), lv)
+            lv_u = jnp.where(s3, inter["lvU"].astype(jnp.int32), lv_u)
+            lv_v = jnp.where(s3, inter["lvV"].astype(jnp.int32), lv_v)
+            mvr = jnp.where(isel, inter["mvr"], 0)
+            mvc = jnp.where(isel, inter["mvc"], 0)
+            cost = jnp.minimum(cost, inter["cost"])
         out64 = dict(mode=mode, delta=zi, tt=jnp.ones_like(mode), skip=skip,
                      au=zi, av=zi, uv=zi)
+        if inter_on:
+            out64["mvrh"] = mvr >> 6
+            out64["mvrl"] = mvr - ((mvr >> 6) << 6)
+            out64["mvch"] = mvc >> 6
+            out64["mvcl"] = mvc - ((mvc >> 6) << 6)
         return ctxY, ctxU, ctxV, out64, (
             lv.astype(jnp.int16), lv_u.astype(jnp.int16),
             lv_v.astype(jnp.int16)), cost
@@ -736,9 +970,14 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         srcU = upload[nY : nY + nC].reshape(Hp >> 1, Wp >> 1).astype(jnp.int32)
         srcV = upload[nY + 2 * nC - nC : nY + 2 * nC].reshape(
             Hp >> 1, Wp >> 1).astype(jnp.int32)
-        params = jax.lax.bitcast_convert_type(
-            upload[nY + 2 * nC :].reshape(-1, 4), jnp.float32)
         KB4 = K * B * 4
+        RC4 = R * C * 4
+        plen = 3 * KB4 + 300
+        if inter_on:
+            plen += 3 * RC4 + 3 * RC4 * NCAND32 + 3 * R * C * NCAND64
+        params = jax.lax.bitcast_convert_type(
+            upload[nY + 2 * nC : nY + 2 * nC + 4 * plen].reshape(-1, 4),
+            jnp.float32)
         o = 0
         lam_q = params[o : o + KB4].reshape(K, B, 4)
         o += KB4
@@ -759,7 +998,54 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         bits_alpha = params[o : o + 96].reshape(6, 16)
         o += 96
         bits_angle = params[o : o + 8]
+        o += 8
         tabs = (bits_uv14, bits_sign, bits_alpha, bits_angle)
+        i64 = i32 = i16 = None
+        if inter_on:
+            lam32 = params[o : o + RC4]
+            o += RC4
+            qdc32 = params[o : o + RC4].astype(jnp.int32)
+            o += RC4
+            qac32 = params[o : o + RC4].astype(jnp.int32)
+            o += RC4
+            cand32 = params[o : o + RC4 * NCAND32 * 2].reshape(
+                RC4, NCAND32, 2).astype(jnp.int32)
+            o += RC4 * NCAND32 * 2
+            cbits32 = params[o : o + RC4 * NCAND32].reshape(RC4, NCAND32)
+            o += RC4 * NCAND32
+            cand64 = params[o : o + R * C * NCAND64 * 2].reshape(
+                R * C, NCAND64, 2).astype(jnp.int32)
+            o += R * C * NCAND64 * 2
+            cbits64 = params[o : o + R * C * NCAND64].reshape(R * C, NCAND64)
+            o += R * C * NCAND64
+            ro = nY + 2 * nC + 4 * plen
+            refYp = upload[ro : ro + HpM * WpM].reshape(
+                HpM, WpM).astype(jnp.int32)
+            ro += HpM * WpM
+            refUp = upload[ro : ro + HcM * WcM].reshape(
+                HcM, WcM).astype(jnp.int32)
+            ro += HcM * WcM
+            refVp = upload[ro : ro + HcM * WcM].reshape(
+                HcM, WcM).astype(jnp.int32)
+            # phase A: every inter block of every level, fully batched
+            # (MC reads the refs, never the recon carry, so this runs
+            # BEFORE the wavefront scan at full parallelism)
+            lam64 = lam32.reshape(-1, 4).mean(axis=1)
+            qdc64 = qdc32.reshape(-1, 4)[:, 0]
+            qac64 = qac32.reshape(-1, 4)[:, 0]
+            i64 = _inter_level(64, refYp, refUp, refVp, srcY, srcU, srcV,
+                               cand64, cbits64, lam64, qdc64, qac64)
+            i32 = _inter_level(32, refYp, refUp, refVp, srcY, srcU, srcV,
+                               cand32, cbits32, lam32, qdc32, qac32)
+            rep4 = lambda a: jnp.repeat(a, 4, axis=0)
+            i16 = _inter_level(16, refYp, refUp, refVp, srcY, srcU, srcV,
+                               rep4(cand32), rep4(cbits32), rep4(lam32),
+                               rep4(qdc32), rep4(qac32))
+            i64 = {k: v.reshape((R, C) + v.shape[1:]) for k, v in i64.items()}
+            i32 = {k: v.reshape((R, C, 4) + v.shape[1:])
+                   for k, v in i32.items()}
+            i16 = {k: v.reshape((R, C, 4, 4) + v.shape[1:])
+                   for k, v in i16.items()}
         tY = jnp.zeros((R, C, 64, 64), jnp.int32)
         tU = jnp.zeros((R, C, 32, 32), jnp.int32)
         tV = jnp.zeros((R, C, 32, 32), jnp.int32)
@@ -783,24 +1069,32 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             sYt = gtile(srcYt, sbr_k, sbc_k)
             sUt = gtile(srcUt, sbr_k, sbc_k)
             sVt = gtile(srcVt, sbr_k, sbc_k)
+            rcl = jnp.clip(sbr_k, 0, R - 1)
+            ccl = jnp.clip(sbc_k, 0, C - 1)
 
             def quad(carry_q, xs_q):
                 ctxY, ctxU, ctxV = carry_q
                 (qi, av_q, av8_q, lam_2, qdc_2, qac_2) = xs_q
                 qy = qoff[qi, 0]
                 qx = qoff[qi, 1]
+                int32_q = ({k: v[rcl, ccl, qi] for k, v in i32.items()}
+                           if inter_on else None)
                 cY32, cU32, cV32, out32, lv32, cost32 = encode_leaf(
                     ctxY, ctxU, ctxV, sYt, sUt, sVt, qy, qx, 32,
-                    av_q[:, 0], lam_2, qdc_2, qac_2, allow_k, tabs)
+                    av_q[:, 0], lam_2, qdc_2, qac_2, allow_k, tabs,
+                    inter=int32_q)
 
                 def sixteen(carry_s, xs_s):
                     ctxY, ctxU, ctxV, acc = carry_s
                     (si, av_s, av8_s) = xs_s
                     ly = qy + soff[si, 0]
                     lx = qx + soff[si, 1]
+                    int16_s = ({k: v[rcl, ccl, qi, si] for k, v in
+                                i16.items()} if inter_on else None)
                     cY16, cU16, cV16, out16, lv16, c16 = encode_leaf(
                         ctxY, ctxU, ctxV, sYt, sUt, sVt, ly, lx, 16,
-                        av_s, lam_2, qdc_2, qac_2, allow_k, tabs)
+                        av_s, lam_2, qdc_2, qac_2, allow_k, tabs,
+                        inter=int16_s)
                     Bn = c16.shape[0]
                     if allow_split8:
                         # nested 16 -> 4x8 partition RD: the 8-chain runs
@@ -870,6 +1164,8 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                         outs8 = dict(mode=zi, delta=zi, tt=zi,
                                      skip=jnp.zeros((4, Bn), bool),
                                      au=zi, av=zi, uv=zi)
+                        if inter_on:
+                            outs8.update(mvrh=zi, mvrl=zi, mvch=zi, mvcl=zi)
                         lv_y_m = lv16[0].reshape(Bn, 256)
                         lv_u_m = lv16[1].reshape(Bn, 64)
                         lv_v_m = lv16[2].reshape(Bn, 64)
@@ -934,9 +1230,11 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                 # snapshot (PARTITION_NONE at the root vs the quad chain)
                 ha64 = av_k[:, 0, 0, 0] > 0
                 hl64 = av_k[:, 0, 0, 1] > 0
+                int64_k = ({k: v[rcl, ccl] for k, v in i64.items()}
+                           if inter_on else None)
                 (ctxY64, ctxU64, ctxV64, out64, lv64, cost64) = encode_leaf64(
                     ctxY, ctxU, ctxV, sYt, sUt, sVt, ha64, hl64,
-                    lam_k[:, 0], qdc_k[:, 0], qac_k[:, 0])
+                    lam_k[:, 0], qdc_k[:, 0], qac_k[:, 0], inter=int64_k)
 
             (ctxY, ctxU, ctxV), qouts = jax.lax.scan(
                 quad, (ctxY, ctxU, ctxV),
@@ -983,16 +1281,20 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         else:
             (split, out32, outs16, split8, outs8, lv_y, lv_u, lv_v,
              _cq) = outs
-        # pack: (K, 4, B, 152) int16 metadata + (K, 4, B, 1536) levels
+        # pack: (K, 4, B, meta) int16 metadata + (K, 4, B, 1536) levels,
+        # meta = 152 intra-only / 236 with the inter mv nibbles
         FIELDS = ("mode", "delta", "tt", "skip", "au", "av", "uv")
+        if inter_on:
+            FIELDS = FIELDS + ("mvrh", "mvrl", "mvch", "mvcl")
+        nf = len(FIELDS)
         pk = lambda o: [o[f].astype(jnp.int32) if f == "skip" else o[f]
                         for f in FIELDS]
-        m32 = jnp.stack(pk(out32), axis=-1)  # (K, 4, B, 7)
-        m16 = jnp.stack(pk(outs16), axis=-1)  # (K, 4, 4, B, 7)
-        m16 = m16.transpose(0, 1, 3, 2, 4).reshape(K, 4, B, 28)
+        m32 = jnp.stack(pk(out32), axis=-1)  # (K, 4, B, nf)
+        m16 = jnp.stack(pk(outs16), axis=-1)  # (K, 4, 4, B, nf)
+        m16 = m16.transpose(0, 1, 3, 2, 4).reshape(K, 4, B, 4 * nf)
         s16 = split8.astype(jnp.int32).transpose(0, 1, 3, 2)  # (K, 4, B, 4)
-        m8 = jnp.stack(pk(outs8), axis=-1)  # (K, 4, 4, 4, B, 7)
-        m8 = m8.transpose(0, 1, 4, 2, 3, 5).reshape(K, 4, B, 112)
+        m8 = jnp.stack(pk(outs8), axis=-1)  # (K, 4, 4, 4, B, nf)
+        m8 = m8.transpose(0, 1, 4, 2, 3, 5).reshape(K, 4, B, 16 * nf)
         split_f = split.astype(jnp.int32)
         if allow_n64:
             # a chosen 64x64 root block: flag 2 in meta[0]; its header
@@ -1037,8 +1339,10 @@ class WavefrontResult:
     per-SB block records in decode order."""
 
     def __init__(self, geom: WavefrontGeometry, rec, split, out32, out16,
-                 levels, split16=None, out8=None, packed=None, none64=None):
+                 levels, split16=None, out8=None, packed=None, none64=None,
+                 has_mv=False):
         self.geom = geom
+        self.has_mv = has_mv  # inter records (sb_records appends mvr, mvc)
         # raw (K, 4, B, 1688) int16 device output — the native cache-build
         # fast path walks it directly (ec/native_block.py
         # cache_push_wavefront)
@@ -1079,10 +1383,18 @@ class WavefrontResult:
     def sb_records(self, r: int, c_: int):
         """Block records for one device SB in decode order: list of
         (x, y, bw, bh, mode, skip, tt, ha, hl, au, av, delta, uv, lv_y,
-        lv_u, lv_v); tt is the DTT4_IDTX set symbol."""
+        lv_u, lv_v[, mvr, mvc]); tt is the DTT4_IDTX set symbol.  The mv
+        tail is present when has_mv (inter wavefront; mode 13 = inter
+        with that MV, LAST reference)."""
         g = self.geom
         k, li = g.sb_step[r, c_], g.sb_lane[r, c_]
         sy, sx = r * 64, c_ * 64
+
+        def mvtail(o, idx):
+            if not self.has_mv:
+                return ()
+            return (int(o["mvr"][idx]), int(o["mvc"][idx]))
+
         if self.none64 is not None and self.none64[k, li]:
             # one 64x64 root block: header in quad 0's out32 slots, luma
             # TX_64X64 levels (32x32 corner) in quad 0's lv_y, chroma in
@@ -1096,7 +1408,8 @@ class WavefrontResult:
                      int(o["delta"][k, 0, li]), int(o["uv"][k, 0, li]),
                      self.lv_y[k, 0, li].reshape(32, 32),
                      self.lv_y[k, 1, li].reshape(32, 32),
-                     self.lv_y[k, 2, li].reshape(32, 32))]
+                     self.lv_y[k, 2, li].reshape(32, 32))
+                    + mvtail(o, (k, 0, li))]
         recs = []
         for q in range(4):
             avq = g.avail[k, li, q]
@@ -1112,7 +1425,8 @@ class WavefrontResult:
                              int(o["uv"][k, q, li]),
                              self.lv_y[k, q, li].reshape(32, 32),
                              self.lv_u[k, q, li].reshape(16, 16),
-                             self.lv_v[k, q, li].reshape(16, 16)))
+                             self.lv_v[k, q, li].reshape(16, 16))
+                            + mvtail(o, (k, q, li)))
             else:
                 o = self.out16
                 ly4 = self.lv_y[k, q, li].reshape(4, 256)
@@ -1138,7 +1452,8 @@ class WavefrontResult:
                                          int(o8["av"][k, q, s, e, li]),
                                          int(o8["delta"][k, q, s, e, li]),
                                          int(o8["uv"][k, q, s, e, li]),
-                                         ly8[e], lu8[e], lv8[e]))
+                                         ly8[e], lu8[e], lv8[e])
+                                        + mvtail(o8, (k, q, s, e, li)))
                         continue
                     recs.append((x16, y16, 16, 16,
                                  int(o["mode"][k, q, s, li]),
@@ -1151,7 +1466,8 @@ class WavefrontResult:
                                  int(o["uv"][k, q, s, li]),
                                  ly4[s].reshape(16, 16),
                                  lu4[s].reshape(8, 8),
-                                 lv4[s].reshape(8, 8)))
+                                 lv4[s].reshape(8, 8))
+                                + mvtail(o, (k, q, s, li)))
         return recs
 
 
@@ -1195,12 +1511,19 @@ def _mode_mask(fe) -> tuple:
 def _pass_flags(fe) -> tuple:
     """The per-frame static config the pass is specialized on (everything
     in the build_pass key except geometry/shape)."""
+    if getattr(fe, "wf_inter", False):
+        # inter wavefront envelope: DC/V/H/SMOOTH/PAETH intra candidates,
+        # no CFL/uv-race/angle-deltas/tx-search (the host symbol pass for
+        # device blocks codes delta 0 + DC chroma), 64-root trial on
+        return (fe.bd, False, False, False,
+                tuple(m in (0, 1, 2, 9, 12) for m in range(13)),
+                bool(fe.rdo_partition), False, False, True, True)
     return (fe.bd, bool(fe.cfl_search and fe.q > 0),
             bool(fe.tx_type_search and fe.q > 0), bool(fe.fine_dir),
             _mode_mask(fe), bool(fe.rdo_partition),
             bool(getattr(fe, "rdo_split8", False)),
             bool(getattr(fe, "uv_search", False) and fe.q > 0),
-            bool(getattr(fe, "rdo_none64", False)))
+            bool(getattr(fe, "rdo_none64", False)), False)
 
 
 def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
@@ -1216,7 +1539,7 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
     flags = _pass_flags(fe)
     fn = build_pass(fe.h, fe.w, K, B, flags[0], flags[1], flags[2], flags[3],
                     flags[4], fe.mi_cols, fe.mi_rows, flags[5], flags[6],
-                    flags[7], flags[8])
+                    flags[7], flags[8], flags[9])
 
     # per-quadrant lambda / quantizers (activity AQ and segmentation maps)
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
@@ -1224,13 +1547,19 @@ def launch_wavefront(fe, tiles) -> LaunchedWavefront | None:
     qac_q = np.full((K, B, 4), fe.ac_q, np.float32)
     _fill_lane_params(fe, geom, lam_q, qdc_q, qac_q)
 
-    # single packed upload: src planes as bytes + float32 params
+    # single packed upload: src planes as bytes + float32 params (+ the
+    # inter pass's candidate/ref tail)
+    extra = []
+    ref_bytes = []
+    if flags[9]:
+        extra, ref_bytes = _inter_upload(fe)
     params = np.concatenate([
         lam_q.ravel(), qdc_q.ravel(), qac_q.ravel(),
-        _mode_bit_params(fe)]).astype(np.float32)
+        _mode_bit_params(fe)] + extra).astype(np.float32)
     upload = np.concatenate([
         fe.src[0].astype(np.uint8).ravel(), fe.src[1].astype(np.uint8).ravel(),
-        fe.src[2].astype(np.uint8).ravel(), params.view(np.uint8)])
+        fe.src[2].astype(np.uint8).ravel(), params.view(np.uint8)]
+        + ref_bytes)
 
     dev = _geom_dev(geom)
     upload_dev = jnp.asarray(upload)
@@ -1267,6 +1596,88 @@ def _fill_lane_params(fe, geom, lam_q, qdc_q, qac_q) -> None:
         qdc_q[:] = np.where(valid, seg_dc[sid], qdc_q)
         qac_q[:] = np.where(valid, seg_ac[sid], qac_q)
         lam_q[:] = np.where(valid, seg_lam[sid], lam_q)
+
+
+def _inter_upload(fe):
+    """Host-side inter-pass inputs: (params_extra, ref_byte_parts).
+
+    Candidate MVs per 32-block (NCAND32): zero, the device ME map MV, its
+    quarter/half-pel diamond refinements, and the left/above neighbors'
+    map MVs (cheap NEAREST/NEAR analogs for the rate bias).  Per 64-block
+    (NCAND64): zero, the four quadrant map MVs, their mean and two
+    refinements.  Rate biases approximate the host mode costs: GLOBAL-ish
+    2 bits for zero, NEAR-ish 4 for neighbors, NEWMV header + residual
+    magnitude vs the left MV (a stack-predictor proxy) otherwise."""
+    R, C = fe.h // 64, fe.w // 64
+    rid = fe.ref_ids[0]
+    me = fe._me_maps[rid]
+    r2, c2 = 2 * R, 2 * C
+    mv = np.zeros((r2, c2, 2), np.int64)
+    rr = min(me.shape[0], r2)
+    cc = min(me.shape[1], c2)
+    mv[:rr, :cc] = me[:rr, :cc]
+    if rr < r2:
+        mv[rr:, :cc] = mv[rr - 1 : rr, :cc]
+    if cc < c2:
+        mv[:, cc:] = mv[:, cc - 1 : cc]
+    left = np.concatenate([mv[:, :1], mv[:, :-1]], axis=1)
+    above = np.concatenate([mv[:1], mv[:-1]], axis=0)
+    zero = np.zeros_like(mv)
+    deltas = ((-2, 0), (2, 0), (0, -2), (0, 2),
+              (-4, 0), (4, 0), (0, -4), (0, 4))
+    cands = [zero, mv] + [mv + np.asarray(d) for d in deltas] + [left, above]
+    c32 = np.clip(np.stack(cands, axis=2), -352, 352)  # (r2, c2, 12, 2)
+    c32 = (c32 + (c32 & 1)).astype(np.int64)  # even (1/4-pel precision)
+    newmv_bits = (6.0
+                  + np.log2(1.0 + np.abs(c32[..., 0] - left[..., None, 0]))
+                  + np.log2(1.0 + np.abs(c32[..., 1] - left[..., None, 1])))
+    b32 = newmv_bits.astype(np.float32)
+    b32[..., 0] = 2.0  # zero
+    b32[..., 10] = 4.0  # left
+    b32[..., 11] = 4.0  # above
+    # 64-level: quadrant MVs + zero + mean + refinements
+    q4 = mv.reshape(R, 2, C, 2, 2).transpose(0, 2, 1, 3, 4).reshape(R, C, 4, 2)
+    mean = (q4.mean(axis=2) / 2).round().astype(np.int64) * 2
+    c64 = np.stack([np.zeros_like(mean), q4[:, :, 0], q4[:, :, 1],
+                    q4[:, :, 2], q4[:, :, 3], mean,
+                    mean + np.asarray((0, 2)), mean + np.asarray((2, 0))],
+                   axis=2)
+    c64 = np.clip(c64, -352, 352)
+    c64 = (c64 + (c64 & 1)).astype(np.int64)
+    b64 = (6.0 + np.log2(1.0 + np.abs(c64[..., 0]))
+           + np.log2(1.0 + np.abs(c64[..., 1]))).astype(np.float32)
+    b64[..., 0] = 2.0
+
+    # (R, C, quad) param grids
+    lam32 = np.full((r2, c2), fe.lam, np.float32)
+    lam_map = getattr(fe, "_lam_map", None)
+    if lam_map is not None:
+        yr = min(lam_map.shape[0], r2)
+        xr = min(lam_map.shape[1], c2)
+        lam32[:yr, :xr] = lam_map[:yr, :xr]
+    def quadify(a):  # (2R, 2C, ...) -> (R, C, 4, ...) in _QOFF order
+        return np.ascontiguousarray(
+            a.reshape((R, 2, C, 2) + a.shape[2:]).transpose(
+                (0, 2, 1, 3) + tuple(range(4, a.ndim + 2))))
+
+    lam32q = quadify(lam32)
+    qdc32q = np.full((R, C, 4), fe.dc_q, np.float32)
+    qac32q = np.full((R, C, 4), fe.ac_q, np.float32)
+    extra = [lam32q.ravel().astype(np.float32), qdc32q.ravel(),
+             qac32q.ravel(), quadify(c32).ravel().astype(np.float32),
+             quadify(b32).ravel().astype(np.float32),
+             c64.ravel().astype(np.float32), b64.ravel().astype(np.float32)]
+
+    from rav1e_tpu.ops.mc_jax import pad_ref_plane
+
+    refs = fe.refs[rid]
+    ref_bytes = [
+        pad_ref_plane(refs[0], MC_MARGIN, fe.h, fe.w).astype(np.uint8).ravel(),
+        pad_ref_plane(refs[1], MC_MARGIN, fe.h >> 1,
+                      fe.w >> 1).astype(np.uint8).ravel(),
+        pad_ref_plane(refs[2], MC_MARGIN, fe.h >> 1,
+                      fe.w >> 1).astype(np.uint8).ravel()]
+    return extra, ref_bytes
 
 
 def _geom_dev(geom):
@@ -1452,10 +1863,11 @@ def _batch_part_slicer(F: int, f: int, K: int, B: int, Hp: int, Wp: int):
         import jax as _jax
 
         nY, nC = Hp * Wp, (Hp >> 1) * (Wp >> 1)
-        rec_bytes = K * 4 * F * B * 1688  # int8 transport
+        recw = rec_width(False)  # batched launches are intra-only
+        rec_bytes = K * 4 * F * B * recw  # int8 transport
 
         def sl(out):
-            recs = out[:rec_bytes].reshape(K, 4, F * B, 1688)
+            recs = out[:rec_bytes].reshape(K, 4, F * B, recw)
             part = recs[:, :, f * B : (f + 1) * B, :].reshape(-1)
             o = rec_bytes
             y = out[o + f * nY : o + (f + 1) * nY]
@@ -1519,7 +1931,8 @@ def unpack_wavefront(geom, fe, out: np.ndarray, Wp: int | None = None,
     Hp = fe.h
     if Wp is None:
         Wp = fe.w
-    rec_words = K * 4 * B * 1688
+    recw = rec_width(bool(getattr(fe, "wf_inter", False)))
+    rec_words = K * 4 * B * recw
     nY = Hp * Wp
     nC = (Hp >> 1) * (Wp >> 1)
     esc = out[rec_words + nY + 2 * nC :]
@@ -1529,10 +1942,10 @@ def unpack_wavefront(geom, fe, out: np.ndarray, Wp: int | None = None,
                 "wavefront int8 escape without an int16 refetch source")
         global ESC_REFETCHES
         ESC_REFETCHES += 1
-        packed = np.asarray(packed16).reshape(K, 4, B, 1688)
+        packed = np.asarray(packed16).reshape(K, 4, B, recw)
     else:
         packed = out[:rec_words].view(np.int8).astype(np.int16).reshape(
-            K, 4, B, 1688)
+            K, 4, B, recw)
     o = rec_words
     # writable int32 copies: the in-loop filters (deblock/CDEF/LRF) and the
     # host partial-SB encode mutate these in place (transfer rode uint8)
@@ -1543,24 +1956,39 @@ def unpack_wavefront(geom, fe, out: np.ndarray, Wp: int | None = None,
 
 
 def _build_result(geom, packed: np.ndarray, rec: list) -> "WavefrontResult":
-    """WavefrontResult from a frame's contiguous (K, 4, B, 1688) packed
-    int16 records + int32 recon planes."""
-    K, _, B, _ = packed.shape
-    meta = packed[..., :152]
+    """WavefrontResult from a frame's contiguous (K, 4, B, recw) packed
+    int16 records + int32 recon planes.  The record width encodes the
+    layout: rec_width(True) carries the inter mv nibble fields."""
+    K, _, B, recw = packed.shape
+    inter = recw == rec_width(True)
+    nf = 11 if inter else 7
+    mw = 1 + 4 + nf * 21
+    meta = packed[..., :mw]
     split_np = meta[..., 0] == 1
     none64_np = meta[:, 0, :, 0] == 2  # quad-0 flag: one 64x64 root block
     f32names = ("mode", "delta", "tt", "skip", "au", "av", "uv")
+    if inter:
+        f32names = f32names + ("mvrh", "mvrl", "mvch", "mvcl")
     out32_np = {nm: meta[..., 1 + i] for i, nm in enumerate(f32names)}
-    split16_np = meta[..., 8:12].transpose(0, 1, 3, 2).astype(bool)
-    m16 = meta[..., 12:40].reshape(K, 4, B, 4, 7).transpose(0, 1, 3, 2, 4)
+    s16o = 1 + nf
+    split16_np = meta[..., s16o : s16o + 4].transpose(0, 1, 3, 2).astype(bool)
+    m16o = s16o + 4
+    m16 = meta[..., m16o : m16o + 4 * nf].reshape(
+        K, 4, B, 4, nf).transpose(0, 1, 3, 2, 4)
     out16_np = {nm: m16[..., i] for i, nm in enumerate(f32names)}
-    m8 = meta[..., 40:152].reshape(K, 4, B, 4, 4, 7).transpose(0, 1, 3, 4, 2, 5)
+    m8o = m16o + 4 * nf
+    m8 = meta[..., m8o : m8o + 16 * nf].reshape(
+        K, 4, B, 4, 4, nf).transpose(0, 1, 3, 4, 2, 5)
     out8_np = {nm: m8[..., i] for i, nm in enumerate(f32names)}
-    levels = (packed[..., 152:1176], packed[..., 1176:1432],
-              packed[..., 1432:1688])
+    if inter:
+        for o in (out32_np, out16_np, out8_np):
+            o["mvr"] = (o.pop("mvrh").astype(np.int32) << 6) + o.pop("mvrl")
+            o["mvc"] = (o.pop("mvch").astype(np.int32) << 6) + o.pop("mvcl")
+    levels = (packed[..., mw : mw + 1024], packed[..., mw + 1024 : mw + 1280],
+              packed[..., mw + 1280 : mw + 1536])
     return WavefrontResult(geom, rec, split_np, out32_np, out16_np, levels,
                            split16_np, out8_np, packed=packed,
-                           none64=none64_np)
+                           none64=none64_np, has_mv=inter)
 
 
 def _collect_wavefront(launched: LaunchedWavefront) -> "WavefrontResult":

@@ -151,7 +151,7 @@ def deblock_sharded(mesh: Mesh, plane: np.ndarray, info, levels, sharpness,
     shard boundary read up to 16 px across it; each shard receives halos
     from its neighbors over ICI via jax.lax.ppermute and recomputes the
     boundary edges redundantly (deterministic, so both sides agree)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from rav1e_tpu.ops import deblock_jax as dj
     from rav1e_tpu.ops.deblock_np import thresholds

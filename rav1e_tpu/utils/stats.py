@@ -17,6 +17,15 @@ from dataclasses import dataclass, field
 MODE_NAMES = ("DC", "V", "H", "D45", "D135", "D113", "D157", "D203", "D67",
               "SMOOTH", "SMOOTH_V", "SMOOTH_H", "PAETH")
 
+# transforms_np tx-type id -> display name (spec enum order)
+TX_TYPE_NAMES = ("DCT_DCT", "ADST_DCT", "DCT_ADST", "ADST_ADST",
+                 "FLIPADST_DCT", "DCT_FLIPADST", "FLIPADST_FLIPADST",
+                 "ADST_FLIPADST", "FLIPADST_ADST", "IDTX", "V_DCT", "H_DCT",
+                 "V_ADST", "H_ADST", "V_FLIPADST", "H_FLIPADST")
+# DTT4_IDTX (reduced set 2) symbol -> display name, the convention the
+# device wavefront records use (wavefront.LUMA_TT order)
+SET2_SYMBOL_NAMES = ("IDTX", "DCT_DCT", "ADST_ADST", "ADST_DCT", "DCT_ADST")
+
 
 @dataclass
 class EncoderStats:
@@ -32,12 +41,12 @@ class EncoderStats:
     stage_seconds: Counter = field(default_factory=Counter)
 
     def record_block(self, mode: int, bw: int, bh: int, skip: bool,
-                     tt: int, cfl: bool) -> None:
+                     tx_name: str, cfl: bool) -> None:
         self.blocks += 1
         self.skip_blocks += int(skip)
-        self.mode_counts[MODE_NAMES[mode]] += 1
+        self.mode_counts[MODE_NAMES[mode] if mode < 13 else "INTER"] += 1
         self.bsize_counts[f"{bw}x{bh}"] += 1
-        self.tx_type_counts["ADST_ADST" if tt else "DCT_DCT"] += 1
+        self.tx_type_counts[tx_name] += 1
         self.cfl_blocks += int(cfl)
 
     @contextmanager
