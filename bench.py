@@ -20,9 +20,11 @@ import time
 import numpy as np
 
 BASELINE_1080P_S6_FPS = 0.38  # rav1e 0.5.1 speed 6, this host (BASELINE.md)
-# rav1e 0.5.1 speed 6 low_latency=true, 16 frames, same synthetic content,
-# measured with tools/measure_rav1e_baseline.py on this host
-BASELINE_1080P_S6_LL_FPS = 0.32
+# rav1e 0.5.1 speed 6 low_latency=true, 16 frames (1 key + 15 inter), the
+# SAME content and drive loop as the mixed metric below, measured with
+# tools/measure_rav1e_baseline.py on this host 2026-08-20.  (For the
+# keyframe-only workload the same harness measures rav1e at 0.207 fps.)
+BASELINE_1080P_S6_LL_FPS = 0.517
 
 
 def make_frames(w, h, n):

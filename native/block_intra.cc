@@ -84,11 +84,27 @@ enum {
     R_CFL_SIGN,      // u16 [1][9]
     R_CFL_ALPHA,     // u16 [6][17]
     R_SEG_ID,        // u16 [3][9]
+    // inter-frame tables (single-reference wavefront walk)
+    R_INTRA_INTER,   // u16 [4][3]
+    R_Y_MODE,        // u16 [4][14]
+    R_SINGLE_REF,    // u16 [3][6][3]
+    R_NEWMV,         // u16 [6][3]
+    R_ZEROMV,        // u16 [2][3]
+    R_REFMV,         // u16 [6][3]
+    R_DRL,           // u16 [3][3]
+    R_MV_JOINT,      // u16 [1][5]
+    R_MV_SIGN,       // u16 [2][3]
+    R_MV_CLASS,      // u16 [2][12]
+    R_MV_CLASS0,     // u16 [2][3]
+    R_MV_CLASS0_FP,  // u16 [2][2][5]
+    R_MV_BITS,       // u16 [2][10][3]
+    R_MV_FP,         // u16 [2][5]
+    R_TXTYPE3,       // u16 [4][3] inter_tx_type_set3[txsqr]
     R_SM_WEIGHTS,    // i32 [68] (concatenated sizes 4,8,16,32,64)
     R_DR,            // i32 dr_intra_derivative (indexed by angle)
     R_COUNT,
 };
-constexpr int N_CDF = 21;  // u16 tables in the registry (before SM/DR)
+constexpr int N_CDF = 36;  // u16 tables in the registry (before SM/DR)
 constexpr int UV_CFL_SYM = 13;
 
 // intra_frame.py INTRA_MODE_CTX (intra mode -> context class)
@@ -1285,7 +1301,7 @@ void wavefront_cache_push_run(
     const int32_t *avail, const int32_t *avail8,
     const int32_t *steps, const int32_t *lanes,
     const int32_t *rows, const int32_t *cols,
-    int nsb, int B, int rdo_split8,
+    int nsb, int B, int rdo_split8, int nfields,
     int32_t *db_txw, int32_t *db_txh, int32_t *db_bx, int32_t *db_by,
     uint8_t *db_skip, int mi_cols_a, int mi_rows_a,
     uint8_t *mi_coded, int mic_cols, int mic_rows,
@@ -1296,6 +1312,11 @@ void wavefront_cache_push_run(
     static const int QOFF[4][2] = {{0, 0}, {0, 32}, {32, 0}, {32, 32}};
     static const int SOFF[4][2] = {{0, 0}, {0, 16}, {16, 0}, {16, 16}};
     static const int SOFF8[4][2] = {{0, 0}, {0, 8}, {8, 0}, {8, 8}};
+    // record geometry: nfields per block record (7 intra-only, 11 with
+    // the inter mv nibble fields), meta then 1024+256+256 level words
+    const int NF = nfields;
+    const int MW = 1 + 4 + 21 * NF;
+    const size_t RECW = (size_t)MW + 1536;
 
     // one block: header + (when coded) int16 -> int32 level copy,
     // deblock-map fill and stats
@@ -1303,8 +1324,14 @@ void wavefront_cache_push_run(
                     const int16_t *lu, const int16_t *lvv,
                     int x, int y, int bw, int bh, int ha, int hl) {
         const int mode = m[fofs + 0], delta = m[fofs + 1], tt = m[fofs + 2];
-        const int skip = m[fofs + 3] != 0, au = m[fofs + 4], av = m[fofs + 5];
+        const int skip = m[fofs + 3] != 0;
+        int au = m[fofs + 4], av = m[fofs + 5];
         const int uv = m[fofs + 6];
+        if (NF >= 11 && mode == 13) {
+            // inter record: the au/av header slots carry the MV (1/8 pel)
+            au = (m[fofs + 7] << 6) + m[fofs + 8];
+            av = (m[fofs + 9] << 6) + m[fofs + 10];
+        }
         int32_t hdr[15] = {x, y, bw, bh, mode, skip, tt, (ha << 1) | hl,
                            au, av, delta, 0, 0, 0, uv};
         bc->buf.insert(bc->buf.end(), hdr, hdr + 15);
@@ -1336,7 +1363,8 @@ void wavefront_cache_push_run(
                 db_skip[base + cdx] = (uint8_t)skip;
             }
         }
-        stat_out[mode]++;
+        if (mode < 13) stat_out[mode]++;
+        else stat_out[26]++;  // inter blocks
         stat_out[bw == 8 ? 13 : (bw == 16 ? 14 : (bw == 32 ? 15 : 20))]++;
         stat_out[16] += skip;
         stat_out[17] += uv == 13;  // UV_CFL_PRED
@@ -1344,18 +1372,18 @@ void wavefront_cache_push_run(
         stat_out[19]++;
         // [21..25]: per-DTT4_IDTX-symbol counts (0 IDTX, 1 DCT_DCT,
         // 2 ADST_ADST, 3 ADST_DCT, 4 DCT_ADST)
-        if (tt >= 0 && tt <= 4) stat_out[21 + tt]++;
+        if (mode < 13 && tt >= 0 && tt <= 4) stat_out[21 + tt]++;
     };
 
     for (int i = 0; i < nsb; i++) {
         const int k = steps[i], li = lanes[i];
         const int sy = rows[i] * 64, sx = cols[i] * 64;
-        const int16_t *rec0 = packed + ((size_t)(k * 4 + 0) * B + li) * 1688;
+        const int16_t *rec0 = packed + ((size_t)(k * 4 + 0) * B + li) * RECW;
         if (rec0[0] == 2) {  // whole SB is one 64x64 block
-            const int16_t *rec1 = rec0 + (size_t)B * 1688;
-            const int16_t *rec2 = rec1 + (size_t)B * 1688;
+            const int16_t *rec1 = rec0 + (size_t)B * RECW;
+            const int16_t *rec2 = rec1 + (size_t)B * RECW;
             const int32_t *avq = avail + ((((size_t)k * B + li) * 4) * 5) * 4;
-            emit(rec0, 1, rec0 + 152, rec1 + 152, rec2 + 152,
+            emit(rec0, 1, rec0 + MW, rec1 + MW, rec2 + MW,
                  sx, sy, 64, 64, avq[0], avq[1]);
             int r1 = (sy + 64) >> 2, c1 = (sx + 64) >> 2;
             if (r1 > mic_rows) r1 = mic_rows;
@@ -1367,30 +1395,30 @@ void wavefront_cache_push_run(
         }
         for (int q = 0; q < 4; q++) {
             const int16_t *rec = packed +
-                ((size_t)(k * 4 + q) * B + li) * 1688;
+                ((size_t)(k * 4 + q) * B + li) * RECW;
             const int32_t *avq = avail + ((((size_t)k * B + li) * 4 + q)
                                           * 5) * 4;
             const int qx = sx + QOFF[q][1], qy = sy + QOFF[q][0];
-            const int16_t *ly = rec + 152, *lu = rec + 1176,
-                          *lv = rec + 1432;
+            const int16_t *ly = rec + MW, *lu = rec + MW + 1024,
+                          *lv = rec + MW + 1280;
             if (!rec[0]) {  // meta[0] = split32
                 emit(rec, 1, ly, lu, lv, qx, qy, 32, 32, avq[0], avq[1]);
                 continue;
             }
             for (int s = 0; s < 4; s++) {
                 const int x16 = qx + SOFF[s][1], y16 = qy + SOFF[s][0];
-                if (rdo_split8 && rec[8 + s]) {
+                if (rdo_split8 && rec[1 + NF + s]) {
                     const int32_t *av8 = avail8 +
                         (((((size_t)k * B + li) * 4 + q) * 4 + s) * 4) * 4;
                     for (int e = 0; e < 4; e++)
-                        emit(rec, 40 + (s * 4 + e) * 7,
+                        emit(rec, 5 + 5 * NF + (s * 4 + e) * NF,
                              ly + s * 256 + e * 64, lu + s * 64 + e * 16,
                              lv + s * 64 + e * 16,
                              x16 + SOFF8[e][1], y16 + SOFF8[e][0], 8, 8,
                              av8[e * 4], av8[e * 4 + 1]);
                     continue;
                 }
-                emit(rec, 12 + s * 7, ly + s * 256, lu + s * 64,
+                emit(rec, 5 + NF + s * NF, ly + s * 256, lu + s * 64,
                      lv + s * 64, x16, y16, 16, 16,
                      avq[(1 + s) * 4], avq[(1 + s) * 4 + 1]);
             }
@@ -1403,6 +1431,761 @@ void wavefront_cache_push_run(
             memset(mi_coded + (int64_t)r * mic_cols + (sx >> 2), 1,
                    c1 - (sx >> 2));
     }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Inter-frame walk (single LAST reference): find_mv_stack + mode/MV symbol
+// coding + the whole-SB replay, the C++ analog of InterFrameEncoder._block /
+// _code_inter_symbols + mv_pred.find_mv_stack (rav1e analog: the inter arm
+// of write_block, src/encoder.rs + the ref-MV stack of
+// src/context/block_unit.rs).  Preconditions baked in: single reference
+// (LAST) frames only -- the mi grid never holds a second reference, every
+// inter neighbor shares the temporal side (no sign flips in the extra
+// search), no temporal MVs (enable_ref_frame_mvs=0), identity global
+// motion, allow_high_precision_mv=0.  Byte-parity with the python walk is
+// enforced by tests/test_native_inter.py.
+// ===========================================================================
+
+namespace {
+
+enum { M_NEARESTMV = 13, M_NEARMV = 14, M_GLOBALMV = 15, M_NEWMV = 16 };
+constexpr int REF_CAT_LEVEL_C = 640;
+constexpr int LAST_FRAME_C = 1;
+
+struct InterGrid {
+    int32_t *ref;       // (rows, cols)
+    int32_t *mv;        // (rows, cols, 2)
+    uint8_t *is_newmv;  // numpy bool_
+    int32_t *bw4a, *bh4a;
+    int rows, cols;
+
+    void set_block(int mr, int mc, int bw4, int bh4, int ref_v, int mvr,
+                   int mvc, int newmv) {
+        const int r1 = mr + bh4 < rows ? mr + bh4 : rows;
+        const int c1 = mc + bw4 < cols ? mc + bw4 : cols;
+        for (int r = mr; r < r1; r++) {
+            const int64_t b = (int64_t)r * cols;
+            for (int c = mc; c < c1; c++) {
+                ref[b + c] = ref_v;
+                mv[(b + c) * 2] = mvr;
+                mv[(b + c) * 2 + 1] = mvc;
+                is_newmv[b + c] = (uint8_t)newmv;
+                bw4a[b + c] = bw4;
+                bh4a[b + c] = bh4;
+            }
+        }
+    }
+};
+
+struct MvStack {
+    int mv[8][2];
+    int weight[8];
+    int len;        // after the global-mv fill (>= 2)
+    int num_found;  // genuine candidates before the fill
+    int newmv_ctx, refmv_ctx, zeromv_ctx;
+};
+
+inline int lower_even(int v) {  // lower_mv_precision, allow_hp=0
+    if (v & 1) v += v > 0 ? -1 : 1;
+    return v;
+}
+
+// mv_pred.find_mv_stack, single-reference arm
+void find_mv_stack_c(const InterGrid &g, int mi_row, int mi_col, int bw4,
+                     int bh4, int rf, int t_r0, int t_c0, int t_r1, int t_c1,
+                     MvStack &out) {
+    int n = 0;
+    int mvs[8][2];
+    int wts[8];
+    bool found = false;
+    int newmv_count = 0;
+    auto inside = [&](int r, int c) {
+        return r >= t_r0 && r < t_r1 && c >= t_c0 && c < t_c1;
+    };
+    auto push = [&](int pr, int pc, int w) {
+        for (int i = 0; i < n; i++)
+            if (mvs[i][0] == pr && mvs[i][1] == pc) { wts[i] += w; return; }
+        if (n < 8) { mvs[n][0] = pr; mvs[n][1] = pc; wts[n] = w; n++; }
+    };
+    auto add_cand = [&](int r, int c, int w) {
+        const int64_t b = (int64_t)r * g.cols + c;
+        const int cref = g.ref[b];
+        if (cref <= 0 || cref != rf) return;  // NONE/INTRA or other ref
+        push(lower_even(g.mv[b * 2]), lower_even(g.mv[b * 2 + 1]), w);
+        if (g.is_newmv[b]) newmv_count++;
+        found = true;
+    };
+    int processed_rows = 0, processed_cols = 0;
+    auto scan_row = [&](int delta_row, int max_row_offset) {
+        int delta_col = 0;
+        int end4 = bw4 < g.cols - mi_col ? bw4 : g.cols - mi_col;
+        if (end4 > 16) end4 = 16;
+        const bool use16 = bw4 >= 16;
+        if (delta_row < -1 || delta_row > 1) {
+            delta_col = 1;
+            if ((mi_col & 1) && bw4 < 2) delta_col -= 1;
+        }
+        int i = 0;
+        while (i < end4) {
+            const int r = mi_row + delta_row, c = mi_col + delta_col + i;
+            if (!inside(r, c)) break;
+            const int64_t b = (int64_t)r * g.cols + c;
+            const int cand_bw4 = g.bw4a[b] > 1 ? g.bw4a[b] : 1;
+            int length = bw4 < cand_bw4 ? bw4 : cand_bw4;
+            if (use16) length = length > 4 ? length : 4;
+            else if (delta_row < -1 || delta_row > 1)
+                length = length > 2 ? length : 2;
+            int weight = 2;
+            if (2 <= bw4 && bw4 <= cand_bw4) {
+                const int bh = g.bh4a[b] > 1 ? g.bh4a[b] : 1;
+                int inc = -max_row_offset + delta_row + 1;
+                if (inc > bh) inc = bh;
+                if (inc > weight) weight = inc;
+                processed_rows = inc - delta_row - 1;
+            }
+            add_cand(r, c, length * weight);
+            i += length;
+        }
+    };
+    auto scan_col = [&](int delta_col, int max_col_offset) {
+        int delta_row = 0;
+        int end4 = bh4 < g.rows - mi_row ? bh4 : g.rows - mi_row;
+        if (end4 > 16) end4 = 16;
+        const bool use16 = bh4 >= 16;
+        if (delta_col < -1 || delta_col > 1) {
+            delta_row = 1;
+            if ((mi_row & 1) && bh4 < 2) delta_row -= 1;
+        }
+        int i = 0;
+        while (i < end4) {
+            const int r = mi_row + delta_row + i, c = mi_col + delta_col;
+            if (!inside(r, c)) break;
+            const int64_t b = (int64_t)r * g.cols + c;
+            const int cand_bh4 = g.bh4a[b] > 1 ? g.bh4a[b] : 1;
+            int length = bh4 < cand_bh4 ? bh4 : cand_bh4;
+            if (use16) length = length > 4 ? length : 4;
+            else if (delta_col < -1 || delta_col > 1)
+                length = length > 2 ? length : 2;
+            int weight = 2;
+            if (2 <= bh4 && bh4 <= cand_bh4) {
+                const int bw = g.bw4a[b] > 1 ? g.bw4a[b] : 1;
+                int inc = -max_col_offset + delta_col + 1;
+                if (inc > bw) inc = bw;
+                if (inc > weight) weight = inc;
+                processed_cols = inc - delta_col - 1;
+            }
+            add_cand(r, c, length * weight);
+            i += length;
+        }
+    };
+    bool found_above = false, found_left = false;
+    auto run_found = [&](bool *acc) { *acc |= found; found = false; };
+
+    int max_row_offset = 0;
+    if (mi_row > t_r0) {
+        max_row_offset = -(3 << 1);
+        if (t_r0 - mi_row > max_row_offset) max_row_offset = t_r0 - mi_row;
+    }
+    int max_col_offset = 0;
+    if (mi_col > t_c0) {
+        max_col_offset = -(3 << 1);
+        if (t_c0 - mi_col > max_col_offset) max_col_offset = t_c0 - mi_col;
+    }
+
+    found = false;
+    if (max_row_offset <= -1 || max_row_offset >= 1)
+        scan_row(-1, max_row_offset);
+    run_found(&found_above);
+    if (max_col_offset <= -1 || max_col_offset >= 1)
+        scan_col(-1, max_col_offset);
+    run_found(&found_left);
+    if (bw4 <= 16) {  // top-right point
+        const int r = mi_row - 1, c = mi_col + bw4;
+        if (inside(r, c) && g.ref[(int64_t)r * g.cols + c] != -1)
+            add_cand(r, c, 4);
+    }
+    run_found(&found_above);
+
+    const int close_matches = (int)found_above + (int)found_left;
+    const int num_nearest = n;
+    const int num_new = newmv_count;
+    for (int i = 0; i < num_nearest; i++) wts[i] += REF_CAT_LEVEL_C;
+
+    {  // top-left point
+        const int r = mi_row - 1, c = mi_col - 1;
+        if (inside(r, c) && g.ref[(int64_t)r * g.cols + c] != -1)
+            add_cand(r, c, 4);
+    }
+    run_found(&found_above);
+
+    for (int idx = 2; idx <= 3; idx++) {
+        const int delta = -(idx * 2 - 1);
+        found = false;
+        if (-delta <= -max_row_offset && -delta > processed_rows)
+            scan_row(delta, max_row_offset);
+        run_found(&found_above);
+        if (-delta <= -max_col_offset && -delta > processed_cols)
+            scan_col(delta, max_col_offset);
+        run_found(&found_left);
+    }
+
+    const int total_matches = (int)found_above + (int)found_left;
+
+    // stable descending sort, nearest group then outer group
+    auto sort_range = [&](int lo, int hi) {
+        for (int i = lo + 1; i < hi; i++) {  // insertion sort (stable)
+            int w = wts[i], m0 = mvs[i][0], m1 = mvs[i][1];
+            int j = i - 1;
+            while (j >= lo && wts[j] < w) {
+                wts[j + 1] = wts[j];
+                mvs[j + 1][0] = mvs[j][0];
+                mvs[j + 1][1] = mvs[j][1];
+                j--;
+            }
+            wts[j + 1] = w;
+            mvs[j + 1][0] = m0;
+            mvs[j + 1][1] = m1;
+        }
+    };
+    sort_range(0, num_nearest);
+    sort_range(num_nearest, n);
+
+    if (close_matches == 0) {
+        out.newmv_ctx = total_matches < 1 ? total_matches : 1;
+        out.refmv_ctx = total_matches;
+    } else if (close_matches == 1) {
+        out.newmv_ctx = 3 - (num_new < 1 ? num_new : 1);
+        out.refmv_ctx = 2 + total_matches;
+    } else {
+        out.newmv_ctx = 5 - (num_new < 1 ? num_new : 1);
+        out.refmv_ctx = 5;
+    }
+    out.zeromv_ctx = 0;
+
+    // extra search (7.10.2.12, single-ref arm).  Every inter neighbor in a
+    // single-LAST frame shares the temporal side: no sign flips.
+    if (n < 2) {
+        int w4 = bw4 < g.cols - mi_col ? bw4 : g.cols - mi_col;
+        if (w4 > 16) w4 = 16;
+        int h4 = bh4 < g.rows - mi_row ? bh4 : g.rows - mi_row;
+        if (h4 > 16) h4 = 16;
+        const int num4 = w4 < h4 ? w4 : h4;
+        for (int pass = 0; pass < 2 && n < 2; pass++) {
+            if (pass == 0 && mi_row <= t_r0) continue;
+            if (pass == 1 && mi_col <= t_c0) continue;
+            int i = 0;
+            while (i < num4 && n < 2) {
+                const int r = pass == 0 ? mi_row - 1 : mi_row + i;
+                const int c = pass == 0 ? mi_col + i : mi_col - 1;
+                if (!inside(r, c)) break;
+                const int64_t b = (int64_t)r * g.cols + c;
+                const int cref = g.ref[b];
+                if (cref > 0) {
+                    const int pr = lower_even(g.mv[b * 2]);
+                    const int pc = lower_even(g.mv[b * 2 + 1]);
+                    bool dup = false;
+                    for (int k = 0; k < n; k++)
+                        if (mvs[k][0] == pr && mvs[k][1] == pc) dup = true;
+                    if (!dup && n < 2) {
+                        mvs[n][0] = pr;
+                        mvs[n][1] = pc;
+                        wts[n] = 2;
+                        n++;
+                    }
+                }
+                const int step = pass == 0 ? g.bw4a[b] : g.bh4a[b];
+                i += step > 1 ? step : 1;
+            }
+        }
+    }
+
+    out.num_found = n;
+    while (n < 2) {  // global-mv (identity: zero) fill
+        mvs[n][0] = 0;
+        mvs[n][1] = 0;
+        wts[n] = 0;
+        n++;
+    }
+
+    // clamp (7.10.2.14)
+    const int row_border = 128 + bh4 * 32;
+    const int col_border = 128 + bw4 * 32;
+    const int mb_top = -(mi_row * 32);
+    const int mb_bottom = (g.rows - bh4 - mi_row) * 32;
+    const int mb_left = -(mi_col * 32);
+    const int mb_right = (g.cols - bw4 - mi_col) * 32;
+    for (int i = 0; i < n; i++) {
+        int r = mvs[i][0], c = mvs[i][1];
+        if (r < mb_top - row_border) r = mb_top - row_border;
+        if (r > mb_bottom + row_border) r = mb_bottom + row_border;
+        if (c < mb_left - col_border) c = mb_left - col_border;
+        if (c > mb_right + col_border) c = mb_right + col_border;
+        out.mv[i][0] = r;
+        out.mv[i][1] = c;
+        out.weight[i] = wts[i];
+    }
+    out.len = n;
+}
+
+inline int drl_ctx_c(const MvStack &s, int idx) {
+    if (s.weight[idx] >= REF_CAT_LEVEL_C
+        && s.weight[idx + 1] >= REF_CAT_LEVEL_C)
+        return 0;
+    if (s.weight[idx] >= REF_CAT_LEVEL_C
+        && s.weight[idx + 1] < REF_CAT_LEVEL_C)
+        return 1;
+    return 2;
+}
+
+// mv_pred.intra_inter_ctx
+inline int intra_inter_ctx_c(const InterGrid &g, int mr, int mc, int t_r0,
+                             int t_c0) {
+    const bool ha = mr > t_r0, hl = mc > t_c0;
+    const bool ai = ha && g.ref[(int64_t)(mr - 1) * g.cols + mc] == 0;
+    const bool li = hl && g.ref[(int64_t)mr * g.cols + mc - 1] == 0;
+    if (ha && hl) return ai && li ? 3 : ((ai || li) ? 1 : 0);
+    if (ha || hl) return 2 * (int)(ai || li);
+    return 0;
+}
+
+inline int balance_ctx(int c0, int c1) {
+    return c0 == c1 ? 1 : (c0 < c1 ? 0 : 2);
+}
+
+// single_ref contexts p1/p3/p4 for a LAST-only frame (neighbor refs are
+// LAST or intra, so fwd = counts[LAST], bwd = 0, last2 group = counts)
+void last_ref_ctxs(const InterGrid &g, int mr, int mc, int t_r0, int t_c0,
+                   int *c1, int *c3, int *c4) {
+    int n_last = 0;
+    if (mr > t_r0 && g.ref[(int64_t)(mr - 1) * g.cols + mc] == LAST_FRAME_C)
+        n_last++;
+    if (mc > t_c0 && g.ref[(int64_t)mr * g.cols + mc - 1] == LAST_FRAME_C)
+        n_last++;
+    *c1 = balance_ctx(n_last, 0);  // fwd vs bwd
+    *c3 = balance_ctx(n_last, 0);  // LAST+LAST2 vs LAST3+GOLDEN
+    *c4 = balance_ctx(n_last, 0);  // LAST vs LAST2
+}
+
+void encode_mv_comp_c(MsacEnc *enc, const Ptrs &P, int comp, int v,
+                      int adapt) {
+    const int sign = v < 0 ? 1 : 0;
+    const int mag = v < 0 ? -v : v;
+    msac_symbol(enc, P.c[R_MV_SIGN] + comp * 3, 2, sign, adapt);
+    const int z = mag - 1;
+    if (z < 16) {
+        msac_symbol(enc, P.c[R_MV_CLASS] + comp * 12, 11, 0, adapt);
+        const int ib = z >> 3, fr = (z >> 1) & 3;
+        msac_symbol(enc, P.c[R_MV_CLASS0] + comp * 3, 2, ib, adapt);
+        msac_symbol(enc, P.c[R_MV_CLASS0_FP] + ((int64_t)comp * 2 + ib) * 5,
+                    4, fr, adapt);
+    } else {
+        int cls = 0;
+        while ((2 << cls) <= (z >> 3)) cls++;  // floor(log2(z)) - 3
+        msac_symbol(enc, P.c[R_MV_CLASS] + comp * 12, 11, cls, adapt);
+        const int d = z - (16 << (cls - 1));
+        const int ip = d >> 3;
+        for (int i = 0; i < cls; i++)
+            msac_symbol(enc, P.c[R_MV_BITS] + ((int64_t)comp * 10 + i) * 3,
+                        2, (ip >> i) & 1, adapt);
+        msac_symbol(enc, P.c[R_MV_FP] + comp * 5, 4, (d >> 1) & 3, adapt);
+    }
+}
+
+// InterFrameEncoder._code_inter_symbols (single-reference frames), one
+// block: mode info + residual + neighbor/grid state.
+int code_inter_frame_block(
+    MsacEnc *enc, const Ptrs &P, InterGrid &g,
+    int x, int y, int bw, int bh, int mode, int skip, int tt,
+    int mvr, int mvc,
+    const int32_t *lv_y, const int32_t *lv_u, const int32_t *lv_v,
+    const int32_t *scan_y, const int32_t *scan_c,
+    int32_t *above_skip, int32_t *left_skip,
+    const uint64_t *pctx, int mi_cols, int mi_rows, int adapt, int q_nonzero,
+    int cdef_bits, int cdef_idx,
+    int t_r0, int t_c0, int t_r1, int t_c1)
+{
+    const int cx = x >> 1, cy = y >> 1, cw = bw >> 1, ch = bh >> 1;
+    const int mc = x / 4, mr = y / 4;
+    const int bw4 = bw / 4, bh4 = bh / 4;
+    const bool is_inter = mode == 13;
+
+    const int skip_ctx = above_skip[mc] + left_skip[mr];
+    msac_symbol(enc, P.c[R_SKIP] + skip_ctx * 3, 2, skip, adapt);
+    if (cdef_bits > 0 && cdef_idx >= 0 && !skip)
+        msac_literal(enc, (unsigned)cdef_idx, cdef_bits);
+    const int ii = intra_inter_ctx_c(g, mr, mc, t_r0, t_c0);
+    msac_symbol(enc, P.c[R_INTRA_INTER] + ii * 3, 2, is_inter ? 1 : 0,
+                adapt);
+
+    if (is_inter) {
+        // single-reference LAST bits (spec read_ref_frames single path)
+        int c1, c3, c4;
+        last_ref_ctxs(g, mr, mc, t_r0, t_c0, &c1, &c3, &c4);
+        msac_symbol(enc, P.c[R_SINGLE_REF] + ((int64_t)c1 * 6 + 0) * 3, 2,
+                    0, adapt);  // p1: forward group
+        msac_symbol(enc, P.c[R_SINGLE_REF] + ((int64_t)c3 * 6 + 2) * 3, 2,
+                    0, adapt);  // p3: LAST/LAST2 group
+        msac_symbol(enc, P.c[R_SINGLE_REF] + ((int64_t)c4 * 6 + 3) * 3, 2,
+                    0, adapt);  // p4: LAST
+        MvStack s;
+        find_mv_stack_c(g, mr, mc, bw4, bh4, LAST_FRAME_C, t_r0, t_c0, t_r1,
+                        t_c1, s);
+        // cheapest codable mode for the device-chosen MV
+        int ymode, ref_mv_idx = 0;
+        if (mvr == 0 && mvc == 0) {
+            ymode = M_GLOBALMV;
+        } else if (s.num_found >= 1 && s.mv[0][0] == mvr
+                   && s.mv[0][1] == mvc) {
+            ymode = M_NEARESTMV;
+        } else {
+            ymode = M_NEWMV;
+            for (int di = 1; di <= 2; di++)
+                if (s.num_found > di && s.mv[di][0] == mvr
+                    && s.mv[di][1] == mvc) {
+                    ymode = M_NEARMV;
+                    ref_mv_idx = di;
+                    break;
+                }
+        }
+        msac_symbol(enc, P.c[R_NEWMV] + s.newmv_ctx * 3, 2,
+                    ymode == M_NEWMV ? 0 : 1, adapt);
+        if (ymode != M_NEWMV) {
+            msac_symbol(enc, P.c[R_ZEROMV] + s.zeromv_ctx * 3, 2,
+                        ymode == M_GLOBALMV ? 0 : 1, adapt);
+            if (ymode != M_GLOBALMV)
+                msac_symbol(enc, P.c[R_REFMV] + s.refmv_ctx * 3, 2,
+                            ymode == M_NEARESTMV ? 0 : 1, adapt);
+        }
+        if (ymode == M_NEWMV) {
+            for (int idx = 0; idx <= 1; idx++) {
+                if (s.num_found > idx + 1) {
+                    const int bit = ref_mv_idx != idx ? 1 : 0;
+                    msac_symbol(enc, P.c[R_DRL] + drl_ctx_c(s, idx) * 3, 2,
+                                bit, adapt);
+                    if (!bit) break;
+                }
+            }
+        } else if (ymode == M_NEARMV) {
+            for (int idx = 1; idx <= 2; idx++) {
+                if (s.num_found > idx + 1) {
+                    const int bit = ref_mv_idx != idx ? 1 : 0;
+                    msac_symbol(enc, P.c[R_DRL] + drl_ctx_c(s, idx) * 3, 2,
+                                bit, adapt);
+                    if (!bit) break;
+                }
+            }
+        }
+        if (ymode == M_NEWMV) {
+            const int dr = mvr - s.mv[ref_mv_idx][0];
+            const int dc = mvc - s.mv[ref_mv_idx][1];
+            const int joint = (dr ? 2 : 0) | (dc ? 1 : 0);
+            msac_symbol(enc, P.c[R_MV_JOINT], 4, joint, adapt);
+            if (dr) encode_mv_comp_c(enc, P, 0, dr, adapt);
+            if (dc) encode_mv_comp_c(enc, P, 1, dc, adapt);
+        }
+        g.set_block(mr, mc, bw4, bh4, LAST_FRAME_C, mvr, mvc,
+                    ymode == M_NEWMV ? 1 : 0);
+    } else {
+        // intra in inter frame: y_mode over the size-group cdf, angle
+        // delta 0, DC chroma (the device pass's intra-in-inter envelope)
+        int mn = bw < bh ? bw : bh;
+        int sg = 0;
+        while ((8 << sg) <= mn && sg < 3) sg++;  // log2(min)-2 capped [0,3]
+        msac_symbol(enc, P.c[R_Y_MODE] + sg * 14, 13, mode, adapt);
+        if (mn >= 8 && mode >= V_PRED && mode <= D67)
+            msac_symbol(enc, P.c[R_ANGLE] + (mode - V_PRED) * 8, 7, 0 + 3,
+                        adapt);
+        const int cfl_allowed = (bw > bh ? bw : bh) <= 32 ? 1 : 0;
+        msac_symbol(enc, P.c[R_UV] + ((int64_t)cfl_allowed * 13 + mode) * 15,
+                    cfl_allowed ? 14 : 13, DC_PRED, adapt);
+        g.set_block(mr, mc, bw4, bh4, 0 /* INTRA */, 0, 0, 0);
+    }
+
+    // ---- residual (shared context machinery with the intra coder) ----
+    const int eob_area[7] = {16, 32, 64, 128, 256, 512, 1024};
+    auto residual = [&](int plane, int px, int py, int tw, int th,
+                        const int32_t *lv, const int32_t *scan) {
+        const int ptype = plane ? 1 : 0;
+        const int txs = tx_size_ctx(tw, th);
+        int32_t *a_cul = (int32_t *)pctx[plane * 4 + 0];
+        int32_t *l_cul = (int32_t *)pctx[plane * 4 + 1];
+        int32_t *a_dc = (int32_t *)pctx[plane * 4 + 2];
+        int32_t *l_dc = (int32_t *)pctx[plane * 4 + 3];
+        int tctx = 0;
+        if (plane) {
+            bool aa = false, la = false;
+            for (int i = px / 4; i < (px + tw) / 4; i++) aa |= a_cul[i] != 0;
+            for (int i = py / 4; i < (py + th) / 4; i++) la |= l_cul[i] != 0;
+            tctx = 7 + (aa ? 1 : 0) + (la ? 1 : 0);
+        }
+        int pos = 0, neg = 0;
+        for (int i = px / 4; i < (px + tw) / 4; i++) {
+            pos += a_dc[i] == 2;
+            neg += a_dc[i] == 1;
+        }
+        for (int i = py / 4; i < (py + th) / 4; i++) {
+            pos += l_dc[i] == 2;
+            neg += l_dc[i] == 1;
+        }
+        const int sdc = pos - neg;
+        const int dctx = sdc == 0 ? 0 : (sdc > 0 ? 2 : 1);
+        uint16_t *tx_row = nullptr;
+        int tx_sym = 1, tx_ns = 0;
+        const int mx = tw > th ? tw : th;
+        const int mnd = tw < th ? tw : th;
+        if (plane == 0 && q_nonzero) {
+            if (is_inter && mx <= 32) {
+                // inter + reduced_tx_set: EXT_TX_SET_DCT_IDTX, DCT = sym 1
+                int txsqr = mnd >= 32 ? 3 : mnd >= 16 ? 2 : mnd >= 8 ? 1 : 0;
+                tx_row = P.c[R_TXTYPE3] + (int64_t)txsqr * 3;
+                tx_sym = 1;
+                tx_ns = 2;
+            } else if (!is_inter && mx <= 16) {
+                int txsqr = mnd >= 16 ? 2 : (mnd >= 8 ? 1 : 0);
+                tx_row = P.c[R_TXTYPE2] + ((int64_t)txsqr * 13 + mode) * 6;
+                tx_sym = tt;
+                tx_ns = 5;
+            }
+        }
+        const int ctw = tw > 32 ? 32 : tw, cth = th > 32 ? 32 : th;
+        int ei = 0;
+        while (eob_area[ei] < ctw * cth) ei++;
+        const int eob_ns = 5 + ei;
+        uint16_t *eob_row =
+            P.c[R_EOB16 + ei] + (int64_t)ptype * 2 * (eob_ns + 1);
+        const int txs_br = txs < 3 ? txs : 3;
+        int ret = msac_encode_txb(
+            enc, lv, ctw, cth, scan, ptype, 0, tctx, dctx,
+            P.c[R_TXB_SKIP] + ((int64_t)txs * 13 + tctx) * 3,
+            eob_row, eob_ns,
+            P.c[R_EOB_EXTRA] + ((int64_t)txs * 2 + ptype) * 9 * 3,
+            P.c[R_BASE_EOB] + ((int64_t)txs * 2 + ptype) * 4 * 4,
+            P.c[R_BASE] + ((int64_t)txs * 2 + ptype) * 42 * 5,
+            P.c[R_BR] + ((int64_t)txs_br * 2 + ptype) * 21 * 5,
+            P.c[R_DC_SIGN] + ((int64_t)ptype * 3 + dctx) * 3,
+            adapt, tx_sym, tx_row, tx_ns);
+        const int cul = (ret >> 8) & 0xFF, dc_cat = ret & 0xFF;
+        const int sub = plane ? 1 : 0;
+        const int maxc = ((mi_cols * 4) >> sub) / 4;
+        const int maxr = ((mi_rows * 4) >> sub) / 4;
+        const int cc1 = (px + tw) / 4 < maxc ? (px + tw) / 4 : maxc;
+        const int rr1 = (py + th) / 4 < maxr ? (py + th) / 4 : maxr;
+        for (int i = px / 4; i < cc1; i++) { a_cul[i] = cul; a_dc[i] = dc_cat; }
+        for (int i = py / 4; i < rr1; i++) { l_cul[i] = cul; l_dc[i] = dc_cat; }
+    };
+    auto zero_ctx = [&](int plane, int px, int py, int tw, int th) {
+        const int sub = plane ? 1 : 0;
+        int32_t *a_cul = (int32_t *)pctx[plane * 4 + 0];
+        int32_t *l_cul = (int32_t *)pctx[plane * 4 + 1];
+        int32_t *a_dc = (int32_t *)pctx[plane * 4 + 2];
+        int32_t *l_dc = (int32_t *)pctx[plane * 4 + 3];
+        const int maxc = ((mi_cols * 4) >> sub) / 4;
+        const int maxr = ((mi_rows * 4) >> sub) / 4;
+        const int cc1 = (px + tw) / 4 < maxc ? (px + tw) / 4 : maxc;
+        const int rr1 = (py + th) / 4 < maxr ? (py + th) / 4 : maxr;
+        for (int i = px / 4; i < cc1; i++) { a_cul[i] = 0; a_dc[i] = 0; }
+        for (int i = py / 4; i < rr1; i++) { l_cul[i] = 0; l_dc[i] = 0; }
+    };
+
+    if (!skip) {
+        residual(0, x, y, bw, bh, lv_y, scan_y);
+        residual(1, cx, cy, cw, ch, lv_u, scan_c);
+        residual(2, cx, cy, cw, ch, lv_v, scan_c);
+    } else {
+        zero_ctx(0, x, y, bw, bh);
+        zero_ctx(1, cx, cy, cw, ch);
+        zero_ctx(2, cx, cy, cw, ch);
+    }
+
+    const int c1 = mc + bw4 < mi_cols ? mc + bw4 : mi_cols;
+    const int r1 = mr + bh4 < mi_rows ? mr + bh4 : mi_rows;
+    for (int i = mc; i < c1; i++) above_skip[i] = skip;
+    for (int i = mr; i < r1; i++) left_skip[i] = skip;
+    return skip | (tt << 1);
+}
+
+// inter flavor of replay_one: consume one cached record (mode 13 = inter
+// with the MV in the au/av slots) and code its symbols
+int replay_one_inter(BlockCache *bc, MsacEnc *enc, const Ptrs &P,
+                     InterGrid &g, int x, int y, int bw, int bh,
+                     const uint64_t *scans,
+                     int32_t *above_skip, int32_t *left_skip,
+                     const uint64_t *pctx, int mi_cols, int mi_rows,
+                     int adapt, int q_nonzero,
+                     int cdef_bits, int *cdef_pending, int cdef_idx,
+                     int t_r0, int t_c0, int t_r1, int t_c1) {
+    if (bc->cursor + 15 > bc->buf.size()) return -1;
+    const int32_t *hd = &bc->buf[bc->cursor];
+    if (hd[0] != x || hd[1] != y || hd[2] != bw || hd[3] != bh) return -1;
+    const int mode = hd[4], skip = hd[5], tt = hd[6];
+    const int mvr = hd[8], mvc = hd[9];
+    bc->cursor += 15;
+    const int cw = bw >> 1, ch = bh >> 1;
+    const size_t ny = (size_t)(bw > 32 ? 32 : bw) * (bh > 32 ? 32 : bh);
+    const size_t nc = (size_t)(cw > 32 ? 32 : cw) * (ch > 32 ? 32 : ch);
+    const int32_t *lv_y = nullptr, *lv_u = nullptr, *lv_v = nullptr;
+    if (!skip) {
+        lv_y = &bc->buf[bc->cursor];
+        lv_u = lv_y + ny;
+        lv_v = lv_u + nc;
+        bc->cursor += ny + 2 * nc;
+    }
+    auto lg = [](int d) { return d >= 32 ? 3 : d >= 16 ? 2 : d >= 8 ? 1 : 0; };
+    const int32_t *scan_y = (const int32_t *)scans[lg(bw) * 4 + lg(bh)];
+    const int32_t *scan_c = (const int32_t *)scans[lg(cw) * 4 + lg(ch)];
+    int clit = -1;
+    if (!skip && cdef_bits > 0 && cdef_pending && *cdef_pending) {
+        clit = cdef_idx;
+        *cdef_pending = 0;
+    }
+    return code_inter_frame_block(enc, P, g, x, y, bw, bh, mode, skip, tt,
+                                  mvr, mvc, lv_y, lv_u, lv_v, scan_y, scan_c,
+                                  above_skip, left_skip, pctx, mi_cols,
+                                  mi_rows, adapt, q_nonzero, cdef_bits, clit,
+                                  t_r0, t_c0, t_r1, t_c1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Replay a whole INTER-frame superblock from the cache: partition symbols
+// from the split maps + cached block symbols with MV-stack re-derivation
+// against the shared mi grid.  Returns 0, or -1 on cache desync.
+int encode_inter_sb_cached(
+    void *cache, MsacEnc *enc, const uint64_t *reg,
+    int sb_x, int sb_y, int mi_cols, int mi_rows, int adapt, int q_nonzero,
+    int t_r0, int t_c0, int t_r1, int t_c1,
+    const uint64_t *scans,
+    int32_t *above_part, int32_t *left_part,
+    int32_t *above_skip, int32_t *left_skip,
+    const uint64_t *pctx, uint16_t *part_cdf,
+    const uint8_t *split32, int split_stride, int rdo_partition,
+    const uint8_t *none64, int none64_stride,
+    int32_t *g_ref, int32_t *g_mv, uint8_t *g_newmv, int32_t *g_bw4,
+    int32_t *g_bh4,
+    int cdef_bits, int cdef_idx)
+{
+    Ptrs P;
+    for (int i = 0; i < N_CDF; i++) P.c[i] = (uint16_t *)reg[i];
+    P.sm = (const int32_t *)reg[R_SM_WEIGHTS];
+    P.dr = (const int32_t *)reg[R_DR];
+    InterGrid g{g_ref, g_mv, g_newmv, g_bw4, g_bh4, mi_rows, mi_cols};
+    BlockCache *bc = (BlockCache *)cache;
+    int cdef_pending = cdef_bits > 0 && cdef_idx >= 0 ? 1 : 0;
+    int err = 0;
+
+    struct Walk {
+        BlockCache *bc;
+        MsacEnc *enc;
+        const Ptrs *P;
+        InterGrid *g;
+        const uint64_t *scans;
+        int32_t *above_part, *left_part, *above_skip, *left_skip;
+        const uint64_t *pctx;
+        uint16_t *part_cdf;
+        const uint8_t *split32;
+        int split_stride, rdo_partition;
+        const uint8_t *none64;
+        int none64_stride;
+        int mi_cols, mi_rows, adapt, q_nonzero;
+        int t_r0, t_c0, t_r1, t_c1;
+        int cdef_bits, *cdef_pending, cdef_idx;
+        int *err;
+
+        void block(int x, int y, int bw, int bh) {
+            if (*err) return;
+            int r = replay_one_inter(bc, enc, *P, *g, x, y, bw, bh, scans,
+                                     above_skip, left_skip, pctx, mi_cols,
+                                     mi_rows, adapt, q_nonzero, cdef_bits,
+                                     cdef_pending, cdef_idx, t_r0, t_c0,
+                                     t_r1, t_c1);
+            if (r < 0) *err = 1;
+        }
+        void gbool(int bit, const uint16_t *row, const int *pset, int nset,
+                   int nsyms) {
+            int total = 0;
+            for (int i = 0; i < nset; i++) {
+                int p = pset[i];
+                if (p >= nsyms) continue;
+                int hi = p == 0 ? 32768 : row[p - 1];
+                total += hi - row[p];
+            }
+            if (total < 1) total = 1;
+            if (total > 32767) total = 32767;
+            msac_bool(enc, bit, (unsigned)total);
+        }
+        void partition(int x, int y, int size) {
+            if (*err) return;
+            const int mc = x / 4, mr = y / 4;
+            if (mc >= mi_cols || mr >= mi_rows) return;
+            const int bsl = size == 8 ? 1 : size == 16 ? 2
+                            : size == 32 ? 3 : 4;
+            const int half_mi = size / 8;
+            const bool has_rows = (mr + half_mi) < mi_rows;
+            const bool has_cols = (mc + half_mi) < mi_cols;
+            const int ctx = (((left_part[mr] >> (bsl - 1)) & 1) << 1)
+                            | ((above_part[mc] >> (bsl - 1)) & 1);
+            uint16_t *row = part_cdf + ((int64_t)(bsl - 1) * 4 + ctx) * 11;
+            const int nsyms = size == 8 ? 4 : 10;
+            bool want_split;
+            if (size > 32) {
+                want_split = !(none64 && has_rows && has_cols
+                               && none64[(int64_t)(y / 64) * none64_stride
+                                         + x / 64]);
+            } else if (size == 32 && rdo_partition && has_rows && has_cols) {
+                want_split =
+                    split32[(int64_t)(y / 32) * split_stride + x / 32] != 0;
+            } else {
+                want_split = false;
+            }
+            static const int TOP_SET[] = {2, 3, 4, 6, 7, 9};
+            static const int LEFT_SET[] = {1, 3, 4, 5, 6, 8};
+            int part;
+            if (has_rows && has_cols) {
+                part = want_split ? 3 : 0;
+                msac_symbol(enc, row, nsyms, part, adapt);
+            } else if (has_cols) {
+                part = want_split ? 3 : 1;
+                gbool(part == 3 ? 1 : 0, row, TOP_SET, 6, nsyms);
+            } else if (has_rows) {
+                part = want_split ? 3 : 2;
+                gbool(part == 3 ? 1 : 0, row, LEFT_SET, 6, nsyms);
+            } else {
+                part = 3;
+            }
+            const int half = size / 2;
+            if (part == 3) {
+                partition(x, y, half);
+                partition(x + half, y, half);
+                partition(x, y + half, half);
+                partition(x + half, y + half, half);
+                return;
+            }
+            int bw = size, bh = size;
+            if (part == 1) bh = half;
+            if (part == 2) bw = half;
+            block(x, y, bw, bh);
+            if (part == 1 && (mr + half_mi) < mi_rows)
+                block(x, y + half, bw, bh);
+            if (part == 2 && (mc + half_mi) < mi_cols)
+                block(x + half, y, bw, bh);
+            PartCtx pc = part_ctx_rect(bw, bh);
+            const int n4 = size / 4;
+            const int c1 = mc + n4 < mi_cols ? mc + n4 : mi_cols;
+            const int r1 = mr + n4 < mi_rows ? mr + n4 : mi_rows;
+            for (int i = mc; i < c1; i++) above_part[i] = pc.ab;
+            for (int i = mr; i < r1; i++) left_part[i] = pc.lf;
+        }
+    } w{bc, enc, &P, &g, scans, above_part, left_part, above_skip,
+        left_skip, pctx, part_cdf, split32, split_stride, rdo_partition,
+        none64, none64_stride, mi_cols, mi_rows, adapt, q_nonzero,
+        t_r0, t_c0, t_r1, t_c1, cdef_bits, &cdef_pending, cdef_idx, &err};
+
+    w.partition(sb_x, sb_y, 64);
+    return err ? -1 : 0;
 }
 
 }  // extern "C"

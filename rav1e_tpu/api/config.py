@@ -123,7 +123,11 @@ class EncoderConfig:
 
 @dataclass
 class Config:
-    """Reference analog: Config (src/api/config/mod.rs)."""
+    """Reference analog: Config (src/api/config/mod.rs).
+
+    threads: the reference's rayon pool size; here it is the number of
+    DEVICES the encoder may shard tile columns over (0 = single device).
+    Requires tile_cols >= threads for the sharded path to engage."""
 
     enc: EncoderConfig = field(default_factory=EncoderConfig)
     threads: int = 0
@@ -132,4 +136,4 @@ class Config:
         from rav1e_tpu.api.context import Context
 
         self.enc.validate()
-        return Context(replace(self.enc))
+        return Context(replace(self.enc), threads=self.threads)

@@ -56,8 +56,9 @@ class Context:
 
     GROUP = 4  # pyramid sub-GOP length (reference: InterConfig group_input_len)
 
-    def __init__(self, enc: EncoderConfig):
+    def __init__(self, enc: EncoderConfig, threads: int = 0):
         self.enc = enc
+        self.threads = threads
         self.frame_q: deque = deque()
         self.input_frameno = 0
         self.frames_processed = 0
@@ -67,6 +68,11 @@ class Context:
         self._pending: list = []  # reordered packets awaiting delivery
         self._ftype_q: deque = deque()  # frame types aligned with frame_q
         self._sc = None
+        # lookahead keyframe planning: the newest queued frame's scene
+        # score awaiting forward validation (resolved when the NEXT frame
+        # arrives, or with no forward data at flush).  Reference analog:
+        # compute_keyframe_placement over the lookahead window.
+        self._sc_pending: float | None = None
         # every frame is a forced keyframe at interval 1: scene analysis
         # would burn ~0.2s/frame at 1080p deciding nothing
         if (not enc.speed_settings.no_scene_detection
@@ -99,16 +105,32 @@ class Context:
         # its internal limit allows"): the lookahead queue is bounded
         if len(self.frame_q) >= self._lookahead_depth + self.GROUP + 1:
             raise EncoderError(EncoderStatus.ENOUGH_DATA)
-        # scene analysis is causal: classify each frame as it arrives
+        # scene analysis with deferred resolution: score the frame now,
+        # decide its type once the NEXT frame's score validates it (flash
+        # suppression, reference bwd/fwd model)
         if self._sc is not None:
-            is_cut = self._sc.analyze(frame.planes[0].window())
-            ftype = "key" if (self.input_frameno == 0 or is_cut) else "inter"
+            score = self._sc.analyze_score(frame.planes[0].window())
+            self._resolve_sc_pending(next_score=score)
+            self.frame_q.append((self.input_frameno, frame))
+            self._ftype_q.append("inter")  # provisional until resolved
+            self._sc_pending = score
         else:
             kf = self.enc.max_key_frame_interval or 240
             ftype = "key" if self.input_frameno % kf == 0 else "inter"
-        self.frame_q.append((self.input_frameno, frame))
-        self._ftype_q.append(ftype)
+            self.frame_q.append((self.input_frameno, frame))
+            self._ftype_q.append(ftype)
         self.input_frameno += 1
+
+    def _resolve_sc_pending(self, next_score) -> None:
+        """Resolve the newest queued frame's provisional type against the
+        following frame's change score (None = end of stream)."""
+        if self._sc_pending is None or not self._ftype_q:
+            return
+        score = self._sc_pending
+        self._sc_pending = None
+        is_key = self._sc.resolve(score, next_score)
+        self._ftype_q[-1] = "key" if is_key else "inter"
+        self._sc.commit(score, is_key)
 
     def receive_packet(self) -> Packet:
         if self._pending:
@@ -122,6 +144,12 @@ class Context:
         # enough for ahead-of-encode keyframe/GOP planning (or flushing)
         if not self.flushing and len(self.frame_q) < self._lookahead_depth:
             raise EncoderError(EncoderStatus.NEED_MORE_DATA)
+        # the newest frame's type may still await forward validation; it
+        # must resolve before it can be scheduled (flush: no forward data;
+        # depth-1 queues: the pending frame IS the head)
+        if self._sc_pending is not None and (self.flushing
+                                             or len(self._ftype_q) == 1):
+            self._resolve_sc_pending(None)
         self._init_encoder()
         # two-pass replays pass-1 frame types 1:1, so it runs low-latency
         if self.enc.low_latency or self._tp_alloc is not None:
@@ -137,13 +165,17 @@ class Context:
             packet = self._encode_frame(frameno, frame, "key")
             self.frames_processed += 1
             return packet
-        # count consecutive inter frames at the head
+        # count consecutive inter frames at the head; a still-unresolved
+        # tail frame (awaiting forward validation) is not schedulable yet
+        n_avail = len(self._ftype_q)
+        if self._sc_pending is not None and not self.flushing:
+            n_avail -= 1
         n_run = 0
-        for t in self._ftype_q:
-            if t == "key":
+        for i, t in enumerate(self._ftype_q):
+            if i >= n_avail or t == "key":
                 break
             n_run += 1
-        boundary = n_run < len(self._ftype_q)  # a key follows the run
+        boundary = n_run < n_avail  # a key follows the run
         if n_run >= self.GROUP or boundary or self.flushing:
             group = []
             for _ in range(min(n_run, self.GROUP)):
@@ -184,6 +216,25 @@ class Context:
 
             self._encoder = FrameEncoder(self.enc)
             self._encoder.prefetch_hook = self._maybe_prefetch_next
+            # tile-column sharding over a device mesh (reference analog:
+            # the rayon tile pool): engaged when the config asks for both
+            # threads and tile columns and enough devices exist
+            if self.threads > 1 and self.enc.tile_cols > 1:
+                try:
+                    import jax
+
+                    from rav1e_tpu.parallel.mesh import make_mesh
+
+                    n = min(self.threads, self.enc.tile_cols,
+                            len(jax.devices()))
+                    if n > 1:
+                        self._encoder.wavefront_mesh = make_mesh(n)
+                except Exception:
+                    import logging
+
+                    logging.getLogger("rav1e_tpu").warning(
+                        "device mesh unavailable; single-device encode",
+                        exc_info=True)
             if self.enc.bitrate > 0:
                 from rav1e_tpu.api.rate import RCState
 

@@ -36,67 +36,97 @@ class SceneChangeDetector:
         d = y[:ch, :cw].reshape(ch // fy, fy, cw // fx, fx)
         return d.mean(axis=(1, 3))
 
-    def analyze(self, y_plane: np.ndarray) -> bool:
-        """Feed the next input luma plane; returns True on a scene cut.
-        The caller applies min/max keyframe interval rules."""
-        if not self.fast:
-            return self._analyze_std(np.asarray(y_plane, np.float32))
-        small = self._downscale(np.asarray(y_plane, np.float32))
-        if self.bd > 8:
-            small = small / (1 << (self.bd - 8))
-        if self.prev is None:
-            self.prev = small
-            self.since_kf = 0
-            return True
-        sad = float(np.abs(small - self.prev).mean())
-        self.prev = small
-        self.since_kf += 1
-        # adaptive: cut when SAD spikes well above the recent level
-        recent = float(np.median(self.history)) if self.history else 0.0
-        self.history.append(sad)
-        is_cut = False
-        if self.since_kf >= self.min_len:
-            if sad > max(self.base, 3.0 * recent + 4.0):
-                is_cut = True
-        if self.since_kf >= self.max_len:
-            is_cut = True
-        if is_cut:
-            self.since_kf = 0
-            self.history.clear()
-        return is_cut
+    # -- deferred (lookahead) API -------------------------------------------
+    #
+    # The reference resolves keyframe placement inside receive_packet over
+    # the buffered lookahead with backward/forward validation
+    # (src/api/internal.rs compute_keyframe_placement + the [SC-Detect]
+    # Bwd=/Fwd= model): a frame is a cut only if it differs from the PAST
+    # and the FUTURE sticks with it — a one-frame flash does not cut.
+    # analyze_score() measures, resolve() decides once the next frame's
+    # score is known, commit() advances the adaptive state in input order.
 
-    def _analyze_std(self, y: np.ndarray) -> bool:
-        """Standard mode: motion-compensated inter cost vs intra cost.
-        A frame whose best half-res MC prediction from the previous frame
-        costs a large fraction of its intra cost is a cut (the reference's
-        [SC-Detect] Raw= Bwd= Th= model, simplified to one backward
-        reference)."""
-        from rav1e_tpu.models.lookahead import intra_cost_estimate, lookahead_me
+    def analyze_score(self, y_plane: np.ndarray) -> float:
+        """Raw change score of this frame vs the previous input (no
+        decision, no adaptive-state commitment).  inf for the first."""
+        y = np.asarray(y_plane, np.float32)
+        if self.fast:
+            small = self._downscale(y)
+            if self.bd > 8:
+                small = small / (1 << (self.bd - 8))
+            prev = self.prev
+            self.prev = small
+            if prev is None:
+                return float("inf")
+            return float(np.abs(small - prev).mean())
+        from rav1e_tpu.models.lookahead import (intra_cost_estimate,
+                                                lookahead_me)
 
         if self.bd > 8:
             y = y / (1 << (self.bd - 8))
         prev = self.prev_full
         self.prev_full = y
         if prev is None:
-            self.since_kf = 0
-            return True
-        self.since_kf += 1
+            return float("inf")
         _, inter_c = lookahead_me(y, prev)
         intra_c = intra_cost_estimate(y)
         h = min(inter_c.shape[0], intra_c.shape[0])
         w = min(inter_c.shape[1], intra_c.shape[1])
-        ratio = float(inter_c[:h, :w].sum()) / max(float(intra_c[:h, :w].sum()), 1.0)
-        # adaptive threshold on the inter/intra cost ratio: a cut is a
-        # spike well above the recent level (reference: [SC-Detect] Th)
-        recent = float(np.median(self.history)) if self.history else None
-        thresh = 0.7 if recent is None else max(0.5, 2.0 * recent + 0.15)
-        self.history.append(ratio)
-        is_cut = False
-        if self.since_kf >= self.min_len and ratio > thresh:
-            is_cut = True
-        if self.since_kf >= self.max_len:
-            is_cut = True
-        if is_cut:
+        return float(inter_c[:h, :w].sum()) / max(
+            float(intra_c[:h, :w].sum()), 1.0)
+
+    def _threshold(self) -> float:
+        if self.fast:
+            recent = float(np.median(self.history)) if self.history else 0.0
+            return max(self.base, 3.0 * recent + 4.0)
+        if not self.history:
+            return 0.7
+        recent = float(np.median(self.history))
+        return max(0.5, 2.0 * recent + 0.15)
+
+    def resolve(self, score: float, next_score: float | None) -> bool:
+        """Keyframe decision for the frame with `score`, validated against
+        the NEXT frame's score (None at the end of the stream).  Called
+        once per frame in input order (it tracks flash state)."""
+        if score == float("inf"):
+            self._flash_pending = False
+            return True  # first frame
+        revert = getattr(self, "_flash_pending", False)
+        self._flash_pending = False
+        if self.since_kf + 1 >= self.max_len:
+            return True
+        if self.since_kf + 1 < self.min_len:
+            return False
+        thr = self._threshold()
+        if score <= thr:
+            return False
+        if revert:
+            # previous frame was a suppressed flash: this transition is
+            # the scene reverting, not a new scene
+            return False
+        if next_score is not None and next_score > max(thr, 0.5 * score):
+            # the next frame changes just as hard: a one-frame flash (the
+            # scene reverts), not a cut — the reference's fwd validation
+            self._flash_pending = True
+            return False
+        return True
+
+    def commit(self, score: float, is_key: bool) -> None:
+        """Advance the adaptive state for one frame, in input order."""
+        if is_key:
             self.since_kf = 0
             self.history.clear()
+        else:
+            self.since_kf += 1
+            if score != float("inf"):
+                self.history.append(score)
+
+    # -- causal API (no lookahead: resolve each frame immediately) ----------
+
+    def analyze(self, y_plane: np.ndarray) -> bool:
+        """Feed the next input luma plane; returns True on a scene cut.
+        The caller applies min/max keyframe interval rules."""
+        score = self.analyze_score(y_plane)
+        is_cut = self.resolve(score, None)
+        self.commit(score, is_cut)
         return is_cut

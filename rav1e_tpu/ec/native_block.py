@@ -24,6 +24,10 @@ _REG_CDF_ATTRS = (
     "eob_pt_512", "eob_pt_1024",
     "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
     "intra_tx_type_set2", "cfl_sign", "cfl_alpha", "segment_id",
+    # inter-frame tables (single-reference wavefront walk)
+    "intra_inter", "y_mode", "single_ref", "newmv", "zeromv", "refmv",
+    "drl", "mv_joint", "mv_sign", "mv_class", "mv_class0", "mv_class0_fp",
+    "mv_bits", "mv_fp", "inter_tx_type_set3",
 )
 
 _SM_I32 = np.ascontiguousarray(ip._SM_W, np.int32)
@@ -103,11 +107,24 @@ def _configure():
     _lib.wavefront_cache_push_run.argtypes = [
         _vp, _vp,                      # cache, packed int16
         _vp, _vp,                      # avail, avail8
-        _vp, _vp, _vp, _vp, _ci, _ci, _ci,  # steps/lanes/rows/cols, nsb, B, split8
+        _vp, _vp, _vp, _vp, _ci, _ci, _ci, _ci,  # steps/lanes/rows/cols, nsb, B, split8, nfields
         _vp, _vp, _vp, _vp, _vp, _ci, _ci,  # db maps, mi_cols_a, mi_rows_a
         _vp, _ci, _ci,                 # mi_coded, cols, rows
-        _vp,                           # stat_out int64[20]
+        _vp,                           # stat_out int64[27]
     ]
+    _lib.encode_inter_sb_cached.argtypes = [
+        _vp, _vp, _vp,                 # cache, enc, registry
+        _ci, _ci, _ci, _ci, _ci, _ci,  # sb_x, sb_y, mi_cols, mi_rows, adapt, q_nonzero
+        _ci, _ci, _ci, _ci,            # tile mi bounds r0 c0 r1 c1
+        _vp,                           # scans table
+        _vp, _vp, _vp, _vp,            # above/left part, above/left skip
+        _vp, _vp,                      # pctx, partition cdf
+        _vp, _ci, _ci,                 # split map, stride, rdo_partition
+        _vp, _ci,                      # none64 map, stride
+        _vp, _vp, _vp, _vp, _vp,       # grid: ref, mv, is_newmv, bw4, bh4
+        _ci, _ci,                      # cdef_bits, cdef_idx
+    ]
+    _lib.encode_inter_sb_cached.restype = ctypes.c_int
     _configured = True
 
 
@@ -226,7 +243,7 @@ class NativeBlockCoder:
         rr = np.ascontiguousarray(rcs[:, 0])
         cc = np.ascontiguousarray(rcs[:, 1])
         info = fe.db_info
-        stats = np.zeros(26, np.int64)
+        stats = np.zeros(27, np.int64)
         assert wf.packed.dtype == np.int16 and wf.packed.flags.c_contiguous
         _lib.wavefront_cache_push_run(
             self._cache, wf.packed.ctypes.data,
@@ -236,6 +253,7 @@ class NativeBlockCoder:
             n, g.width,
             1 if wf.split16 is not None and getattr(fe, "rdo_split8", False)
             else 0,
+            11 if getattr(wf, "has_mv", False) else 7,
             info.txw.ctypes.data, info.txh.ctypes.data,
             info.bx.ctypes.data, info.by.ctypes.data,
             info.skip.ctypes.data, info.txw.shape[1], info.txw.shape[0],
@@ -301,6 +319,31 @@ class NativeBlockCoder:
             s16_ptr, s16_stride = None, 0
         part = fe.cdf.partition
         assert part.dtype == np.uint16 and part.flags.c_contiguous
+        if getattr(fe, "wf_inter", False):
+            grid = fe.grid
+            ret = _lib.encode_inter_sb_cached(
+                self._cache, fe.enc._e, self._reg.ctypes.data,
+                sb_x, sb_y, fe.mi_cols, fe.mi_rows,
+                1 if fe.adapt else 0, 1 if fe.q > 0 else 0,
+                fe.ty0 // 4, fe.tx0 // 4,
+                min(fe.ty1, fe.mi_rows * 4) // 4,
+                min(fe.tx1, fe.mi_cols * 4) // 4,
+                self._scan_table().ctypes.data,
+                fe.above_part.ctypes.data, fe.left_part.ctypes.data,
+                fe.above_skip.ctypes.data, fe.left_skip.ctypes.data,
+                self._pctx.ctypes.data, part.ctypes.data,
+                split.ctypes.data, split.shape[1],
+                1 if fe.rdo_partition else 0,
+                n64_ptr, n64_stride,
+                grid.ref.ctypes.data, grid.mv.ctypes.data,
+                grid.is_newmv.ctypes.data, grid.bw4.ctypes.data,
+                grid.bh4.ctypes.data,
+                cdef_bits, cdef_idx,
+            )
+            if ret < 0:
+                raise RuntimeError(
+                    "inter block cache desync in SB (%d,%d)" % (sb_x, sb_y))
+            return
         ret = _lib.encode_sb_cached(
             self._cache, fe.enc._e, self._reg.ctypes.data,
             sb_x, sb_y, fe.mi_cols, fe.mi_rows,

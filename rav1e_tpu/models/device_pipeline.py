@@ -309,8 +309,10 @@ def me_fullpel(src: jax.Array, ref: jax.Array, n: int) -> jax.Array:
     offs_arr = jnp.asarray(offs, jnp.int32) * q  # full-res px
     mv_a = offs_arr[best]  # (by, bx, 2) px
 
-    # stage B: full-res +-3 px around the stage-A winner
-    rad2 = 3
+    # stage B: full-res +-2 px around the stage-A winner (covers the
+    # quarter-res stage's quantization; the wavefront's candidate race
+    # adds subpel refinement on top)
+    rad2 = 2
     pad_full = jnp.pad(ref, ME_RANGE_PX + rad2, mode="edge")
     by, bx = mv_a.shape[:2]
     # per-block shifted SAD: gather block windows at mv + delta

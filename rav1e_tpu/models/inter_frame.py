@@ -134,29 +134,8 @@ class InterFrameEncoder(IntraFrameEncoder):
     def _pre_encode(self) -> None:
         self.grid = mvp.MiGrid(self.mi_rows, self.mi_cols)
         self._m64 = {}  # (x, y) -> cached merge-to-64 decision
-        # device (TPU) hierarchical full-search ME maps, one per reference
-        self._me_maps = {}
-        if self.out_w * self.out_h >= 320 * 240:
-            try:
-                from rav1e_tpu.models.device_pipeline import frame_me_map
-
-                for rid in self.ref_ids:
-                    ref = self.refs[rid][0]
-                    pad = np.zeros_like(self.src[0])
-                    rh, rw = ref.shape
-                    pad[:rh, :rw] = ref
-                    pad[:rh, rw:] = ref[:, -1:]
-                    pad[rh:, :] = pad[rh - 1 : rh, :]
-                    self._me_maps[rid] = frame_me_map(self.src[0], pad, 32)
-            except Exception as e:
-                import logging
-
-                logging.getLogger("rav1e_tpu").warning(
-                    "device ME unavailable (%s); host fallback", e
-                )
-                self._me_maps = {}
-        # inter wavefront envelope: the whole coding datapath (MC + RD +
-        # transforms + recon) runs on device for single-LAST-reference
+        # inter wavefront envelope: the whole coding datapath (ME + MC +
+        # RD + transforms + recon) runs on device for single-LAST-reference
         # 8-bit 4:2:0 frames; the host pass codes symbols from the device
         # decisions (SURVEY 7 "key reformulation", extended to inter)
         import os as _os
@@ -166,14 +145,43 @@ class InterFrameEncoder(IntraFrameEncoder):
             and self.bd == 8 and self._is420
             and not self.reference_select
             and self.ref_ids == [mvp.LAST_FRAME]
-            and self._me_maps.get(mvp.LAST_FRAME) is not None
             and _os.environ.get("RAV1E_TPU_WF_INTER", "1") != "0")
+        self._band_rd = None
+        self._me_maps = {}
         if self.wf_inter:
             # the device MC path evaluates the REGULAR filter set only;
-            # signal it in the header and skip the host probe
+            # signal it in the header and skip the host probe.  The ME
+            # map is computed INSIDE the wavefront pass; _me_maps fills
+            # at collect time (_install_wavefront).
             self.interp_filter = mc.FILTER_REGULAR
-        elif self.filter_search:
+            return
+        self._compute_me_maps()
+        if self.filter_search:
             self._choose_interp_filter()
+
+    def _compute_me_maps(self) -> None:
+        """Device hierarchical full-search ME maps, one per reference
+        (host decision paths; the wavefront computes its own in-pass)."""
+        if self._me_maps or self.out_w * self.out_h < 320 * 240:
+            return
+        try:
+            from rav1e_tpu.models.device_pipeline import frame_me_map
+
+            for rid in self.ref_ids:
+                ref = self.refs[rid][0]
+                pad = np.zeros_like(self.src[0])
+                rh, rw = ref.shape
+                pad[:rh, :rw] = ref
+                pad[:rh, rw:] = ref[:, -1:]
+                pad[rh:, :] = pad[rh - 1 : rh, :]
+                self._me_maps[rid] = frame_me_map(self.src[0], pad, 32)
+        except Exception as e:
+            import logging
+
+            logging.getLogger("rav1e_tpu").warning(
+                "device ME unavailable (%s); host fallback", e
+            )
+            self._me_maps = {}
 
     # -- inter wavefront (device datapath) ----------------------------------
 
@@ -209,7 +217,103 @@ class InterFrameEncoder(IntraFrameEncoder):
                 self._wf_launched = None
         if wf is not None:
             self._install_wavefront(wf)
+            if self._nbc is not None and self.seg_map is None:
+                return self._encode_tiles_native(wf)
+        elif getattr(self, "wf_inter", False):
+            # device pass failed: the host path needs the ME maps and the
+            # interp-filter probe it skipped in _pre_encode
+            self.wf_inter = False
+            self._compute_me_maps()
         return super()._encode_tiles()
+
+    def _encode_tiles_native(self, wf):
+        """Native two-pass flow for wavefront inter frames (the inter
+        analog of _encode_tiles_wavefront): pass A fills the BlockCache —
+        device SBs through the C++ record walk, band SBs through the
+        python decide path (throwaway symbols, records pushed from
+        _block) — and pass B replays everything through the C++ inter SB
+        walker (encode_inter_sb_cached), including MV-stack re-derivation
+        against the shared mi grid."""
+        import time as _time
+
+        from rav1e_tpu.ec.native import NativeMsacEncoder
+
+        tiles = self._tile_grid()
+        frame_cdf = self.cdf
+        self._frame_init_cdf = frame_cdf
+        self._nbc.cache_start()
+        self.cdf = frame_cdf.copy()  # throwaway basis for pass-A symbols
+        self._wf_push_cache = True
+        _t0 = _time.perf_counter()
+        use_fast = getattr(wf, "packed", None) is not None
+        run: list = []
+
+        def _flush_run():
+            if run:
+                self._apply_wf_stats(self._nbc.cache_push_wavefront(wf, run))
+                run.clear()
+
+        try:
+            for (sc0, sr0, sc1, sr1) in tiles:
+                self.tx0, self.ty0 = sc0 * 64, sr0 * 64
+                self.tx1 = min(sc1 * 64, self.coded_w)
+                self.ty1 = min(sr1 * 64, self.coded_h)
+                self._reset_tile_contexts()
+                self.enc = NativeMsacEncoder()
+                for sy in range(self.ty0, self.ty1, 64):
+                    for sx in range(self.tx0, self.tx1, 64):
+                        if wf.geom.device_sb[sy // 64, sx // 64] and use_fast:
+                            run.append((sy // 64, sx // 64))
+                        else:
+                            _flush_run()
+                            self._partition(sx, sy, 64)
+                _flush_run()
+        finally:
+            self._wf_push_cache = False
+        self.stats.stage_seconds["cache_build"] += _time.perf_counter() - _t0
+        self.cdf = frame_cdf
+        if self.lrf:
+            self._lrf_native = True
+            self._prefilter_rec = [p.copy() for p in self.rec]
+            return None  # bytes come from pass B in _emit_tiles_lr
+        self._nbc.cache_rewind()
+        self._lr_replay = True
+        try:
+            with self.stats.stage("entropy"):
+                tile_datas = self._run_tiles_native(lr_emit=False)
+        finally:
+            self._lr_replay = False
+        if len(tile_datas) == 1:
+            return tile_datas[0]
+        out = b""
+        for i, td in enumerate(tile_datas):
+            if i < len(tile_datas) - 1:
+                out += (len(td) - 1).to_bytes(4, "little")
+            out += td
+        return out
+
+    def _reset_tile_contexts(self) -> None:
+        super()._reset_tile_contexts()
+        if getattr(self, "wf_inter", False):
+            # the C++ pass-B walk rebuilds the mi grid from scratch; the
+            # MV-stack scans never cross tile bounds so a whole-grid reset
+            # per tile start is decode-exact
+            self.grid = mvp.MiGrid(self.mi_rows, self.mi_cols)
+
+    def _push_cache_record(self, x, y, bw, bh, mode, skip, tt_sym, mvr, mvc,
+                           lv_y, lv_u, lv_v) -> None:
+        """Append one band block's decision to the native BlockCache in the
+        pass-A walk (device SBs ride the C++ record push instead)."""
+        hdr = np.asarray([x, y, bw, bh, mode, int(skip), tt_sym, 0,
+                          int(mvr), int(mvc), 0, 0, 0, 0, 0], np.int32)
+        if skip:
+            self._nbc.cache_push_raw(np.ascontiguousarray(hdr))
+            return
+        parts = [hdr, np.asarray(lv_y, np.int32).ravel(),
+                 np.asarray(lv_u, np.int32).ravel(),
+                 np.asarray(lv_v, np.int32).ravel()]
+        self._nbc.cache_push_raw(
+            np.ascontiguousarray(np.concatenate(parts)))
 
     def _install_wavefront(self, wf) -> None:
         """Adopt a collected inter wavefront pass: device recon becomes
@@ -231,18 +335,83 @@ class InterFrameEncoder(IntraFrameEncoder):
         self._rd_maps = {"split32": sm, "none64": n64,
                          "cover32": cov32, "cover64": cov64}
         self._wf_records = {}
-        for r in range(dev.shape[0]):
-            for c_ in range(dev.shape[1]):
-                if not dev[r, c_]:
-                    continue
-                for rec in wf.sb_records(r, c_):
-                    self._wf_records[tuple(rec[:4])] = rec
+        if self._nbc is None:
+            # python fallback walk consumes per-block records; the native
+            # flow walks wf.packed directly in C++
+            for r in range(dev.shape[0]):
+                for c_ in range(dev.shape[1]):
+                    if not dev[r, c_]:
+                        continue
+                    for rec in wf.sb_records(r, c_):
+                        self._wf_records[tuple(rec[:4])] = rec
+        # in-pass ME map (host band decisions + merge veto read it) and
+        # the band RD maps (device-costed partition/MV decisions for the
+        # partial SBs the host codes)
+        if getattr(wf, "me_map", None) is not None:
+            self._me_maps[mvp.LAST_FRAME] = np.asarray(wf.me_map)
+            self._band_rd = {64: wf.band64, 32: wf.band32, 16: wf.band16}
+            self._bake_band_decisions(dev, sm, n64, cov32, cov64)
         dev_out = getattr(wf, "dev_out", None)
         if dev_out is not None:
             from rav1e_tpu.models.wavefront import rec_width
 
             self._wf_dev_out = (dev_out,
                                 g.steps * 4 * g.width * rec_width(True))
+
+    def _bake_band_decisions(self, dev, sm, n64, cov32, cov64) -> None:
+        """Resolve every band (host-coded partial-SB) partition + MV from
+        the device band RD maps, as split/none64 map entries + pending
+        decisions.  After this the maps fully determine the partition tree
+        (both the python pass-A walk and the C++ pass-B walker read them),
+        so no host RD trial ever runs."""
+        from rav1e_tpu.models.wavefront import _QOFF, _SOFF
+
+        b64, b32, b16 = (self._band_rd[64], self._band_rd[32],
+                         self._band_rd[16])
+        lam = self.lam
+        for r in range(dev.shape[0]):
+            for c_ in range(dev.shape[1]):
+                if dev[r, c_]:
+                    continue
+                x0, y0 = c_ * 64, r * 64
+                merged = False
+                if (y0 // 4 + 8) < self.mi_rows and \
+                        (x0 // 4 + 8) < self.mi_cols:
+                    merged = (float(b64["cost"][r, c_])
+                              + lam * self._B64_BLOCK_BITS
+                              < float(b32["cost"][r, c_].sum())
+                              + lam * (4 * self._B64_BLOCK_BITS
+                                       + self._B64_SPLIT_BITS))
+                if merged:
+                    n64[r, c_] = True
+                    mvs = b64["mv"][r, c_]
+                    self._pending_inter[(x0, y0, 64, 64)] = (
+                        mvp.LAST_FRAME, -1, (int(mvs[0]), int(mvs[1])), 0)
+                    cov64[r, c_] = True
+                    cov32[2 * r : 2 * r + 2, 2 * c_ : 2 * c_ + 2] = True
+                    continue
+                for q in range(4):
+                    qx, qy = x0 + _QOFF[q][1], y0 + _QOFF[q][0]
+                    if not ((qy // 4 + 4) < self.mi_rows
+                            and (qx // 4 + 4) < self.mi_cols):
+                        continue  # edge 32: forced HORZ/VERT at code time
+                    split = (float(b16["cost"][r, c_, q].sum()) + lam * 10.0
+                             < float(b32["cost"][r, c_, q]) + lam * 2.0)
+                    sm[qy // 32, qx // 32] = split
+                    cov32[qy // 32, qx // 32] = True
+                    if split:
+                        for s in range(4):
+                            mvs = b16["mv"][r, c_, q, s]
+                            self._pending_inter[
+                                (qx + _SOFF[s][1], qy + _SOFF[s][0],
+                                 16, 16)] = (mvp.LAST_FRAME, -1,
+                                             (int(mvs[0]), int(mvs[1])), 0)
+                    else:
+                        mvs = b32["mv"][r, c_, q]
+                        self._pending_inter[(qx, qy, 32, 32)] = (
+                            mvp.LAST_FRAME, -1,
+                            (int(mvs[0]), int(mvs[1])), 0)
+                cov64[r, c_] = True
 
     # device set-2 tx symbol -> transforms_np id (wavefront LUMA_TT order)
     _SET2_TO_TF = {0: tf.IDTX, 1: tf.DCT_DCT, 2: tf.ADST_ADST,
@@ -455,6 +624,24 @@ class InterFrameEncoder(IntraFrameEncoder):
             # pass B: replay the pass-A merge decision (the RD trial reads
             # adapted CDF rates and the recon, both mutated since pass A)
             return self._split_cache[(x, y, 64)]
+        if self._band_rd is not None:
+            # device-costed merge decision for the band SBs (covered SBs
+            # never reach this hook)
+            if not (has_rows and has_cols):
+                ok = False
+            else:
+                r, c = y // 64, x // 64
+                b64, b32 = self._band_rd[64], self._band_rd[32]
+                ok = (float(b64["cost"][r, c]) + self.lam * self._B64_BLOCK_BITS
+                      < float(b32["cost"][r, c].sum())
+                      + self.lam * (4 * self._B64_BLOCK_BITS
+                                    + self._B64_SPLIT_BITS))
+                if ok:
+                    mvs = b64["mv"][r, c]
+                    self._pending_inter[(x, y, 64, 64)] = (
+                        mvp.LAST_FRAME, -1, (int(mvs[0]), int(mvs[1])), 0)
+            self._split_cache[(x, y, 64)] = ok
+            return ok
         ok = self._merge64_trial(x, y, has_rows, has_cols)
         self._split_cache[(x, y, 64)] = ok
         return ok
@@ -624,6 +811,33 @@ class InterFrameEncoder(IntraFrameEncoder):
         partition RD runs on single-reference frames only."""
         if self.reference_select:
             return self.P_NONE
+        if self._band_rd is not None and size == 32:
+            # device-costed band decision (the wavefront's phase A covers
+            # the whole padded plane): NONE-vs-SPLIT from the exported RD
+            # maps, winning MVs stashed as pending decisions the coding
+            # pass resolves against the true MV stacks
+            from rav1e_tpu.models.wavefront import _SOFF
+
+            r, c = y // 64, x // 64
+            q = 2 * ((y % 64) // 32) + ((x % 64) // 32)
+            b32, b16 = self._band_rd[32], self._band_rd[16]
+            lam = self.lam
+            cost_none = (float(b32["cost"][r, c, q])
+                         + lam * self._sym_bits(cdf_row[:11], self.P_NONE))
+            cost_split = (float(b16["cost"][r, c, q].sum())
+                          + lam * (self._sym_bits(cdf_row[:11], self.P_SPLIT)
+                                   + 4 * 2.0))
+            if cost_split < cost_none:
+                for s in range(4):
+                    mvs = b16["mv"][r, c, q, s]
+                    self._pending_inter[
+                        (x + _SOFF[s][1], y + _SOFF[s][0], 16, 16)] = (
+                        mvp.LAST_FRAME, -1, (int(mvs[0]), int(mvs[1])), 0)
+                return self.P_SPLIT
+            mvs = b32["mv"][r, c, q]
+            self._pending_inter[(x, y, 32, 32)] = (
+                mvp.LAST_FRAME, -1, (int(mvs[0]), int(mvs[1])), 0)
+            return self.P_NONE
         half = size // 2
         cx, cy = x >> self.sub_x, y >> self.sub_y
         ccw, cch = size >> self.sub_x, size >> self.sub_y
@@ -677,6 +891,11 @@ class InterFrameEncoder(IntraFrameEncoder):
         mr, mc_ = y // 4, x // 4
         res = mvp.find_mv_stack(self.grid, mr, mc_, bw // 4, bh // 4, rid,
                                 tile=tile, sign_bias=self.sign_bias)
+        if mode == -1:
+            # device/band-map decision: a bare MV; pick the cheapest
+            # codable mode against the coding-time stack
+            mode2, idx2 = self._pick_mode_for_mv(tuple(mv), res)
+            return rid, mode2, tuple(mv), idx2, res
         if isinstance(rid, tuple):
             s0 = tuple(res.stack[0])
             if mode == NEAREST_NEARESTMV:
@@ -973,6 +1192,18 @@ class InterFrameEncoder(IntraFrameEncoder):
         self._reconstruct(0, x, y, pred_y, dq_y, tx_type=tt_y)
         self._reconstruct(1, cx, cy, pred_u, dq_u)
         self._reconstruct(2, cx, cy, pred_v, dq_v)
+
+        if getattr(self, "_wf_push_cache", False):
+            # native two-pass flow, pass A: append the decision for the
+            # C++ pass-B walker (mode 13 = inter with the MV in the au/av
+            # header slots)
+            if is_inter:
+                self._push_cache_record(x, y, bw, bh, 13, skip, 1,
+                                        mv[0], mv[1], lv_y, lv_u, lv_v)
+            else:
+                self._push_cache_record(x, y, bw, bh, y_mode, skip,
+                                        self.TX_SET2_SYM.get(tt_y, 1),
+                                        0, 0, lv_y, lv_u, lv_v)
 
     def _code_inter_symbols(self, x, y, bw, bh, rid, mode, mv, ref_mv_idx,
                             res, y_mode, tt_y, skip, lv_y, lv_u, lv_v):

@@ -380,9 +380,12 @@ class IntraFrameEncoder:
         # WriterRecorder replay, src/ec.rs).
         self._py_cache: dict = {}
         self._split_cache: dict = {}
-        # native per-block coder (C++ hot loop); keyframe leaf blocks only
+        # native per-block coder (C++ hot loop); keyframe leaf blocks and
+        # the inter wavefront's cache/replay passes
         self._nbc = None
-        if self.use_native and type(self) is IntraFrameEncoder and self._is420:
+        if self.use_native and self._is420 and (
+                type(self) is IntraFrameEncoder
+                or getattr(self, "wf_inter", False)):
             try:
                 from rav1e_tpu.ec.native_block import block_coder_for
 
@@ -848,6 +851,9 @@ class IntraFrameEncoder:
         for sym, nm in enumerate(SET2_SYMBOL_NAMES):
             if st[21 + sym]:
                 s.tx_type_counts[nm] += int(st[21 + sym])
+        if len(st) > 26 and st[26]:  # inter blocks (mode 13 records)
+            s.mode_counts["INTER"] += int(st[26])
+            s.tx_type_counts["DCT_DCT"] += int(st[26])
         s.blocks += int(st[19])
 
     def _encode_tiles_wavefront(self, wf):
@@ -871,8 +877,13 @@ class IntraFrameEncoder:
             sm16 = np.zeros((self.h // 16, self.w // 16), bool)
             sm16[: smap16.shape[0], : smap16.shape[1]] = smap16
             self._rd_maps["split16"] = sm16
+        n64_full = getattr(wf, "none64_full", None)  # sharded facade
         n64_kb = getattr(wf, "none64", None)
-        if n64_kb is not None and getattr(self, "rdo_none64", False):
+        if n64_full is not None and getattr(self, "rdo_none64", False):
+            n64 = np.zeros((self.h // 64, self.w // 64), bool)
+            n64[: n64_full.shape[0], : n64_full.shape[1]] = n64_full
+            self._rd_maps["none64"] = n64
+        elif n64_kb is not None and getattr(self, "rdo_none64", False):
             g = wf.geom
             n64 = np.zeros((self.h // 64, self.w // 64), bool)
             dev = g.device_sb

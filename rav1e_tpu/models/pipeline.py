@@ -129,6 +129,11 @@ class FrameEncoder:
             chroma_sampling=tuple(self.cfg.chroma_sampling),
         )
         fe.lrf = self.seq.enable_restoration
+        # tile-column mesh sharding (Config.threads + tile_cols), set by
+        # the Context when a multi-device mesh is available
+        mesh = getattr(self, "wavefront_mesh", None)
+        if mesh is not None:
+            fe.wavefront_mesh = mesh
         return fe
 
     def prefetch_key_frame(self, frame, q_idx: int | None = None) -> None:

@@ -238,7 +238,7 @@ _IS_DIR[_DIR_MODES] = True
 # inter wavefront constants: MC gather margin (covers the +-44 px MV clamp
 # plus the 8-tap footprint), candidate counts per level
 MC_MARGIN = 48
-NCAND32 = 12
+NCAND32 = 8
 NCAND64 = 8
 # device mv-coding bit overhead added to every inter candidate on top of
 # the host-computed per-candidate bias (is_inter + ref + mode symbols)
@@ -327,14 +327,56 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         from rav1e_tpu.ops import mc_jax as mcj
         from rav1e_tpu.ops.quantize_np import tx_scale as _txs
 
-        mc_mats = {n: (jnp.asarray(mcj._hmats(n + 7, n, 0)),
-                       jnp.asarray(mcj._vmats(n, n + 7, 0)))
-                   for n in (64, 32, 16, 8)}
+        _mc_taps = jnp.asarray(mcj._taps_i32(0))
+        mc_mats = {n: (_mc_taps, _mc_taps) for n in (64, 32, 16, 8)}
         tx_alpha_n = {n: tn.tx_alpha(min(n, 32), min(n, 32), bd)
                       for n in (64, 32, 16)}
         THIN_RATE = 4.0  # host _thin_rate_bits default
         HpM, WpM = Hp + 2 * MC_MARGIN, Wp + 2 * MC_MARGIN
         HcM, WcM = (Hp >> 1) + 2 * MC_MARGIN, (Wp >> 1) + 2 * MC_MARGIN
+        R2, C2 = Hp // 32, Wp // 32
+
+    def _inter_candidates_dev(me8):
+        """Device analog of the host candidate builder: per-32-block MV
+        candidate sets + rate biases from the in-pass ME map.  me8:
+        (R2, C2, 2) int32 full-pel MVs in 1/8-pel units."""
+        left = jnp.concatenate([me8[:, :1], me8[:, :-1]], axis=1)
+        above = jnp.concatenate([me8[:1], me8[:-1]], axis=0)
+        zero = jnp.zeros_like(me8)
+        deltas = ((-2, 0), (2, 0), (0, -2), (0, 2))
+        cands = [zero, me8] + [me8 + jnp.asarray(d, jnp.int32)
+                               for d in deltas] + [left, above]
+        c32 = jnp.clip(jnp.stack(cands, axis=2), -352, 352)
+        c32 = c32 + (c32 & 1)  # even (1/4-pel precision)
+        b32 = (6.0
+               + jnp.log2(1.0 + jnp.abs(c32[..., 0]
+                                        - left[..., None, 0]).astype(
+                                            jnp.float32))
+               + jnp.log2(1.0 + jnp.abs(c32[..., 1]
+                                        - left[..., None, 1]).astype(
+                                            jnp.float32)))
+        b32 = b32.at[..., 0].set(2.0)   # zero -> GLOBAL-ish
+        b32 = b32.at[..., 6].set(4.0)   # left -> NEAREST/NEAR-ish
+        b32 = b32.at[..., 7].set(4.0)   # above
+        q4 = me8.reshape(R, 2, C, 2, 2).transpose(0, 2, 1, 3, 4).reshape(
+            R, C, 4, 2)
+        mean = (q4.mean(axis=2) / 2).astype(jnp.int32) * 2
+        c64 = jnp.stack([jnp.zeros_like(mean), q4[:, :, 0], q4[:, :, 1],
+                         q4[:, :, 2], q4[:, :, 3], mean,
+                         mean + jnp.asarray((0, 2), jnp.int32),
+                         mean + jnp.asarray((2, 0), jnp.int32)], axis=2)
+        c64 = jnp.clip(c64, -352, 352)
+        c64 = c64 + (c64 & 1)
+        b64 = (6.0 + jnp.log2(1.0 + jnp.abs(c64[..., 0]).astype(jnp.float32))
+               + jnp.log2(1.0 + jnp.abs(c64[..., 1]).astype(jnp.float32)))
+        b64 = b64.at[..., 0].set(2.0)
+        # quadify to _grid_blocks order
+        c32q = c32.reshape(R, 2, C, 2, NCAND32, 2).transpose(
+            0, 2, 1, 3, 4, 5).reshape(R * C * 4, NCAND32, 2)
+        b32q = b32.reshape(R, 2, C, 2, NCAND32).transpose(
+            0, 2, 1, 3, 4).reshape(R * C * 4, NCAND32)
+        return (c32q, b32q, c64.reshape(R * C, NCAND64, 2),
+                b64.reshape(R * C, NCAND64))
 
     def _grid_blocks(n):
         """Flat (N,) px/py plane coords enumerating the n-blocks of every
@@ -974,7 +1016,7 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         RC4 = R * C * 4
         plen = 3 * KB4 + 300
         if inter_on:
-            plen += 3 * RC4 + 3 * RC4 * NCAND32 + 3 * R * C * NCAND64
+            plen += 3 * RC4
         params = jax.lax.bitcast_convert_type(
             upload[nY + 2 * nC : nY + 2 * nC + 4 * plen].reshape(-1, 4),
             jnp.float32)
@@ -1008,16 +1050,6 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             o += RC4
             qac32 = params[o : o + RC4].astype(jnp.int32)
             o += RC4
-            cand32 = params[o : o + RC4 * NCAND32 * 2].reshape(
-                RC4, NCAND32, 2).astype(jnp.int32)
-            o += RC4 * NCAND32 * 2
-            cbits32 = params[o : o + RC4 * NCAND32].reshape(RC4, NCAND32)
-            o += RC4 * NCAND32
-            cand64 = params[o : o + R * C * NCAND64 * 2].reshape(
-                R * C, NCAND64, 2).astype(jnp.int32)
-            o += R * C * NCAND64 * 2
-            cbits64 = params[o : o + R * C * NCAND64].reshape(R * C, NCAND64)
-            o += R * C * NCAND64
             ro = nY + 2 * nC + 4 * plen
             refYp = upload[ro : ro + HpM * WpM].reshape(
                 HpM, WpM).astype(jnp.int32)
@@ -1027,6 +1059,15 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
             ro += HcM * WcM
             refVp = upload[ro : ro + HcM * WcM].reshape(
                 HcM, WcM).astype(jnp.int32)
+            # in-pass hierarchical full-pel ME (device_pipeline.me_fullpel
+            # inlined under this jit) + candidate construction: no separate
+            # ME roundtrip, no host candidate upload
+            from rav1e_tpu.models.device_pipeline import me_fullpel
+
+            refY_core = refYp[MC_MARGIN : MC_MARGIN + Hp,
+                              MC_MARGIN : MC_MARGIN + Wp]
+            me8 = me_fullpel(srcY, refY_core, 32) * 8  # (R2, C2, 2)
+            cand32, cbits32, cand64, cbits64 = _inter_candidates_dev(me8)
             # phase A: every inter block of every level, fully batched
             # (MC reads the refs, never the recon carry, so this runs
             # BEFORE the wavefront scan at full parallelism)
@@ -1037,9 +1078,22 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
                                cand64, cbits64, lam64, qdc64, qac64)
             i32 = _inter_level(32, refYp, refUp, refVp, srcY, srcU, srcV,
                                cand32, cbits32, lam32, qdc32, qac32)
+            # 16-level candidates derive from the 32 winner (the parent
+            # already refined against the full set): winner, zero, and
+            # quarter-pel nudges -- 6 instead of 12 MC+DCT races
             rep4 = lambda a: jnp.repeat(a, 4, axis=0)
+            w32 = jnp.stack([i32["mvr"], i32["mvc"]], -1)[:, None, :]
+            nudges = jnp.asarray(((0, 0), (-2, 0), (2, 0), (0, -2), (0, 2)),
+                                 jnp.int32)
+            cand16 = jnp.concatenate(
+                [jnp.zeros_like(w32), w32 + nudges[None]], axis=1)
+            cand16 = jnp.clip(cand16, -352, 352)
+            cand16 = cand16 + (cand16 & 1)
+            cbits16 = jnp.broadcast_to(
+                jnp.asarray([2.0, 4.0, 7.0, 7.0, 7.0, 7.0], jnp.float32),
+                cand16.shape[:2])
             i16 = _inter_level(16, refYp, refUp, refVp, srcY, srcU, srcV,
-                               rep4(cand32), rep4(cbits32), rep4(lam32),
+                               rep4(cand16), rep4(cbits16), rep4(lam32),
                                rep4(qdc32), rep4(qac32))
             i64 = {k: v.reshape((R, C) + v.shape[1:]) for k, v in i64.items()}
             i32 = {k: v.reshape((R, C, 4) + v.shape[1:])
@@ -1324,7 +1378,22 @@ def _make_pass(Hp, Wp, K, B, bd, cfl_on, tx_search, fine_dir, mode_mask,
         recY = tY.transpose(0, 2, 1, 3).reshape(Hp * Wp).astype(jnp.uint8)
         recU = tU.transpose(0, 2, 1, 3).reshape(-1).astype(jnp.uint8)
         recV = tV.transpose(0, 2, 1, 3).reshape(-1).astype(jnp.uint8)
-        return jnp.concatenate([p_u8, recY, recU, recV, esc]), packed
+        parts = [p_u8, recY, recU, recV, esc]
+        if inter_on:
+            # band tail: the in-pass ME map + per-level inter RD costs/MVs
+            # so the host's partial-SB (band) blocks decide partitions and
+            # MVs from device data instead of running python RD trials
+            b16 = lambda a: jax.lax.bitcast_convert_type(
+                a.astype(jnp.int16), jnp.uint8).reshape(-1)
+            bf32 = lambda a: jax.lax.bitcast_convert_type(
+                a.astype(jnp.float32), jnp.uint8).reshape(-1)
+            parts += [b16(me8), bf32(i64["cost"]),
+                      b16(jnp.stack([i64["mvr"], i64["mvc"]], -1)),
+                      bf32(i32["cost"]),
+                      b16(jnp.stack([i32["mvr"], i32["mvc"]], -1)),
+                      bf32(i16["cost"]),
+                      b16(jnp.stack([i16["mvr"], i16["mvc"]], -1))]
+        return jnp.concatenate(parts), packed
 
     return jax.jit(run)
 
@@ -1600,61 +1669,19 @@ def _fill_lane_params(fe, geom, lam_q, qdc_q, qac_q) -> None:
 
 def _inter_upload(fe):
     """Host-side inter-pass inputs: (params_extra, ref_byte_parts).
-
-    Candidate MVs per 32-block (NCAND32): zero, the device ME map MV, its
-    quarter/half-pel diamond refinements, and the left/above neighbors'
-    map MVs (cheap NEAREST/NEAR analogs for the rate bias).  Per 64-block
-    (NCAND64): zero, the four quadrant map MVs, their mean and two
-    refinements.  Rate biases approximate the host mode costs: GLOBAL-ish
-    2 bits for zero, NEAR-ish 4 for neighbors, NEWMV header + residual
-    magnitude vs the left MV (a stack-predictor proxy) otherwise."""
+    Candidate construction and the full-pel ME run ON DEVICE inside the
+    pass (_inter_candidates_dev); only the per-quadrant lambda/quantizer
+    grids and the padded reference planes ride the upload."""
     R, C = fe.h // 64, fe.w // 64
     rid = fe.ref_ids[0]
-    me = fe._me_maps[rid]
     r2, c2 = 2 * R, 2 * C
-    mv = np.zeros((r2, c2, 2), np.int64)
-    rr = min(me.shape[0], r2)
-    cc = min(me.shape[1], c2)
-    mv[:rr, :cc] = me[:rr, :cc]
-    if rr < r2:
-        mv[rr:, :cc] = mv[rr - 1 : rr, :cc]
-    if cc < c2:
-        mv[:, cc:] = mv[:, cc - 1 : cc]
-    left = np.concatenate([mv[:, :1], mv[:, :-1]], axis=1)
-    above = np.concatenate([mv[:1], mv[:-1]], axis=0)
-    zero = np.zeros_like(mv)
-    deltas = ((-2, 0), (2, 0), (0, -2), (0, 2),
-              (-4, 0), (4, 0), (0, -4), (0, 4))
-    cands = [zero, mv] + [mv + np.asarray(d) for d in deltas] + [left, above]
-    c32 = np.clip(np.stack(cands, axis=2), -352, 352)  # (r2, c2, 12, 2)
-    c32 = (c32 + (c32 & 1)).astype(np.int64)  # even (1/4-pel precision)
-    newmv_bits = (6.0
-                  + np.log2(1.0 + np.abs(c32[..., 0] - left[..., None, 0]))
-                  + np.log2(1.0 + np.abs(c32[..., 1] - left[..., None, 1])))
-    b32 = newmv_bits.astype(np.float32)
-    b32[..., 0] = 2.0  # zero
-    b32[..., 10] = 4.0  # left
-    b32[..., 11] = 4.0  # above
-    # 64-level: quadrant MVs + zero + mean + refinements
-    q4 = mv.reshape(R, 2, C, 2, 2).transpose(0, 2, 1, 3, 4).reshape(R, C, 4, 2)
-    mean = (q4.mean(axis=2) / 2).round().astype(np.int64) * 2
-    c64 = np.stack([np.zeros_like(mean), q4[:, :, 0], q4[:, :, 1],
-                    q4[:, :, 2], q4[:, :, 3], mean,
-                    mean + np.asarray((0, 2)), mean + np.asarray((2, 0))],
-                   axis=2)
-    c64 = np.clip(c64, -352, 352)
-    c64 = (c64 + (c64 & 1)).astype(np.int64)
-    b64 = (6.0 + np.log2(1.0 + np.abs(c64[..., 0]))
-           + np.log2(1.0 + np.abs(c64[..., 1]))).astype(np.float32)
-    b64[..., 0] = 2.0
-
-    # (R, C, quad) param grids
     lam32 = np.full((r2, c2), fe.lam, np.float32)
     lam_map = getattr(fe, "_lam_map", None)
     if lam_map is not None:
         yr = min(lam_map.shape[0], r2)
         xr = min(lam_map.shape[1], c2)
         lam32[:yr, :xr] = lam_map[:yr, :xr]
+
     def quadify(a):  # (2R, 2C, ...) -> (R, C, 4, ...) in _QOFF order
         return np.ascontiguousarray(
             a.reshape((R, 2, C, 2) + a.shape[2:]).transpose(
@@ -1664,9 +1691,7 @@ def _inter_upload(fe):
     qdc32q = np.full((R, C, 4), fe.dc_q, np.float32)
     qac32q = np.full((R, C, 4), fe.ac_q, np.float32)
     extra = [lam32q.ravel().astype(np.float32), qdc32q.ravel(),
-             qac32q.ravel(), quadify(c32).ravel().astype(np.float32),
-             quadify(b32).ravel().astype(np.float32),
-             c64.ravel().astype(np.float32), b64.ravel().astype(np.float32)]
+             qac32q.ravel()]
 
     from rav1e_tpu.ops.mc_jax import pad_ref_plane
 
@@ -1931,11 +1956,12 @@ def unpack_wavefront(geom, fe, out: np.ndarray, Wp: int | None = None,
     Hp = fe.h
     if Wp is None:
         Wp = fe.w
-    recw = rec_width(bool(getattr(fe, "wf_inter", False)))
+    inter = bool(getattr(fe, "wf_inter", False))
+    recw = rec_width(inter)
     rec_words = K * 4 * B * recw
     nY = Hp * Wp
     nC = (Hp >> 1) * (Wp >> 1)
-    esc = out[rec_words + nY + 2 * nC :]
+    esc = out[rec_words + nY + 2 * nC : rec_words + nY + 2 * nC + B]
     if esc.size and esc.any():
         if packed16 is None:
             raise RuntimeError(
@@ -1952,7 +1978,33 @@ def unpack_wavefront(geom, fe, out: np.ndarray, Wp: int | None = None,
     rec = [out[o : o + nY].reshape(Hp, Wp).astype(np.int32),
            out[o + nY : o + nY + nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32),
            out[o + nY + nC : o + nY + 2 * nC].reshape(Hp >> 1, Wp >> 1).astype(np.int32)]
-    return _build_result(geom, np.ascontiguousarray(packed), rec)
+    res = _build_result(geom, np.ascontiguousarray(packed), rec)
+    if inter:
+        # band tail: in-pass ME map + per-level inter RD costs/MVs
+        R, C = Hp // 64, Wp // 64
+        R2, C2 = Hp // 32, Wp // 32
+        t = rec_words + nY + 2 * nC + B
+
+        def take16(shape):
+            nonlocal t
+            n = int(np.prod(shape)) * 2
+            a = out[t : t + n].view(np.int16).reshape(shape).astype(np.int32)
+            t += n
+            return a
+
+        def takef(shape):
+            nonlocal t
+            n = int(np.prod(shape)) * 4
+            a = out[t : t + n].view(np.float32).reshape(shape).copy()
+            t += n
+            return a
+
+        res.me_map = take16((R2, C2, 2))
+        res.band64 = {"cost": takef((R, C)), "mv": take16((R, C, 2))}
+        res.band32 = {"cost": takef((R, C, 4)), "mv": take16((R, C, 4, 2))}
+        res.band16 = {"cost": takef((R, C, 4, 4)),
+                      "mv": take16((R, C, 4, 4, 2))}
+    return res
 
 
 def _build_result(geom, packed: np.ndarray, rec: list) -> "WavefrontResult":

@@ -36,38 +36,23 @@ import jax.numpy as jnp
 from rav1e_tpu.ops.mc_np import MC_FILTERS
 
 
-def _hmats(nsrc: int, nout: int, fset: int) -> np.ndarray:
-    """(16, nsrc, nout) fp32: out[k] = sum_t taps[p][t] * src[k + t]."""
-    m = np.zeros((16, nsrc, nout), np.float32)
-    taps = MC_FILTERS[fset]
-    for p in range(16):
-        for k in range(nout):
-            for t in range(8):
-                m[p, k + t, k] = taps[p][t]
-    return m
-
-
-def _vmats(nout: int, nsrc: int, fset: int) -> np.ndarray:
-    """(16, nout, nsrc) fp32: out[r] = sum_t taps[p][t] * src[r + t]."""
-    m = np.zeros((16, nout, nsrc), np.float32)
-    taps = MC_FILTERS[fset]
-    for p in range(16):
-        for r in range(nout):
-            for t in range(8):
-                m[p, r, r + t] = taps[p][t]
-    return m
+def _taps_i32(fset: int) -> np.ndarray:
+    """(16, 8) int32 tap table for one filter set (per 1/16-pel phase)."""
+    return np.ascontiguousarray(MC_FILTERS[fset], np.int32)
 
 
 _MAT_CACHE: dict = {}
 
 
 def filter_mats(w: int, h: int, fset: int):
-    """Cached device-resident per-phase filter matrices for a w x h block."""
+    """Cached device-resident per-phase tap tables for a w x h block (both
+    return slots hold the same (16, 8) int32 table; the block dims are in
+    the key only for call-site convenience)."""
     key = (w, h, fset)
     got = _MAT_CACHE.get(key)
     if got is None:
-        got = (jnp.asarray(_hmats(w + 7, w, fset)),
-               jnp.asarray(_vmats(h, h + 7, fset)))
+        t = jnp.asarray(_taps_i32(fset))
+        got = (t, t)
         _MAT_CACHE[key] = got
     return got
 
@@ -103,20 +88,20 @@ def mc_block_batch(ref_pad, margin: int, px, py, mvr, mvc, w: int, h: int,
     win = jax.vmap(
         lambda y0, x0: jax.lax.dynamic_slice(ref_pad, (y0, x0),
                                              (h + 7, w + 7)))(iy, ix)
-    hm = hmat[fx]  # (B, w+7, w)
-    vm = vmat[fy]  # (B, h, h+7)
+    # shift-and-MAC separable filtering in pure int32 (VPU elementwise):
+    # exact by construction, and much faster on TPU than per-lane batched
+    # tiny matmuls (whose fp32-exact form needs the slow HIGHEST mode)
+    taps = hmat  # (16, 8) int32 filter table (one per 1/16-pel phase)
+    tx = taps[fx]  # (B, 8)
+    ty = taps[fy]
     round0 = 3 if bd < 12 else 5
-    # precision HIGHEST is mandatory: the TPU MXU's default bf16 operand
-    # rounding is exact for the <=2^9 pixel/tap inputs of the first pass,
-    # but the second pass's intermediates reach 2^13 and round -- which
-    # silently broke bit-exactness on hardware (caught by conformance)
-    inter = jnp.einsum("bij,bjk->bik", win.astype(jnp.float32), hm,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    inter = jnp.zeros((win.shape[0], h + 7, w), jnp.int32)
+    for t in range(8):
+        inter = inter + tx[:, t, None, None] * win[:, :, t : t + w]
     inter = (inter + (1 << (round0 - 1))) >> round0
-    out = jnp.einsum("bij,bjk->bik", vm, inter.astype(jnp.float32),
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    out = jnp.zeros((win.shape[0], h, w), jnp.int32)
+    for t in range(8):
+        out = out + ty[:, t, None, None] * inter[:, t : t + h, :]
     out = (out + (1 << (14 - round0 - 1))) >> (14 - round0)
     return jnp.clip(out, 0, (1 << bd) - 1)
 

@@ -44,11 +44,19 @@ class ShardedWavefrontResult:
         self.geom_device_sb = np.zeros((sb_rows, sb_cols), bool)
         self.split_map = np.zeros((sb_rows * 2, sb_cols * 2), bool)
         self.split16_map = np.zeros((sb_rows * 4, sb_cols * 4), bool)
+        # full-grid 64-root map assembled from the per-tile none64 lanes
+        self.none64_full = np.zeros((sb_rows, sb_cols), bool)
         for t, r in enumerate(tile_results):
             c0 = t * tile_w_sb
             self.geom_device_sb[:, c0 : c0 + tile_w_sb] = r.geom.device_sb
             self.split_map[:, 2 * c0 : 2 * (c0 + tile_w_sb)] = r.split_map
             self.split16_map[:, 4 * c0 : 4 * (c0 + tile_w_sb)] = r.split16_map
+            if r.none64 is not None:
+                g = r.geom
+                dev = g.device_sb
+                n64 = np.zeros(dev.shape, bool)
+                n64[dev] = r.none64[g.sb_step[dev], g.sb_lane[dev]]
+                self.none64_full[:, c0 : c0 + tile_w_sb] = n64
         self.rec = [
             np.concatenate([r.rec[p] for r in tile_results], axis=1)
             for p in range(3)
@@ -90,19 +98,17 @@ def run_wavefront_sharded(fe, tiles, mesh: Mesh):
     if geom is None:
         return None
     K, B = geom.steps, geom.width
-    if fe.speed >= 9:
-        mmask = tuple(m in (0, 1, 2, 9, 12) for m in range(13))
-    elif fe.fine_dir:
-        mmask = tuple(True for _ in range(13))
-    else:
-        mmask = tuple(m not in (3, 7, 8) for m in range(13))
+    # candidate-mode set shared with the single-device pass (drift here
+    # would silently desync the byte-identical contract)
+    mmask = wfm._mode_mask(fe)
     fn = wfm.build_pass(fe.h, tile_w, K, B, fe.bd,
                         bool(fe.cfl_search and fe.q > 0),
                         bool(fe.tx_type_search and fe.q > 0),
                         bool(fe.fine_dir), mmask, tile_w // 4, fe.mi_rows,
                         bool(fe.rdo_partition),
                         bool(getattr(fe, "rdo_split8", False)),
-                        bool(getattr(fe, "uv_search", False) and fe.q > 0))
+                        bool(getattr(fe, "uv_search", False) and fe.q > 0),
+                        bool(getattr(fe, "rdo_none64", False)))
 
     lam_q = np.full((K, B, 4), fe.lam, np.float32)
     qdc_q = np.full((K, B, 4), fe.dc_q, np.float32)
